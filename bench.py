@@ -1,0 +1,66 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from skywalking_banyandb_spark.session import get_spark
+
+import __spark_entry__ as entrymod
+
+HEADLINE = [
+    "measure_scan_filter",
+    "measure_groupby_sum",
+    "measure_groupby_mean",
+    "measure_top_desc",
+    "measure_multigroup_union",
+    "stream_filter_in_orderby_tag",
+    "stream_scan_paged",
+    "trace_regroup_stats",
+    "property_match_or",
+    "topn_per_window",
+    "topn_postagg_mean",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+    spark = get_spark("banyandb-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # warm the JVM + parquet footers once (excluded from timings)
+    qs[names[0]](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_query_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

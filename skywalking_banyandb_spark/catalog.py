@@ -1,0 +1,256 @@
+"""Schema registry — the PySpark analogue of BanyanDB's metadata registry.
+
+The reference declares schemas first (``database/v1/schema.proto``; etcd-backed
+``banyand/metadata/``) and validates every query against them at analyze time.
+Here a :class:`Catalog` maps (group, resource-name) -> a resource schema that
+knows its physical parquet path and its logical column roles (ts, version,
+entity, element id, trace/span ids, tags, fields).
+
+Scale note: a resource's ``paths`` may be a directory of time-bucket
+partitioned parquet (``ts_bucket=YYYY-MM-DD``), which Spark partition-prunes —
+the analogue of the reference's segment selection
+(``banyand/internal/storage/storage.go:110-137``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Sequence, Tuple
+
+from .errors import SchemaError
+
+# BanyanDB tag/field types -> Spark SQL types (SURVEY.md §1.2).
+TAG_TYPE_TO_SPARK = {
+    "STRING": "string",
+    "INT": "bigint",
+    "FLOAT": "double",
+    "STRING_ARRAY": "array<string>",
+    "INT_ARRAY": "array<bigint>",
+    "DATA_BINARY": "binary",
+    "TIMESTAMP": "timestamp",
+}
+
+
+@dataclass(frozen=True)
+class TagSpec:
+    """``database/v1/schema.proto:31-50`` TagSpec + index info.
+
+    ``analyzer`` marks a full-text indexed tag (MATCH-able) —
+    ``schema.proto:158-191`` IndexRule.analyzer.
+    """
+
+    name: str
+    type: str = "STRING"
+    family: str = "default"
+    indexed: bool = True
+    analyzer: Optional[str] = None  # standard | simple | keyword | url
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """``database/v1/schema.proto:74-80`` FieldSpec (measure values)."""
+
+    name: str
+    type: str = "FLOAT"
+
+
+@dataclass(frozen=True)
+class MeasureSchema:
+    """A measure = numeric time series with tags+fields, upsert by version
+    (``schema.proto:105-127``)."""
+
+    group: str
+    name: str
+    paths: Tuple[str, ...]
+    ts_column: str
+    tags: Tuple[TagSpec, ...]
+    fields: Tuple[FieldSpec, ...]
+    entity: Tuple[str, ...]            # series identity (schema.proto:66-68)
+    version_column: Optional[str] = None
+    interval: Optional[str] = None     # e.g. "1 minute"
+
+    kind: str = "measure"
+
+    def tag(self, name: str) -> Optional[TagSpec]:
+        for t in self.tags:
+            if t.name == name:
+                return t
+        return None
+
+    def field(self, name: str) -> Optional[FieldSpec]:
+        for f in self.fields:
+            if f.name == name:
+                return f
+        return None
+
+
+@dataclass(frozen=True)
+class StreamSchema:
+    """Append-only elements, tags only, dedup by element id
+    (``schema.proto:53-64``)."""
+
+    group: str
+    name: str
+    paths: Tuple[str, ...]
+    ts_column: str
+    element_id_column: str
+    tags: Tuple[TagSpec, ...]
+
+    kind: str = "stream"
+
+    def tag(self, name: str) -> Optional[TagSpec]:
+        for t in self.tags:
+            if t.name == name:
+                return t
+        return None
+
+
+@dataclass(frozen=True)
+class TraceSchema:
+    """Raw span bytes + indexed tags; queries regroup by trace id
+    (``schema.proto:247-273``)."""
+
+    group: str
+    name: str
+    paths: Tuple[str, ...]
+    ts_column: str
+    trace_id_column: str
+    span_id_column: str
+    span_column: Optional[str]
+    tags: Tuple[TagSpec, ...]
+
+    kind: str = "trace"
+
+    def tag(self, name: str) -> Optional[TagSpec]:
+        for t in self.tags:
+            if t.name == name:
+                return t
+        return None
+
+
+@dataclass(frozen=True)
+class PropertySchema:
+    """Schema'd key-value documents, CRUD (``schema.proto:224-235``)."""
+
+    group: str
+    name: str
+    paths: Tuple[str, ...]
+    id_column: str
+    tags: Tuple[TagSpec, ...]
+
+    kind: str = "property"
+
+    def tag(self, name: str) -> Optional[TagSpec]:
+        for t in self.tags:
+            if t.name == name:
+                return t
+        return None
+
+
+ResourceSchema = object  # union of the four dataclasses above
+
+
+class Catalog:
+    """(group, kind, name) -> resource schema registry."""
+
+    def __init__(self) -> None:
+        self._resources: Dict[Tuple[str, str, str], ResourceSchema] = {}
+
+    def register(self, schema: ResourceSchema) -> None:
+        key = (schema.group, schema.kind, schema.name)
+        self._resources[key] = schema
+
+    def get(self, group: str, kind: str, name: str) -> ResourceSchema:
+        try:
+            return self._resources[(group, kind, name)]
+        except KeyError:
+            raise SchemaError(f"unknown {kind} {name!r} in group {group!r}")
+
+    def get_many(self, groups: Sequence[str], kind: str, name: str):
+        """Resolve the same-named resource across groups (multi-group query,
+        ``measure_plan_merge.go:39-176``)."""
+        return [self.get(g, kind, name) for g in groups]
+
+
+def default_catalog(sf_dir: str) -> Catalog:
+    """Map the driver's synthetic tables onto BanyanDB's resource taxonomy.
+
+    - ``events``  -> measure ``metrics`` (entity=user_id, field=value,
+      version=event_id), stream ``event_log`` (element_id=event_id), and
+      trace ``event_trace`` (trace_id=user_id, span_id=event_id,
+      span bytes=props).
+    - ``documents`` -> property ``documents`` (id=doc_id) with an analyzed
+      ``text`` tag (MATCH-able).
+    Two logical groups ``g1``/``g2`` share the measure physical data to
+    exercise multi-group union semantics.
+    """
+    cat = Catalog()
+    ev = f"{sf_dir}/events.parquet"
+
+    measure_tags = (
+        TagSpec("user_id", "INT"),
+        TagSpec("event_type", "STRING"),
+        TagSpec("props", "STRING", indexed=False),
+    )
+    for grp in ("g1", "g2"):
+        cat.register(
+            MeasureSchema(
+                group=grp,
+                name="metrics",
+                paths=(ev,),
+                ts_column="ts",
+                tags=measure_tags,
+                fields=(FieldSpec("value", "FLOAT"),),
+                entity=("user_id",),
+                version_column="event_id",
+                interval="1 minute",
+            )
+        )
+
+    cat.register(
+        StreamSchema(
+            group="g1",
+            name="event_log",
+            paths=(ev,),
+            ts_column="ts",
+            element_id_column="event_id",
+            tags=(
+                TagSpec("user_id", "INT"),
+                TagSpec("event_type", "STRING"),
+                TagSpec("value", "FLOAT"),
+                TagSpec("props", "STRING", indexed=False),
+            ),
+        )
+    )
+
+    cat.register(
+        TraceSchema(
+            group="g1",
+            name="event_trace",
+            paths=(ev,),
+            ts_column="ts",
+            trace_id_column="user_id",
+            span_id_column="event_id",
+            span_column="props",
+            tags=(
+                TagSpec("event_type", "STRING"),
+                TagSpec("value", "FLOAT"),
+            ),
+        )
+    )
+
+    cat.register(
+        PropertySchema(
+            group="g1",
+            name="documents",
+            paths=(f"{sf_dir}/documents.parquet",),
+            id_column="doc_id",
+            tags=(
+                TagSpec("text", "STRING", analyzer="standard"),
+                TagSpec("lang", "STRING"),
+                TagSpec("source", "STRING"),
+                TagSpec("n_chars", "INT"),
+            ),
+        )
+    )
+    return cat

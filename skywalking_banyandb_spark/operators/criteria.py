@@ -1,0 +1,98 @@
+"""Criteria tree -> Catalyst Column compiler.
+
+Reference semantics: ``model/v1/query.proto:47-101`` (ops), evaluation
+``pkg/query/logical/tag_filter.go:73-609`` and ``expr_literal.go``; MATCH
+query build ``pkg/index/inverted/query.go:84-198``. Two behaviors the golden
+corpus pins down (``test/cases/measure/measure.go``):
+
+- a condition on a tag that is NOT in the declared schema is an analyze-time
+  **error** (``filter_non_existent_tag`` WantErr), while a condition that
+  matches nothing is just an **empty** result;
+- HAVING on an array tag means "contains ALL of the listed values".
+
+Everything compiles to built-in Catalyst expressions — predicates stay inside
+whole-stage codegen and push down to the parquet scan where eligible
+(EQ/NE/LT/.../IN reach ``PushedFilters``; MATCH/HAVING evaluate post-scan,
+exactly like the reference's post-scan tag filter
+``stream_plan_tag_filter.go``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..errors import QueryAnalyzeError
+from ..functions.analyzers import analyze_term, tokens
+from ..model import BinaryOp, Condition, Criteria, CriteriaNode, LogicalOp
+
+
+def _as_list(value: Any) -> Sequence[Any]:
+    if value is None:
+        return []
+    if isinstance(value, (list, tuple)):
+        return list(value)
+    return [value]
+
+
+def compile_condition(c: Condition, schema_tags: Dict[str, Optional[str]]) -> Column:
+    """Compile one condition. ``schema_tags`` maps known tag/field name ->
+    analyzer (or None)."""
+    if c.tag not in schema_tags:
+        raise QueryAnalyzeError(f"filter references unknown tag {c.tag!r}")
+    col = F.col(c.tag)
+    op = c.op
+
+    if op is BinaryOp.EQ:
+        return col.isNull() if c.value is None else (col == F.lit(c.value))
+    if op is BinaryOp.NE:
+        return col.isNotNull() if c.value is None else (col != F.lit(c.value))
+    if op is BinaryOp.LT:
+        return col < F.lit(c.value)
+    if op is BinaryOp.GT:
+        return col > F.lit(c.value)
+    if op is BinaryOp.LE:
+        return col <= F.lit(c.value)
+    if op is BinaryOp.GE:
+        return col >= F.lit(c.value)
+    if op is BinaryOp.IN:
+        return col.isin(*_as_list(c.value))
+    if op is BinaryOp.NOT_IN:
+        return ~col.isin(*_as_list(c.value))
+    if op is BinaryOp.HAVING:
+        # array tag contains ALL listed values (tag_filter.go havingTag)
+        wanted = F.array(*[F.lit(v) for v in _as_list(c.value)])
+        return F.size(F.array_except(wanted, col)) == 0
+    if op is BinaryOp.NOT_HAVING:
+        wanted = F.array(*[F.lit(v) for v in _as_list(c.value)])
+        return F.size(F.array_except(wanted, col)) > 0
+    if op is BinaryOp.MATCH:
+        analyzer = c.match_analyzer or schema_tags.get(c.tag) or "standard"
+        toks = tokens(col, analyzer)
+        terms: list[str] = []
+        for v in _as_list(c.value):
+            terms.extend(analyze_term(str(v), analyzer))
+        if not terms:
+            return F.lit(False)
+        preds = [F.array_contains(toks, t) for t in terms]
+        out = preds[0]
+        for p in preds[1:]:
+            out = (out & p) if c.match_operator is LogicalOp.AND else (out | p)
+        return out
+    raise QueryAnalyzeError(f"unsupported op {op}")
+
+
+def compile_criteria(node: Optional[CriteriaNode], schema_tags: Dict[str, Optional[str]]) -> Optional[Column]:
+    """Compile the AND/OR tree; ``None`` criteria -> no filter."""
+    if node is None:
+        return None
+    if isinstance(node, Condition):
+        return compile_condition(node, schema_tags)
+    if isinstance(node, Criteria):
+        left = compile_criteria(node.left, schema_tags)
+        right = compile_criteria(node.right, schema_tags)
+        assert left is not None and right is not None
+        return (left & right) if node.op is LogicalOp.AND else (left | right)
+    raise QueryAnalyzeError(f"bad criteria node {node!r}")

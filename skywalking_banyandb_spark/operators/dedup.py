@@ -1,0 +1,49 @@
+"""Version dedup + element-id dedup — the core custom read-path semantics.
+
+Measure last-write-wins upsert: per (entity, ts) keep the row with the highest
+``version`` — the reference does this inside its k-way merge
+(``banyand/measure/query.go:966-1027``: ``versions[idx] > lastVersion →
+replace``). It must run on EVERY measure read path (SURVEY §7 "hard parts").
+
+Scale note: we implement it as ``groupBy(entity, ts).agg(max_by(struct(*),
+version))`` rather than a row_number window. A window has no map-side partial
+aggregation — at 100 TB it shuffles every raw row. ``max_by`` is a declarative
+aggregate, so Spark runs a partial hash-aggregate before the shuffle and only
+one surviving row per (entity, ts) crosses the wire; with the storage layout
+bucketed by entity the shuffle is eliminated entirely.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def latest_version(
+    df: DataFrame,
+    entity: Sequence[str],
+    ts_column: str,
+    version_column: str,
+) -> DataFrame:
+    """Keep the highest-version row per (entity..., ts); drops the version
+    column from the output (the reference's responses don't carry it)."""
+    keys = [*entity, ts_column]
+    payload = [c for c in df.columns if c not in keys]
+    packed = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.max_by(F.struct(*[F.col(c) for c in payload]), F.col(version_column)).alias("_row")
+    )
+    cols = [F.col(k) for k in keys] + [
+        F.col(f"_row.{c}").alias(c) for c in payload if c != version_column
+    ]
+    return packed.select(*cols)
+
+
+def distinct_element(df: DataFrame, element_id_column: str) -> DataFrame:
+    """Stream element-id dedup
+    (``stream_plan_indexscan_local.go:157-166``): keep one row per element
+    id. Uses max_by on the element id itself for determinism (ties keep an
+    arbitrary-but-stable row via the full struct ordering is unnecessary —
+    element ids are unique by contract)."""
+    return df.dropDuplicates([element_id_column])

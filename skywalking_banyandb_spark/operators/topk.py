@@ -1,0 +1,63 @@
+"""Top-N / limit-offset operators.
+
+Query-time Top-N (``measure_plan_top.go:44-168``): after group+agg keep the
+top (DESC) or bottom (ASC) N rows by a field. Spark's ``orderBy().limit(n)``
+lowers to TakeOrderedAndProject — each partition keeps a local N-heap and the
+driver merges N*partitions rows, the same bounded-heap strategy as the
+reference's ``measure_top.go:53-174`` but distributed. Ties are broken by the
+remaining columns so results are total-ordered (required for the
+deterministic-oracle comparison; the reference's heap is similarly stable).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..model import Sort
+
+
+def top_n(
+    df: DataFrame,
+    field: str,
+    n: int,
+    sort: Sort = Sort.DESC,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    key = F.col(field).desc() if sort is Sort.DESC else F.col(field).asc()
+    order = [key] + [F.col(c).asc() for c in tiebreak if c != field]
+    return df.orderBy(*order).limit(n)
+
+
+def per_window_top_n(
+    df: DataFrame,
+    window_cols: Sequence[str],
+    field: str,
+    n: int,
+    sort: Sort = Sort.DESC,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Top-N within each time window (TopN pre-agg read shape,
+    ``topn_plan_localscan.go``): row_number over (window) ordered by field."""
+    from pyspark.sql.window import Window
+
+    key = F.col(field).desc() if sort is Sort.DESC else F.col(field).asc()
+    order = [key] + [F.col(c).asc() for c in tiebreak if c != field]
+    w = Window.partitionBy(*[F.col(c) for c in window_cols]).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def limit_offset(df: DataFrame, limit: Optional[int], offset: int) -> DataFrame:
+    """Pagination (``measure_plan.go:37-131``); offset beyond end -> empty.
+    Spark ≥3.4 supports a real OFFSET; both lower into the sort/limit leaf."""
+    if offset:
+        df = df.offset(offset)
+    if limit is not None:
+        df = df.limit(limit)
+    return df

@@ -1,0 +1,148 @@
+"""Measure query compiler — MeasureQuery -> DataFrame.
+
+Mirrors the analyzer composition of the reference
+(``pkg/query/logical/measure/measure_analyzer.go:70-160``), outside-in:
+
+    Limit(offset,limit) ∘ Top? ∘ Aggregation? ∘ GroupBy? ∘ (merge ∘) IndexScan
+
+with the reference's defaults: default limit 100 (``measure_analyzer.go:32``),
+half-open time range (``model/v1/query.proto:125-130``), version-dedup on
+every read (``banyand/measure/query.go:966-1027``), multi-group unionByName
+(``measure_plan_merge.go``).
+
+Spark-first notes (what Catalyst gives us for free — SURVEY §4.1):
+- the time-range + criteria predicates push down to the parquet scan
+  (PushedFilters) and prune time-bucket partitions;
+- only referenced columns are read (ReadSchema) — the reference's
+  "hidden tag projection" bookkeeping disappears;
+- group-by aggregation is automatically partial/final (map-side combine),
+  which is the reference's distributed ``agg_return_partial`` protocol;
+- Top-N lowers to TakeOrderedAndProject (bounded per-partition heaps).
+
+Determinism: SUM/MEAN over float fields accumulate in DECIMAL(24,6) and cast
+back to double. Float addition is order-sensitive; at 1000 executors partial
+sums arrive in nondeterministic order, so a double accumulator makes the same
+query return different last-bits run to run. Decimal accumulation is exact,
+associative, and therefore reproducible cluster-wide (and bit-identical to
+the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog, MeasureSchema
+from ..errors import QueryAnalyzeError
+from ..model import AggFunc, MeasureQuery, Sort, DEFAULT_LIMIT
+from ..sources.parquet import read_table
+from ..operators.criteria import compile_criteria
+from ..operators.dedup import latest_version
+from ..operators.merge import union_groups
+from ..operators.topk import limit_offset, top_n
+
+
+def _schema_tagmap(schema: MeasureSchema) -> Dict[str, Optional[str]]:
+    out: Dict[str, Optional[str]] = {schema.ts_column: None}
+    for t in schema.tags:
+        out[t.name] = t.analyzer
+    for f in schema.fields:
+        out[f.name] = None
+    return out
+
+
+def _scan_one(spark: SparkSession, schema: MeasureSchema, q: MeasureQuery) -> DataFrame:
+    df = read_table(spark, *schema.paths)
+    ts = F.col(schema.ts_column)
+    if q.time_range.begin is not None:
+        df = df.where(ts >= F.lit(q.time_range.begin))
+    if q.time_range.end is not None:
+        df = df.where(ts < F.lit(q.time_range.end))  # exclusive upper bound
+    if schema.version_column and schema.version_column in df.columns:
+        df = latest_version(df, schema.entity, schema.ts_column, schema.version_column)
+    return df
+
+
+def agg_expr(func: AggFunc, field: str, field_type: str) -> Column:
+    """One aggregate expression (``pkg/query/aggregation/aggregation.go:62-102``).
+
+    Decimal accumulation for float SUM/MEAN — see module docstring.
+    """
+    col = F.col(field)
+    if func is AggFunc.MIN:
+        return F.min(col)
+    if func is AggFunc.MAX:
+        return F.max(col)
+    if func is AggFunc.COUNT:
+        return F.count(col)
+    if func is AggFunc.SUM:
+        if field_type == "INT":
+            return F.sum(col)
+        return F.sum(col.cast("decimal(24,6)")).cast("double")
+    if func is AggFunc.MEAN:
+        return (F.sum(col.cast("decimal(24,6)")).cast("double") / F.count(col))
+    raise QueryAnalyzeError(f"unknown aggregation {func}")
+
+
+def compile_measure(spark: SparkSession, catalog: Catalog, q: MeasureQuery) -> DataFrame:
+    schemas: List[MeasureSchema] = catalog.get_many(q.groups, "measure", q.name)
+    ref = schemas[0]
+    tagmap = _schema_tagmap(ref)
+
+    # validate projections/group keys at analyze time (reference behavior)
+    for name in [*q.tag_projection, *q.group_by]:
+        if name not in tagmap:
+            raise QueryAnalyzeError(f"projection references unknown tag {name!r}")
+    for name in q.field_projection:
+        if ref.field(name) is None:
+            raise QueryAnalyzeError(f"projection references unknown field {name!r}")
+
+    pred = compile_criteria(q.criteria, tagmap)
+    parts = []
+    for s in schemas:
+        df = _scan_one(spark, s, q)
+        if pred is not None:
+            df = df.where(pred)
+        parts.append(df)
+    df = union_groups(parts)
+
+    if q.agg is not None or q.group_by:
+        fspec = ref.field(q.agg.field_name) if q.agg else None
+        if q.agg and fspec is None:
+            raise QueryAnalyzeError(f"aggregation over unknown field {q.agg.field_name!r}")
+        if q.group_by:
+            if q.agg:
+                df = df.groupBy(*[F.col(g) for g in q.group_by]).agg(
+                    agg_expr(q.agg.function, q.agg.field_name, fspec.type).alias(q.agg.field_name)
+                )
+            else:
+                # group-by without agg -> distinct group rows
+                # (vectorized/measure/groupby.go NewBatchGroupByFirst)
+                df = df.select(*[F.col(g) for g in q.group_by]).distinct()
+        else:
+            # global aggregate (measure_plan_aggregation.go aggAllIterator)
+            df = df.agg(
+                agg_expr(q.agg.function, q.agg.field_name, fspec.type).alias(q.agg.field_name)
+            )
+        if q.top is not None:
+            df = top_n(df, q.top.field_name, q.top.number, q.top.sort, tiebreak=list(q.group_by))
+    else:
+        # raw data-point query: project ts + tags + fields
+        proj = list(q.tag_projection) + list(q.field_projection)
+        if not proj:
+            proj = [t.name for t in ref.tags] + [f.name for f in ref.fields]
+        cols = [F.col(ref.ts_column)] + [F.col(c) for c in proj if c != ref.ts_column]
+        df = df.select(*cols)
+        order = q.order_by
+        ts_first = order is None or order.tag is None
+        key = ref.ts_column if ts_first else order.tag
+        direction = (order.sort if order else Sort.ASC)
+        kcol = F.col(key).desc() if direction is Sort.DESC else F.col(key).asc()
+        # total order: entity + ts tiebreak (series-sorted like the reference)
+        tiebreak = [c for c in [ref.ts_column, *ref.entity] if c != key and c in df.columns]
+        df = df.orderBy(kcol, *[F.col(c).asc() for c in tiebreak])
+
+    limit = q.limit if q.limit is not None else DEFAULT_LIMIT
+    return limit_offset(df, limit, q.offset)

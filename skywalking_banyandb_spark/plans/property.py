@@ -1,0 +1,50 @@
+"""Property query compiler — PropertyQuery -> DataFrame.
+
+Reference: ``banyand/property/db.go`` + ``property/v1/rpc.proto:35-91``:
+schema'd key-value documents with Apply (upsert), Delete, and Query
+(ids / criteria filter, projection, limit). Batch CRUD maps to
+read-modify-write parquet (Delta merge on a real deployment); the query path
+below is a plain filter/project/limit plan.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog, PropertySchema
+from ..errors import QueryAnalyzeError
+from ..model import PropertyQuery, DEFAULT_LIMIT
+from ..sources.parquet import read_table
+from ..operators.criteria import compile_criteria
+from ..operators.topk import limit_offset
+
+
+def _tagmap(schema: PropertySchema) -> Dict[str, Optional[str]]:
+    out: Dict[str, Optional[str]] = {schema.id_column: None}
+    for t in schema.tags:
+        out[t.name] = t.analyzer
+    return out
+
+
+def compile_property(spark: SparkSession, catalog: Catalog, q: PropertyQuery) -> DataFrame:
+    schema: PropertySchema = catalog.get(q.group, "property", q.name)
+    tagmap = _tagmap(schema)
+    for name in q.projection:
+        if name not in tagmap:
+            raise QueryAnalyzeError(f"projection references unknown tag {name!r}")
+    pred = compile_criteria(q.criteria, tagmap)
+
+    df = read_table(spark, *schema.paths)
+    if q.ids:
+        df = df.where(F.col(schema.id_column).isin(*list(q.ids)))
+    if pred is not None:
+        df = df.where(pred)
+
+    proj = list(q.projection) or [t.name for t in schema.tags]
+    keep = [schema.id_column] + [c for c in proj if c != schema.id_column]
+    df = df.select(*[F.col(c) for c in keep]).orderBy(F.col(schema.id_column).asc())
+    limit = q.limit if q.limit is not None else DEFAULT_LIMIT
+    return limit_offset(df, limit, 0)

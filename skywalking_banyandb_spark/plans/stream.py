@@ -1,0 +1,77 @@
+"""Stream query compiler — StreamQuery -> DataFrame.
+
+Reference: ``pkg/query/logical/stream/stream_analyzer.go`` composes
+``Limit ∘ [TagFilter ∘] localIndexScan`` with element-id dedup
+(``stream_plan_indexscan_local.go:86-198``, dedup :157-166) and ordering by
+time or by an indexed tag (``banyand/stream/query.go:373``). On Spark the
+"indexed tag only" ordering restriction disappears (shuffle sort handles any
+column); we stay accepting of all reference-legal queries.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog, StreamSchema
+from ..errors import QueryAnalyzeError
+from ..model import Sort, StreamQuery, DEFAULT_LIMIT
+from ..sources.parquet import read_table
+from ..operators.criteria import compile_criteria
+from ..operators.dedup import distinct_element
+from ..operators.merge import union_groups
+from ..operators.topk import limit_offset
+
+
+def _tagmap(schema: StreamSchema) -> Dict[str, Optional[str]]:
+    out: Dict[str, Optional[str]] = {
+        schema.ts_column: None,
+        schema.element_id_column: None,
+    }
+    for t in schema.tags:
+        out[t.name] = t.analyzer
+    return out
+
+
+def compile_stream(spark: SparkSession, catalog: Catalog, q: StreamQuery) -> DataFrame:
+    schemas: List[StreamSchema] = catalog.get_many(q.groups, "stream", q.name)
+    ref = schemas[0]
+    tagmap = _tagmap(ref)
+    for name in q.projection:
+        if name not in tagmap:
+            raise QueryAnalyzeError(f"projection references unknown tag {name!r}")
+    pred = compile_criteria(q.criteria, tagmap)
+
+    parts = []
+    for s in schemas:
+        df = read_table(spark, *s.paths)
+        ts = F.col(s.ts_column)
+        if q.time_range.begin is not None:
+            df = df.where(ts >= F.lit(q.time_range.begin))
+        if q.time_range.end is not None:
+            df = df.where(ts < F.lit(q.time_range.end))
+        if pred is not None:
+            df = df.where(pred)
+        parts.append(df)
+    df = union_groups(parts)
+    df = distinct_element(df, ref.element_id_column)
+
+    proj = list(q.projection) or [t.name for t in ref.tags]
+    keep = [ref.ts_column, ref.element_id_column] + [
+        c for c in proj if c not in (ref.ts_column, ref.element_id_column)
+    ]
+    df = df.select(*[F.col(c) for c in keep])
+
+    order = q.order_by
+    key = ref.ts_column if (order is None or order.tag is None) else order.tag
+    if key not in df.columns:
+        raise QueryAnalyzeError(f"order by unknown tag {key!r}")
+    direction = order.sort if order else Sort.ASC
+    kcol = F.col(key).desc() if direction is Sort.DESC else F.col(key).asc()
+    # element id is unique -> total order for stable pagination
+    df = df.orderBy(kcol, F.col(ref.element_id_column).asc())
+
+    limit = q.limit if q.limit is not None else DEFAULT_LIMIT
+    return limit_offset(df, limit, q.offset)

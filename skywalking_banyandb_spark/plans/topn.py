@@ -1,0 +1,111 @@
+"""Top-N pre-aggregation — materialization job + read path.
+
+Reference, write-time half (``banyand/measure/topn.go:562-583,744-810``):
+measure writes tee into Filter(criteria) → Map(field+groupTags) → tumbling
+window (size = measure interval) → per-group bounded Top-N heap with in-place
+entity replacement (``pkg/flow/streaming/topn.go:51-305``) → snapshots into a
+hidden ``_top_n_result`` measure. Read-time half
+(``banyand/query/processor_topn.go:101-240``): scan the pre-agg measure,
+per-entity distinct keeping the best value (``topn_plan_distinct.go:50-289``),
+optional post-aggregation across windows (``processor_topn.go:189-240``),
+emit ranked lists.
+
+Spark-first: batch recompute — per (window, entity) the *latest* point wins
+(the heap's replace-on-same-key semantics), then rank ≤ N within the window.
+This is semantically exact, and at scale the window agg + rank is two
+shuffle-free stages after a single shuffle on (window, entity) /(window).
+The streaming variant lives in ``streaming/topn_stream.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog, MeasureSchema
+from ..errors import QueryAnalyzeError
+from ..model import AggFunc, Sort, TopNQuery
+from ..sources.parquet import read_table
+from ..operators.criteria import compile_criteria
+from ..operators.topk import per_window_top_n, top_n
+from .measure import agg_expr
+
+
+def materialize_topn(
+    spark: SparkSession,
+    schema: MeasureSchema,
+    field: str,
+    n: int,
+    window: str = "1 hour",
+    sort: Sort = Sort.DESC,
+) -> DataFrame:
+    """Build the ``_top_n_result`` table from the source measure (batch).
+
+    Output: (window_start, entity..., field) with ≤ N rows per window.
+    """
+    if schema.field(field) is None:
+        raise QueryAnalyzeError(f"top-n over unknown field {field!r}")
+    df = read_table(spark, *schema.paths)
+    win_start = F.window(F.col(schema.ts_column), window)["start"].alias("window_start")
+    # per (window, entity): latest write wins (heap replace semantics) —
+    # max_by keyed on (ts, version) keeps it a partial-aggregatable agg.
+    order_key = F.struct(
+        F.col(schema.ts_column),
+        *( [F.col(schema.version_column)] if schema.version_column else [] ),
+    )
+    latest = (
+        df.groupBy(win_start, *[F.col(e) for e in schema.entity])
+        .agg(F.max_by(F.col(field), order_key).alias(field))
+    )
+    return per_window_top_n(
+        latest, ["window_start"], field, n, sort, tiebreak=list(schema.entity)
+    )
+
+
+def compile_topn(
+    spark: SparkSession,
+    catalog: Catalog,
+    q: TopNQuery,
+    field: str = "value",
+    window: str = "1 hour",
+) -> DataFrame:
+    """TopNQuery -> DataFrame (batch recompute path).
+
+    Without ``agg``: per-window ranked lists (window_start, entity, value).
+    With ``agg``: per-entity re-aggregation across windows then a final
+    top-N (``processor_topn.go:189-240`` + ``topn_plan_distinct.go``).
+    """
+    schemas = catalog.get_many(q.groups, "measure", q.name)
+    ref: MeasureSchema = schemas[0]
+    parts = []
+    for s in schemas:
+        df = materialize_topn(spark, s, field, q.top_n, window, q.sort)
+        ts = F.col("window_start")
+        if q.time_range.begin is not None:
+            df = df.where(ts >= F.lit(q.time_range.begin))
+        if q.time_range.end is not None:
+            df = df.where(ts < F.lit(q.time_range.end))
+        parts.append(df)
+    from ..operators.merge import union_groups
+
+    df = union_groups(parts)
+    if q.conditions:
+        tagmap = {t.name: t.analyzer for t in ref.tags}
+        for c in q.conditions:
+            from ..operators.criteria import compile_condition
+
+            df = df.where(compile_condition(c, tagmap)) if c.tag in df.columns else df
+    if q.agg is None:
+        return df.orderBy(
+            F.col("window_start").asc(),
+            F.col(field).desc() if q.sort is Sort.DESC else F.col(field).asc(),
+            *[F.col(e).asc() for e in ref.entity],
+        )
+    # distinct-entity + post-aggregation across windows
+    fspec = ref.field(field)
+    agged = df.groupBy(*[F.col(e) for e in ref.entity]).agg(
+        agg_expr(q.agg, field, fspec.type).alias(field)
+    )
+    return top_n(agged, field, q.top_n, q.sort, tiebreak=list(ref.entity))

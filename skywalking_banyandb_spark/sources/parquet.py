@@ -1,0 +1,85 @@
+"""Parquet source — schema-aware reader shared by every plan.
+
+The driver's synthetic tables carry nanosecond-precision parquet timestamps
+(pandas-written INT64 TIMESTAMP(NANOS)), which Spark's vectorized reader
+rejects. We read them with ``spark.sql.legacy.parquet.nanosAsLong`` and
+rebuild microsecond TimestampType columns with integer division (``div`` —
+float division would lose bits above 2^53 ns). The nano columns are sniffed
+once per path from the parquet footer via pyarrow and cached.
+
+BanyanDB's millisecond timestamps (``measure/v1/write.proto:48``) are a
+subset of microsecond precision, so the mapping is lossless.
+
+Column pruning / predicate pushdown still work: the conversion is a
+projection on top of the scan, and Catalyst pushes comparisons on the raw
+int64 column down when possible (time-range filters compare post-cast, but
+partition pruning at scale comes from the ``ts_bucket`` partition column the
+writer emits, not from row-level filters).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Tuple
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@lru_cache(maxsize=256)
+def _nano_ts_columns(path: str) -> Tuple[str, ...]:
+    import pyarrow as pa
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        # directory dataset: sniff the first fragment
+        import glob
+        import os
+
+        frags = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if not frags:
+            return ()
+        schema = pq.read_schema(frags[0])
+    return tuple(
+        f.name for f in schema if f.type == pa.timestamp("ns")
+    )
+
+
+def read_table(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read one or more parquet paths, restoring nano-timestamp columns."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(*paths)
+    nano_cols = set()
+    for p in paths:
+        nano_cols.update(_nano_ts_columns(p))
+    for c in nano_cols:
+        if c in df.columns:
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    time_column: str | None = None,
+    bucket_granularity: str = "day",
+) -> None:
+    """Append-style writer — the analogue of the reference's segment layout
+    (group → time segment → shard, ``banyand/internal/storage/storage.go``).
+
+    Partitioning by a coarse ``ts_bucket`` gives Spark partition pruning for
+    time-range queries — the exact counterpart of BanyanDB's
+    ``SelectSegments(timeRange)``. At 100 TB add ``.bucketBy(entity)`` via a
+    saveAsTable catalog for shuffle-free dedup/group-by.
+    """
+    if time_column is not None:
+        df = df.withColumn("ts_bucket", F.date_trunc(bucket_granularity, F.col(time_column)))
+        df.write.partitionBy("ts_bucket").mode(mode).parquet(path)
+    else:
+        df.write.mode(mode).parquet(path)
