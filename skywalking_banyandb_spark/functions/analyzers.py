@@ -47,7 +47,10 @@ def analyze_term(term: str, analyzer: str = "standard") -> list[str]:
 
     if analyzer == "keyword":
         return [term]
-    pat = _ANALYZER_SPLIT[analyzer]
+    try:
+        pat = _ANALYZER_SPLIT[analyzer]
+    except KeyError:
+        raise ValueError(f"unknown analyzer {analyzer!r} (want one of {ANALYZERS})")
     return [t for t in re.split(pat, term.lower()) if t]
 
 

@@ -1,0 +1,213 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, and embedding-cosine near-dup.
+
+Scale design (the point of each variant):
+
+- **exact**: hash-groupBy on a content fingerprint — one shuffle on the md5
+  key, fully partial-aggregated. The only correct choice when "duplicate"
+  means byte/token-identical.
+- **n-gram Jaccard**: exact set similarity via shingle explode + self-join.
+  Quadratic in the worst case — the *verification* primitive, not the
+  discovery primitive, at 100 TB.
+- **MinHash + LSH**: the discovery primitive. Shingle -> k md5-minhashes ->
+  band buckets -> candidates only where a band collides (join on band hash,
+  linear shuffle), then exact-Jaccard verify on the small candidate set.
+  MinHash here is the *string* minimum of ``md5(seed|shingle)`` — identical
+  in any engine that has md5, which is what makes the DuckDB oracle exact.
+- **embedding cosine**: brute-force pair filter (oracle-checkable); the ANN
+  path for scale lives in ``similarity.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .analyzers import tokens, tokens_sql
+from .text import fingerprint, fingerprint_sql
+
+MINHASH_K = 8
+BANDS = 2  # 2 bands x 4 rows
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Survivors of exact dedup: min id per content fingerprint."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .select(id_col, "fp", "dup_count")
+    )
+
+
+def exact_dedup_sql(table: str, id_col: str, text_col: str) -> str:
+    fp = fingerprint_sql(text_col)
+    return (
+        f"SELECT min({id_col}) AS {id_col}, fp, COUNT(*) AS dup_count FROM "
+        f"(SELECT {id_col}, {fp} AS fp FROM {table}) GROUP BY fp"
+    )
+
+
+def _shingles(col: Column, n: int) -> Column:
+    """Distinct n-token shingles of the standard-analyzed token stream."""
+    toks = tokens(col, "standard")
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def _shingles_sql(expr: str, n: int) -> str:
+    toks = tokens_sql(expr, "standard")
+    if n == 1:
+        return f"list_distinct({toks})"
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')))"
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, threshold: float = 0.5
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard >= threshold, ids ordered a < b.
+
+    jaccard = |A∩B| / (|A| + |B| - |A∩B|) computed by exploding distinct
+    shingles and joining on the shingle (common-count groupBy) — only pairs
+    that share at least one shingle are ever materialized.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    common = (
+        sh.alias("x")
+        .join(sh.alias("y"), on="sh")
+        .where(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("sza") + F.col("szb") - F.col("common")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def ngram_jaccard_pairs_sql(
+    table: str, id_col: str, text_col: str, n: int = 2, threshold: float = 0.5
+) -> str:
+    sh = _shingles_sql(text_col, n)
+    return f"""
+WITH sh AS (
+  SELECT {id_col} AS id, unnest({sh}) AS sh FROM {table}
+), sizes AS (
+  SELECT id, COUNT(*) AS sz FROM sh GROUP BY id
+), common AS (
+  SELECT x.id AS a, y.id AS b, COUNT(*) AS common
+  FROM sh x JOIN sh y ON x.sh = y.sh AND x.id < y.id
+  GROUP BY x.id, y.id
+)
+SELECT a, b, round(common / CAST(sza + szb - common AS DOUBLE), 6) AS jaccard
+FROM (SELECT common.*, s1.sz AS sza, s2.sz AS szb
+      FROM common JOIN sizes s1 ON common.a = s1.id
+                  JOIN sizes s2 ON common.b = s2.id)
+WHERE round(common / CAST(sza + szb - common AS DOUBLE), 6) >= {threshold}
+"""
+
+
+def _minhash_sig(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Per-doc MinHash signature: sig_i = min(md5(i || '|' || shingle))."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    sigs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"sig{i}")
+        for i in range(MINHASH_K)
+    ]
+    return sh.groupBy("id").agg(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidate discovery + exact-Jaccard verification.
+
+    Bands of MINHASH_K/BANDS rows; a pair is a candidate iff some band's
+    signatures all collide (join on the band hash — linear, broadcastable
+    at low collision rates). Candidates are then verified with exact
+    n-gram Jaccard >= threshold.
+    """
+    rows = MINHASH_K // BANDS
+    sig = _minhash_sig(df, id_col, text_col, n)
+    bands = []
+    for b in range(BANDS):
+        cols = [F.col(f"sig{b * rows + r}") for r in range(rows)]
+        bands.append(
+            sig.select(
+                F.col("id"), F.lit(b).alias("band"), F.md5(F.concat(*cols)).alias("bh")
+            )
+        )
+    from functools import reduce
+
+    banded = reduce(lambda a, c: a.unionByName(c), bands)
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "bh"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    return cand.join(exact, on=["a", "b"]).select("a", "b", "jaccard")
+
+
+def minhash_lsh_pairs_sql(
+    table: str, id_col: str, text_col: str, n: int = 1, threshold: float = 0.5
+) -> str:
+    rows = MINHASH_K // BANDS
+    sh = _shingles_sql(text_col, n)
+    sigs = ", ".join(
+        f"min(md5('{i}|' || sh)) AS sig{i}" for i in range(MINHASH_K)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT id, {b} AS band, md5({cat}) AS bh FROM sig".format(
+            b=b, cat=" || ".join(f"sig{b * rows + r}" for r in range(rows))
+        )
+        for b in range(BANDS)
+    )
+    exact = ngram_jaccard_pairs_sql(table, id_col, text_col, n, threshold)
+    return f"""
+WITH sh0 AS (
+  SELECT {id_col} AS id, unnest({sh}) AS sh FROM {table}
+), sig AS (
+  SELECT id, {sigs} FROM sh0 GROUP BY id
+), banded AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh AND x.id < y.id
+),
+exact AS ({exact})
+SELECT exact.a, exact.b, exact.jaccard FROM cand JOIN exact ON cand.a = exact.a AND cand.b = exact.b
+"""

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine` — pure-Catalyst dot/norm via ``zip_with`` + ``aggregate``
+  (left-fold, so the float op order is fixed and reproducible; rounded to
+  6 dp to be bit-stable against any engine's fold).
+- :func:`brute_force_topk` — exact top-k against a query vector. One scan,
+  no shuffle but the final TakeOrdered; the correctness baseline.
+- :func:`lsh_topk` — random-hyperplane LSH bucketing: probe only vectors
+  whose sign-signature is within ``probe_hamming`` of the query's. The
+  100 TB path: the bucket-prefilter prunes the scan to a fraction before
+  exact re-ranking; hyperplanes are derived deterministically from md5 so
+  plans are reproducible run-to-run.
+- :func:`embedding_neardup_pairs` — cosine near-duplicate pairs. Brute-force
+  O(n²) block-join here (oracle-checkable); swap the candidate generator to
+  the same LSH buckets at scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a = a.cast("array<double>")
+    b = b.cast("array<double>")
+    return F.round(
+        _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 6
+    )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """DuckDB twin (same expression shape -> same float op order)."""
+    dot = lambda x, y: f"list_dot_product(CAST({x} AS DOUBLE[]), CAST({y} AS DOUBLE[]))"
+    return f"round({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})), 6)"
+
+
+def brute_force_topk(
+    df: DataFrame, id_col: str, vec_col: str, query: Sequence[float], k: int
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector."""
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    scored = df.select(
+        F.col(id_col), cosine(F.col(vec_col), qlit).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 0) -> List[List[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 (public knowledge:
+    sign-random-projection LSH, Charikar 2002). Components in [-1, 1)."""
+    planes = []
+    for p in range(n_planes):
+        comps = []
+        for d in range(dim):
+            h = hashlib.md5(f"srp|{seed}|{p}|{d}".encode()).hexdigest()
+            comps.append(int(h[:8], 16) / float(1 << 31) - 1.0)
+        planes.append(comps)
+    return planes
+
+
+def srp_signature(vec: Column, planes: List[List[float]]) -> Column:
+    """Sign-random-projection bit signature as an int column."""
+    vec = vec.cast("array<double>")
+    sig = F.lit(0)
+    for i, plane in enumerate(planes):
+        plit = F.array(*[F.lit(c) for c in plane])
+        bit = F.when(_dot(vec, plit) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = sig + bit
+    return sig
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    k: int,
+    n_tables: int = 4,
+    n_planes: int = 6,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: multi-table SRP-LSH prefilter + exact re-rank.
+
+    L independent tables of b hyperplanes each; a vector is a candidate if in
+    ANY table its signature is within ``probe_hamming`` of the query's (the
+    classic recall amplifier: miss probability decays as miss_one^L). The
+    candidate predicate is pure Catalyst arithmetic, so at scale it evaluates
+    in the scan stage and only candidates reach the re-rank TakeOrdered."""
+    preds = []
+    for t in range(n_tables):
+        planes = _hyperplanes(len(query), n_planes, seed=t)
+        qsig = 0
+        for i, plane in enumerate(planes):
+            if sum(c * q for c, q in zip(plane, query)) >= 0:
+                qsig |= 1 << i
+        sig = srp_signature(F.col(vec_col), planes)
+        xor = sig.bitwiseXOR(F.lit(qsig))
+        hamming = sum(
+            F.when(xor.bitwiseAND(F.lit(1 << i)) > 0, 1).otherwise(0)
+            for i in range(n_planes)
+        )
+        preds.append(hamming <= probe_hamming)
+    any_table = preds[0]
+    for p in preds[1:]:
+        any_table = any_table | p
+    cand = df.where(any_table)
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        cand.select(F.col(id_col), cosine(F.col(vec_col), qlit).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold (brute force)."""
+    left = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    right = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    pairs = left.join(right, F.col("a") < F.col("b"))
+    return (
+        pairs.select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def embedding_neardup_pairs_sql(table: str, id_col: str, vec_col: str, threshold: float) -> str:
+    cos = cosine_sql("x.v", "y.v")
+    return f"""
+WITH e AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table})
+SELECT x.id AS a, y.id AS b, {cos} AS cos
+FROM e x JOIN e y ON x.id < y.id
+WHERE {cos} >= {threshold}
+"""

@@ -433,3 +433,9 @@ register(
           AND window_start <  TIMESTAMP '{_TOPN_T1.replace("T", " ")}'
         GROUP BY user_id ORDER BY value DESC, user_id LIMIT 3""",
 )
+
+
+# Extension registries (import side effect = registration). Placed at the
+# bottom so they can import `register` from this module.
+from . import registry_analytics  # noqa: E402,F401
+from . import registry_pipeline  # noqa: E402,F401

@@ -1,0 +1,179 @@
+"""Analytical join/aggregate queries (TPC-H-style) over the star schema.
+
+The reference has NO joins (SURVEY §2.3) — these entries demonstrate the
+capabilities Spark adds for free and serve as the scale-benchmark workload:
+broadcast joins for the small dimensions, decimal-accumulated aggregates,
+total-ordered top-k. Registered into the same driver contract as the
+BanyanDB-parity queries.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import SUM6, register
+from .sources.parquet import read_table
+
+
+def _t(sf: str, name: str):
+    return lambda spark: read_table(spark, f"{sf}/{name}.parquet")
+
+
+DEC = "decimal(24,6)"
+
+
+def _tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    l = read_table(spark, f"{sf}/lineitem.parquet")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    sum6 = lambda c: F.sum(c.cast(DEC)).cast("double")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit(dt.datetime(1998, 9, 2)))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum6(F.col("l_quantity")).alias("sum_qty"),
+            sum6(F.col("l_extendedprice")).alias("sum_base_price"),
+            sum6(disc_price).alias("sum_disc_price"),
+            sum6(charge).alias("sum_charge"),
+            (sum6(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+            (sum6(F.col("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price"),
+            (sum6(F.col("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+register(
+    "tpch_q1_pricing_summary",
+    _tpch_q1,
+    f"""SELECT l_returnflag, l_linestatus,
+        {SUM6.format(x='l_quantity')} AS sum_qty,
+        {SUM6.format(x='l_extendedprice')} AS sum_base_price,
+        {SUM6.format(x='l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
+        {SUM6.format(x='l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')} AS sum_charge,
+        {SUM6.format(x='l_quantity')} / COUNT(*) AS avg_qty,
+        {SUM6.format(x='l_extendedprice')} / COUNT(*) AS avg_price,
+        {SUM6.format(x='l_discount')} / COUNT(*) AS avg_disc,
+        COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""",
+)
+
+
+def _tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    c = read_table(spark, f"{sf}/customer.parquet")
+    o = read_table(spark, f"{sf}/orders.parquet")
+    l = read_table(spark, f"{sf}/lineitem.parquet")
+    cutoff = dt.datetime(1997, 6, 1)
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
+    return (
+        l.where(F.col("l_shipdate") > F.lit(cutoff))
+        .join(
+            o.where(F.col("o_orderdate") < F.lit(cutoff)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        # customer is the small side -> broadcast (no shuffle of lineitem)
+        .join(
+            F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+register(
+    "tpch_q3_shipping_priority",
+    _tpch_q3,
+    f"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+        {SUM6.format(x='l_extendedprice * (1.0 - l_discount)')} AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+
+
+def _tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    c = read_table(spark, f"{sf}/customer.parquet")
+    o = read_table(spark, f"{sf}/orders.parquet")
+    l = read_table(spark, f"{sf}/lineitem.parquet")
+    s = read_table(spark, f"{sf}/supplier.parquet")
+    n = read_table(spark, f"{sf}/nation.parquet")
+    r = read_table(spark, f"{sf}/region.parquet")
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(c),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .where(
+            (F.col("o_orderdate") >= F.lit(dt.datetime(1996, 1, 1)))
+            & (F.col("o_orderdate") < F.lit(dt.datetime(1998, 1, 1)))
+        )
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+register(
+    "tpch_q5_local_supplier",
+    _tpch_q5,
+    f"""SELECT n_name, {SUM6.format(x='l_extendedprice * (1.0 - l_discount)')} AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name ORDER BY revenue DESC, n_name""",
+)
+
+
+def _tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    l = read_table(spark, f"{sf}/lineitem.parquet")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit(dt.datetime(1996, 1, 1)))
+            & (F.col("l_shipdate") < F.lit(dt.datetime(1997, 1, 1)))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(DEC))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+register(
+    "tpch_q6_forecast_revenue",
+    _tpch_q6,
+    f"""SELECT {SUM6.format(x='l_extendedprice * l_discount')} AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+)

@@ -1,0 +1,158 @@
+"""Training-data pipeline operators registered into the driver contract:
+dedup (exact / n-gram Jaccard / MinHash-LSH / embedding-cosine), similarity
+search (brute-force + LSH), text analysis, multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import dedup as dd
+from .functions import multimodal as mm
+from .functions import similarity as sim
+from .functions import text as tx
+from .registry import register
+from .sources.parquet import read_table
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return read_table(spark, f"{sf}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    return read_table(spark, f"{sf}/embeddings.parquet")
+
+
+# -- text analysis ----------------------------------------------------------
+
+def _text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    t = F.col("text")
+    return d.select(
+        F.col("doc_id"),
+        tx.token_count(t).alias("n_tokens"),
+        tx.bpe_token_count(t).alias("n_bpe_tokens"),
+        tx.quality_score(t).alias("quality"),
+        tx.lang_id(t).alias("lang_pred"),
+        tx.fingerprint(t).alias("fp"),
+    )
+
+
+register(
+    "text_stats",
+    _text_stats,
+    f"""SELECT doc_id,
+        {tx.token_count_sql('text')} AS n_tokens,
+        {tx.bpe_token_count_sql('text')} AS n_bpe_tokens,
+        {tx.quality_score_sql('text')} AS quality,
+        {tx.lang_id_sql('text')} AS lang_pred,
+        {tx.fingerprint_sql('text')} AS fp
+        FROM documents""",
+)
+
+
+def _text_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return tx.simhash16(_docs(spark, sf), "doc_id", "text")
+
+
+register(
+    "text_simhash",
+    _text_simhash,
+    tx.simhash16_sql("documents", "doc_id", "text"),
+)
+
+
+# -- dedup ------------------------------------------------------------------
+
+def _dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return dd.exact_dedup(_docs(spark, sf), "doc_id", "text")
+
+
+register(
+    "dedup_exact",
+    _dedup_exact,
+    dd.exact_dedup_sql("documents", "doc_id", "text"),
+)
+
+
+def _dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(_docs(spark, sf), "doc_id", "text", n=2, threshold=0.12)
+
+
+register(
+    "dedup_ngram_jaccard",
+    _dedup_jaccard,
+    dd.ngram_jaccard_pairs_sql("documents", "doc_id", "text", n=2, threshold=0.12),
+)
+
+
+def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(_docs(spark, sf), "doc_id", "text", n=1, threshold=0.5)
+
+
+register(
+    "dedup_minhash_lsh",
+    _dedup_minhash,
+    dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", n=1, threshold=0.5),
+)
+
+
+def _emb_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    return sim.embedding_neardup_pairs(_emb(spark, sf), "vec_id", "embedding", 0.45)
+
+
+register(
+    "dedup_embedding_cosine",
+    _emb_neardup,
+    sim.embedding_neardup_pairs_sql("embeddings", "vec_id", "embedding", 0.45),
+)
+
+
+# -- similarity search ------------------------------------------------------
+
+# Deterministic query vector: embedding of vec_id = 0 (exists at every sf).
+def _query_vec(spark: SparkSession, sf: str) -> list:
+    row = _emb(spark, sf).where(F.col("vec_id") == 0).select("embedding").head()
+    return [float(x) for x in row[0]]
+
+
+def _ann_brute(spark: SparkSession, sf: str) -> DataFrame:
+    q = _query_vec(spark, sf)
+    d = _emb(spark, sf).where(F.col("vec_id") != 0)
+    return sim.brute_force_topk(d, "vec_id", "embedding", q, 10)
+
+
+register(
+    "ann_cosine_topk",
+    _ann_brute,
+    f"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, {sim.cosine_sql('embedding', 'qv')} AS score
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY score DESC, vec_id LIMIT 10""",
+)
+
+
+def _ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    # approximate path: no SQL oracle (rows-only check) — recall is validated
+    # against the brute-force baseline in tests/test_pipeline.py
+    q = _query_vec(spark, sf)
+    d = _emb(spark, sf).where(F.col("vec_id") != 0)
+    return sim.lsh_topk(d, "vec_id", "embedding", q, 10)
+
+
+register("ann_lsh_topk", _ann_lsh, None)
+
+
+# -- multimodal plumbing ----------------------------------------------------
+
+def _multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    d = mm.attach_payload(_docs(spark, sf), "doc_id", "text")
+    return mm.extract_features(d)
+
+
+register(
+    "multimodal_features",
+    _multimodal_features,
+    mm.extract_features_sql("documents", "doc_id", "text"),
+)

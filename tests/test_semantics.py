@@ -1,0 +1,77 @@
+"""Unit tests for engine semantics not exercised by the oracle registry:
+array HAVING/NOT_HAVING, analyzers, version dedup, LSH recall, errors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from skywalking_banyandb_spark.errors import QueryAnalyzeError
+from skywalking_banyandb_spark.functions.analyzers import analyze_term, tokens
+from skywalking_banyandb_spark.functions.similarity import brute_force_topk, lsh_topk
+from skywalking_banyandb_spark.model import BinaryOp, LogicalOp, cond
+from skywalking_banyandb_spark.operators.criteria import compile_condition
+from skywalking_banyandb_spark.operators.dedup import latest_version
+
+from conftest import SF_SMALL
+
+
+def test_having_contains_all(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["a"]), (3, ["b", "c"])], "id int, tags array<string>"
+    )
+    pred = compile_condition(cond("tags", BinaryOp.HAVING, ["a", "b"]), {"tags": None})
+    assert [r.id for r in df.where(pred).collect()] == [1]
+    npred = compile_condition(cond("tags", BinaryOp.NOT_HAVING, ["a", "b"]), {"tags": None})
+    assert sorted(r.id for r in df.where(npred).collect()) == [2, 3]
+
+
+def test_unknown_tag_is_analyze_error(spark):
+    with pytest.raises(QueryAnalyzeError):
+        compile_condition(cond("nope", BinaryOp.EQ, 1), {"tags": None})
+
+
+def test_analyzers(spark):
+    df = spark.createDataFrame([("Hello, World-42 http://x.y/z",)], "t string")
+    out = df.select(
+        tokens(F.col("t"), "standard").alias("std"),
+        tokens(F.col("t"), "simple").alias("simple"),
+        tokens(F.col("t"), "keyword").alias("kw"),
+    ).head()
+    assert out.std == ["hello", "world", "42", "http", "x", "y", "z"]
+    assert "42" not in out.simple and "hello" in out.simple
+    assert out.kw == ["Hello, World-42 http://x.y/z"]
+    assert analyze_term("Hash-Join", "standard") == ["hash", "join"]
+
+
+def test_version_dedup_last_write_wins(spark):
+    df = spark.createDataFrame(
+        [(1, 100, 1, 10.0), (1, 100, 3, 30.0), (1, 100, 2, 20.0), (2, 100, 1, 99.0)],
+        "sid int, ts int, version int, value double",
+    )
+    out = latest_version(df, ["sid"], "ts", "version")
+    got = {(r.sid, r.ts): r.value for r in out.collect()}
+    assert got == {(1, 100): 30.0, (2, 100): 99.0}
+    assert "version" not in out.columns
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    d = emb.where(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in brute_force_topk(d, "vec_id", "embedding", q, 10).collect()}
+    approx = {r.vec_id for r in lsh_topk(d, "vec_id", "embedding", q, 10).collect()}
+    # approximate search must reach decent recall on clustered data
+    assert len(exact & approx) >= 7, (exact, approx)
+
+
+def test_multimodal_decode_is_stubbed():
+    from skywalking_banyandb_spark.functions.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00\x01")
+
+
+def test_match_unknown_analyzer_errors():
+    with pytest.raises(ValueError):
+        analyze_term("x", "bogus")
