@@ -1,0 +1,250 @@
+"""BydbQL transformer — AST -> typed query -> DataFrame.
+
+The analogue of the reference's ``pkg/bydbql/transformer.go`` (~1.9k LoC Go):
+resolves identifiers against the live schema, types values, resolves relative
+times, and dispatches per resource kind (measure :311, stream :232, trace
+:421, property :523, SHOW TOP :631 in the reference). Behaviors preserved:
+
+- relative time literals ``'-30m' / '-2h' / '-1d' / '-1w' / 'now'`` resolve
+  at transform time (``transformer.go:152-160``);
+- a measure key that is both tag and field requires ``::TAG`` / ``::FIELD``
+  (``transformer.go:789``) — ambiguous bare use is an error;
+- exactly one aggregation projection allowed; AVG is an alias of MEAN;
+- PROPERTY ``WHERE ID = / ID IN`` routes to id selection.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+from typing import Any, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import Catalog, MeasureSchema
+from ..errors import QueryAnalyzeError
+from ..model import (
+    AggFunc,
+    AggregationSpec,
+    BinaryOp,
+    Condition,
+    Criteria,
+    CriteriaNode,
+    LogicalOp,
+    MeasureQuery,
+    OrderBy,
+    PropertyQuery,
+    Sort,
+    StreamQuery,
+    TimeRange,
+    TopNQuery,
+    TopSpec,
+    TraceQuery,
+)
+from .parser import (
+    OrderClause,
+    ProjItem,
+    SelectStmt,
+    ShowTopStmt,
+    Statement,
+    TimeCond,
+    parse,
+)
+
+_REL_RE = re.compile(r"^-(\d+)([mhdw])$")
+_UNIT = {"m": "minutes", "h": "hours", "d": "days", "w": "weeks"}
+
+
+def resolve_time(lit: str, now: dt.datetime) -> dt.datetime:
+    """Relative/absolute timestamp literal -> datetime (transformer.go:152-160)."""
+    if lit == "now":
+        return now
+    m = _REL_RE.match(lit)
+    if m:
+        return now - dt.timedelta(**{_UNIT[m.group(2)]: int(m.group(1))})
+    s = lit.replace("Z", "+00:00")
+    try:
+        t = dt.datetime.fromisoformat(s)
+    except ValueError:
+        raise QueryAnalyzeError(f"bad timestamp literal {lit!r}")
+    if t.tzinfo is not None:
+        t = t.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return t
+
+
+def time_range(cond: Optional[TimeCond], now: dt.datetime) -> TimeRange:
+    """TIME clause -> half-open [begin, end) (model/v1/query.proto:125-130).
+
+    ``TIME = t`` selects the single millisecond bucket [t, t+1ms).
+    """
+    if cond is None:
+        return TimeRange(None, None)
+    begin = resolve_time(cond.begin, now) if cond.begin else None
+    end = resolve_time(cond.end, now) if cond.end else None
+    if cond.op == "=":
+        return TimeRange(begin, begin + dt.timedelta(milliseconds=1))
+    if cond.op == ">":
+        # strictly-after: open lower bound -> next representable ms
+        return TimeRange(begin + dt.timedelta(milliseconds=1) if begin else None, None)
+    if cond.op == "<":
+        return TimeRange(None, end)
+    if cond.op == ">=":
+        return TimeRange(begin, None)
+    if cond.op == "<=":
+        return TimeRange(None, end + dt.timedelta(milliseconds=1) if end else None)
+    return TimeRange(begin, end)
+
+
+def _split_projection(
+    stmt: SelectStmt, schema: MeasureSchema
+) -> Tuple[Tuple[str, ...], Tuple[str, ...], Optional[AggregationSpec]]:
+    """Measure projection -> (tags, fields, agg) with ::TAG/::FIELD rules."""
+    if stmt.projection in ("*", "()"):
+        return (), (), None
+    tags, fields = [], []
+    agg: Optional[AggregationSpec] = None
+    for item in stmt.projection:
+        if item.agg is not None:
+            if agg is not None:
+                raise QueryAnalyzeError("only one aggregation projection allowed")
+            if schema.field(item.name) is None:
+                raise QueryAnalyzeError(f"aggregation over unknown field {item.name!r}")
+            agg = AggregationSpec(AggFunc(item.agg), item.name)
+            continue
+        is_tag = schema.tag(item.name) is not None
+        is_field = schema.field(item.name) is not None
+        if item.hint == "TAG":
+            if not is_tag:
+                raise QueryAnalyzeError(f"{item.name!r} is not a tag")
+            tags.append(item.name)
+        elif item.hint == "FIELD":
+            if not is_field:
+                raise QueryAnalyzeError(f"{item.name!r} is not a field")
+            fields.append(item.name)
+        elif is_tag and is_field:
+            raise QueryAnalyzeError(
+                f"{item.name!r} is both tag and field; use ::TAG or ::FIELD"
+            )
+        elif is_tag:
+            tags.append(item.name)
+        elif is_field:
+            fields.append(item.name)
+        else:
+            raise QueryAnalyzeError(f"unknown projection {item.name!r}")
+    return tuple(tags), tuple(fields), agg
+
+
+def to_query(
+    stmt: Statement, catalog: Catalog, now: Optional[dt.datetime] = None
+):
+    """AST -> typed query object (dispatch per resource kind)."""
+    if now is None:
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+
+    if isinstance(stmt, ShowTopStmt):
+        tr = time_range(stmt.time, now)
+        return TopNQuery(
+            groups=stmt.groups, name=stmt.name, time_range=tr,
+            top_n=stmt.number, sort=stmt.sort,
+            agg=AggFunc(stmt.agg) if stmt.agg else None,
+            conditions=stmt.where,
+        )
+
+    assert isinstance(stmt, SelectStmt)
+    tr = time_range(stmt.time, now)
+    order = (
+        OrderBy(tag=stmt.order_by.key, sort=stmt.order_by.sort)
+        if stmt.order_by else None
+    )
+
+    if stmt.resource == "MEASURE":
+        schema: MeasureSchema = catalog.get(stmt.groups[0], "measure", stmt.name)
+        tags, fields, agg = _split_projection(stmt, schema)
+        top = None
+        if stmt.top is not None:
+            top = TopSpec(stmt.top.number, stmt.top.field_name, stmt.top.sort)
+        return MeasureQuery(
+            groups=stmt.groups, name=stmt.name, time_range=tr,
+            criteria=stmt.where, tag_projection=tags, field_projection=fields,
+            group_by=stmt.group_by, agg=agg, top=top, order_by=order,
+            limit=stmt.limit, offset=stmt.offset or 0,
+        )
+    if stmt.resource == "STREAM":
+        proj = () if stmt.projection in ("*", "()") else tuple(
+            p.name for p in stmt.projection
+        )
+        return StreamQuery(
+            groups=stmt.groups, name=stmt.name, time_range=tr,
+            criteria=stmt.where, projection=proj, order_by=order,
+            limit=stmt.limit, offset=stmt.offset or 0,
+        )
+    if stmt.resource == "TRACE":
+        proj = () if stmt.projection in ("*", "()") else tuple(
+            p.name for p in stmt.projection
+        )
+        return TraceQuery(
+            groups=stmt.groups, name=stmt.name, time_range=tr,
+            criteria=stmt.where, projection=proj, order_by=order,
+            limit=stmt.limit, offset=stmt.offset or 0,
+        )
+    if stmt.resource == "PROPERTY":
+        ids, rest = _extract_ids(stmt.where)
+        proj = () if stmt.projection in ("*", "()") else tuple(
+            p.name for p in stmt.projection
+        )
+        return PropertyQuery(
+            group=stmt.groups[0], name=stmt.name, ids=ids,
+            criteria=rest, projection=proj, limit=stmt.limit,
+        )
+    raise QueryAnalyzeError(f"unknown resource {stmt.resource}")
+
+
+def _extract_ids(node: Optional[CriteriaNode]):
+    """Pull ``ID = v`` / ``ID IN (...)`` out of property criteria
+    (property/v1/rpc.proto id selection)."""
+    if node is None:
+        return (), None
+    if isinstance(node, Condition) and node.tag.lower() == "id":
+        if node.op is BinaryOp.EQ:
+            return (node.value,), None
+        if node.op is BinaryOp.IN:
+            return tuple(node.value), None
+        raise QueryAnalyzeError("ID supports only = and IN")
+    if isinstance(node, Criteria) and node.op is LogicalOp.AND:
+        lids, lrest = _extract_ids(node.left)
+        rids, rrest = _extract_ids(node.right)
+        ids = tuple(lids) + tuple(rids)
+        if lrest is None:
+            return ids, rrest
+        if rrest is None:
+            return ids, lrest
+        return ids, Criteria(LogicalOp.AND, lrest, rrest)
+    return (), node
+
+
+def execute(
+    spark: SparkSession,
+    catalog: Catalog,
+    text: str,
+    now: Optional[dt.datetime] = None,
+) -> DataFrame:
+    """Parse + transform + compile a BydbQL statement to a DataFrame."""
+    from ..plans.measure import compile_measure
+    from ..plans.property import compile_property
+    from ..plans.stream import compile_stream
+    from ..plans.topn import compile_topn
+    from ..plans.trace import compile_trace
+
+    stmt = parse(text)
+    q = to_query(stmt, catalog, now)
+    if isinstance(q, MeasureQuery):
+        return compile_measure(spark, catalog, q)
+    if isinstance(q, StreamQuery):
+        return compile_stream(spark, catalog, q)
+    if isinstance(q, TraceQuery):
+        return compile_trace(spark, catalog, q)
+    if isinstance(q, PropertyQuery):
+        return compile_property(spark, catalog, q)
+    if isinstance(q, TopNQuery):
+        return compile_topn(spark, catalog, q)
+    raise QueryAnalyzeError(f"cannot execute {type(q).__name__}")

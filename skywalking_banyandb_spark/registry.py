@@ -276,7 +276,7 @@ def _stream_or_tree(spark: SparkSession, sf: str) -> DataFrame:
         groups=["g1"], name="event_log", time_range=TR,
         criteria=and_(
             or_(cond("event_type", BinaryOp.EQ, "error"),
-                cond("value", BinaryOp.GT, 900.0)),
+                cond("value", BinaryOp.GT, 400.0)),
             cond("user_id", BinaryOp.NE, 3),
         ),
         projection=["user_id", "event_type", "value"],
@@ -290,7 +290,7 @@ register(
     _stream_or_tree,
     f"""SELECT ts, event_id, user_id, event_type, value FROM events
         WHERE ts >= TIMESTAMP '{T0.replace("T", " ")}' AND ts < TIMESTAMP '{T1.replace("T", " ")}'
-          AND (event_type = 'error' OR value > 900.0) AND user_id <> 3
+          AND (event_type = 'error' OR value > 400.0) AND user_id <> 3
         ORDER BY ts, event_id LIMIT 1000""",
 )
 
@@ -438,4 +438,5 @@ register(
 # Extension registries (import side effect = registration). Placed at the
 # bottom so they can import `register` from this module.
 from . import registry_analytics  # noqa: E402,F401
+from . import registry_bydbql  # noqa: E402,F401
 from . import registry_pipeline  # noqa: E402,F401
