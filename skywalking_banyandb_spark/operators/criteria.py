@@ -84,6 +84,16 @@ def compile_condition(c: Condition, schema_tags: Dict[str, Optional[str]]) -> Co
     raise QueryAnalyzeError(f"unsupported op {op}")
 
 
+def criteria_tags(node: Optional[CriteriaNode]) -> set:
+    """Tags referenced anywhere in the criteria tree (for scan-side column
+    pruning — the reference's hidden-tag projection, ``hidden_tags.go``)."""
+    if node is None:
+        return set()
+    if isinstance(node, Condition):
+        return {node.tag}
+    return criteria_tags(node.left) | criteria_tags(node.right)
+
+
 def compile_criteria(node: Optional[CriteriaNode], schema_tags: Dict[str, Optional[str]]) -> Optional[Column]:
     """Compile the AND/OR tree; ``None`` criteria -> no filter."""
     if node is None:

@@ -38,7 +38,7 @@ from ..catalog import Catalog, MeasureSchema
 from ..errors import QueryAnalyzeError
 from ..model import AggFunc, MeasureQuery, Sort, DEFAULT_LIMIT
 from ..sources.parquet import read_table
-from ..operators.criteria import compile_criteria
+from ..operators.criteria import compile_criteria, criteria_tags
 from ..operators.dedup import latest_version
 from ..operators.merge import union_groups
 from ..operators.topk import limit_offset, top_n
@@ -53,8 +53,33 @@ def _schema_tagmap(schema: MeasureSchema) -> Dict[str, Optional[str]]:
     return out
 
 
+def _needed_columns(schema: MeasureSchema, q: MeasureQuery) -> List[str]:
+    """Columns the query actually touches. Projecting BEFORE the version
+    dedup matters at scale: dedup packs the payload into a struct aggregate,
+    and anything packed is read from parquet — without this, every query
+    reads every column (the reference tracks the same set via
+    ``hidden_tags.go`` + TagProjection)."""
+    need = {schema.ts_column, *schema.entity}
+    if schema.version_column:
+        need.add(schema.version_column)
+    need |= criteria_tags(q.criteria)
+    need |= set(q.group_by)
+    if q.agg:
+        need.add(q.agg.field_name)
+    if q.tag_projection or q.field_projection:
+        need |= set(q.tag_projection) | set(q.field_projection)
+    elif not (q.agg or q.group_by):
+        # raw query with default '*' projection: all tags + fields
+        need |= {t.name for t in schema.tags} | {f.name for f in schema.fields}
+    if q.order_by and q.order_by.tag:
+        need.add(q.order_by.tag)
+    return [c for c in need]
+
+
 def _scan_one(spark: SparkSession, schema: MeasureSchema, q: MeasureQuery) -> DataFrame:
     df = read_table(spark, *schema.paths)
+    keep = [c for c in _needed_columns(schema, q) if c in df.columns]
+    df = df.select(*keep)
     ts = F.col(schema.ts_column)
     if q.time_range.begin is not None:
         df = df.where(ts >= F.lit(q.time_range.begin))

@@ -1,0 +1,134 @@
+"""Write paths — the analogue of BanyanDB's gRPC write services
+(``measure/v1/write.proto``, ``stream/v1/write.proto``,
+``trace/v1/write.proto``, ``property/v1/rpc.proto`` Apply/Delete).
+
+Physical layout (the 100 TB design, mirroring group→segment→shard→part of
+``banyand/internal/storage/storage.go:110-137``):
+
+- partition by coarse ``ts_bucket`` (= segment_interval HOUR/DAY) — gives
+  Catalyst partition pruning for every time-range query, the counterpart of
+  ``SelectSegments(timeRange)``;
+- within a partition, sort by (entity..., ts) — the reference's
+  series-sorted blocks (``banyand/measure/block.go:79-84``); parquet gets
+  tight min/max stats per row group on the entity columns, so entity
+  predicates row-group-skip (the inverted/skipping index analogue);
+- version stays a plain column; dedup happens at read (LSM semantics:
+  appends never rewrite).
+
+Property Apply is last-write-wins upsert by (group, name, id) with a
+monotonically increasing applied_at version — implemented as
+read-modify-write parquet here (Delta/Iceberg MERGE on a real deployment).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import MeasureSchema, PropertySchema, StreamSchema
+from .parquet import read_table
+
+_GRANULARITY = {"HOUR": "hour", "DAY": "day"}
+
+
+def write_measure(
+    df: DataFrame,
+    schema: MeasureSchema,
+    path: str,
+    mode: str = "append",
+    segment_interval: str = "DAY",
+) -> None:
+    """Append data points in the segment/series-sorted layout."""
+    gran = _GRANULARITY[segment_interval.upper()]
+    out = (
+        df.withColumn("ts_bucket", F.date_trunc(gran, F.col(schema.ts_column)))
+        .repartition(F.col("ts_bucket"))
+        .sortWithinPartitions(*schema.entity, schema.ts_column)
+    )
+    out.write.partitionBy("ts_bucket").mode(mode).parquet(path)
+
+
+def write_stream(
+    df: DataFrame,
+    schema: StreamSchema,
+    path: str,
+    mode: str = "append",
+    segment_interval: str = "DAY",
+) -> None:
+    gran = _GRANULARITY[segment_interval.upper()]
+    out = (
+        df.withColumn("ts_bucket", F.date_trunc(gran, F.col(schema.ts_column)))
+        .repartition(F.col("ts_bucket"))
+        .sortWithinPartitions(schema.ts_column, schema.element_id_column)
+    )
+    out.write.partitionBy("ts_bucket").mode(mode).parquet(path)
+
+
+def _atomic_replace(df: DataFrame, path: str) -> None:
+    """Write a full new table state then swap directories (poor-man's ACID;
+    a table format with MERGE replaces this at scale)."""
+    tmp = tempfile.mkdtemp(prefix="_prop_apply_", dir=os.path.dirname(path) or ".")
+    try:
+        df.write.mode("overwrite").parquet(tmp)
+        old = path + ".old"
+        if os.path.exists(path):
+            os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(tmp, path)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+def property_apply(
+    spark: SparkSession,
+    schema: PropertySchema,
+    updates: DataFrame,
+    path: Optional[str] = None,
+) -> None:
+    """Upsert documents by id — ``property/v1/rpc.proto:35-51`` Apply.
+
+    New rows fully replace existing rows with the same id (strategy
+    STRATEGY_REPLACE, the default).
+    """
+    path = path or schema.paths[0]
+    idc = schema.id_column
+    if os.path.exists(path):
+        current = read_table(spark, path)
+        keep = current.join(
+            updates.select(idc).distinct(), on=idc, how="left_anti"
+        )
+        merged = keep.unionByName(updates.select(*current.columns))
+    else:
+        merged = updates
+    _atomic_replace(merged, path)
+
+
+def property_delete(
+    spark: SparkSession,
+    schema: PropertySchema,
+    ids: Sequence,
+    path: Optional[str] = None,
+) -> None:
+    """Delete documents by id — ``property/v1/rpc.proto:53-57``."""
+    path = path or schema.paths[0]
+    current = read_table(spark, path)
+    _atomic_replace(current.where(~F.col(schema.id_column).isin(*list(ids))), path)
+
+
+def apply_ttl(df: DataFrame, ts_column: str, ttl_days: int, now) -> DataFrame:
+    """Retention filter — segment-drop TTL (``storage.go:132-137``) expressed
+    as a read-path predicate; on the partitioned layout it prunes whole
+    ``ts_bucket`` partitions (golden case: 'index mode excludes data expired
+    beyond TTL')."""
+    import datetime as dt
+
+    cutoff = now - dt.timedelta(days=ttl_days)
+    return df.where(F.col(ts_column) >= F.lit(cutoff))

@@ -1,0 +1,130 @@
+"""Streaming Top-N materialization — Structured Streaming analogue of the
+reference's flow pipeline (``pkg/flow``): measure writes → Filter(criteria) →
+Map(field+groupTags) → tumbling event-time window → bounded Top-N state →
+snapshot into the ``_top_n_result`` measure
+(``banyand/measure/topn.go:562-583,744-810``;
+``pkg/flow/streaming/sliding_window.go:76-306``, ``topn.go:51-305``).
+
+Mapping (documented divergences, SURVEY §7 "hard parts"):
+
+- tumbling window  -> ``F.window(ts, size)``;
+- watermark & lateness (``sliding_window.go:195-243``: monotonic max-event-
+  time watermark, late windows dropped) -> ``withWatermark(ts, lateness)``.
+  Spark's watermark is per-query global where the reference's is per-flow —
+  acceptable divergence;
+- per-window bounded heap with in-place entity replacement
+  (``topn.go:238-286``) -> recompute-per-microbatch: the window aggregate
+  keeps the *latest* value per (window, entity) (``max_by`` keyed on event
+  time = heap replace), and ``foreachBatch`` re-ranks and rewrites only the
+  windows touched by the batch. Exact, idempotent, and restart-safe —
+  preferred over replicating heap state (SURVEY §7).
+
+Scale notes: the window aggregate is partial-aggregated before shuffle (one
+surviving row per (window, entity) per task); foreachBatch rewrites are
+partitioned by window so a late event rewrites one window directory, not the
+table. State store size is bounded by (windows in watermark) × entities.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import MeasureSchema
+from ..model import Sort
+from ..operators.topk import per_window_top_n
+
+
+def topn_stream_query(
+    events: DataFrame,
+    schema: MeasureSchema,
+    field: str,
+    window: str = "1 hour",
+    lateness: str = "10 minutes",
+) -> DataFrame:
+    """The streaming aggregate half: latest value per (window, entity).
+
+    ``events`` is a streaming DataFrame with the measure's columns. Returns
+    a streaming aggregate suitable for ``foreachBatch`` ranking.
+    """
+    ts = F.col(schema.ts_column)
+    order_key = F.struct(
+        ts, *([F.col(schema.version_column)] if schema.version_column else [])
+    )
+    return (
+        events.withWatermark(schema.ts_column, lateness)
+        .groupBy(
+            F.window(ts, window).alias("win"),
+            *[F.col(e) for e in schema.entity],
+        )
+        .agg(F.max_by(F.col(field), order_key).alias(field))
+        .select(F.col("win.start").alias("window_start"), *schema.entity, field)
+    )
+
+
+def start_topn_materialization(
+    spark: SparkSession,
+    source: DataFrame,
+    schema: MeasureSchema,
+    field: str,
+    n: int,
+    output_path: str,
+    checkpoint_path: str,
+    window: str = "1 hour",
+    lateness: str = "10 minutes",
+    sort: Sort = Sort.DESC,
+    trigger_once: bool = False,
+):
+    """Run the continuous Top-N materialized view into ``output_path``.
+
+    Each micro-batch holds the changed (window, entity) aggregates (update
+    mode); foreachBatch re-ranks those windows and overwrites exactly their
+    partitions (dynamic partition overwrite) — the analogue of the
+    reference's per-window snapshot flush (``pkg/flow/types.go:78-89``).
+    """
+    agg = topn_stream_query(source, schema, field, window, lateness)
+
+    def _flush(batch: DataFrame, batch_id: int) -> None:
+        if not batch.take(1):
+            return
+        spark_b = batch.sparkSession
+        spark_b.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # merge with existing snapshot rows of the touched windows (late
+        # events update a window that was already flushed)
+        touched = [r[0] for r in batch.select("window_start").distinct().collect()]
+        merged = batch
+        if os.path.exists(output_path):
+            prev = spark_b.read.parquet(output_path).where(
+                F.col("window_start").isin(touched)
+            )
+            keys = ["window_start", *schema.entity]
+            # batch rows supersede snapshot rows for the same (window, entity)
+            merged = (
+                batch.withColumn("_prio", F.lit(1))
+                .unionByName(
+                    prev.select(*batch.columns).withColumn("_prio", F.lit(0))
+                )
+                .groupBy(*keys)
+                .agg(F.max_by(F.col(field), F.col("_prio")).alias(field))
+            )
+        ranked = per_window_top_n(
+            merged, ["window_start"], field, n, sort, tiebreak=list(schema.entity)
+        )
+        (
+            ranked.repartition("window_start")
+            .write.mode("overwrite")
+            .partitionBy("window_start")
+            .parquet(output_path)
+        )
+
+    writer = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_flush)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,103 @@
+"""Plan-quality gates: the physical plans must show the properties we claim
+for scale — predicate pushdown to the parquet scan, column pruning, partial
+aggregation before shuffle, broadcast joins for small dims, no Python UDFs
+in the BanyanDB-parity paths. Failing these means a 100 TB regression even
+if results stay correct."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from skywalking_banyandb_spark.catalog import default_catalog
+from skywalking_banyandb_spark.model import (
+    AggFunc,
+    AggregationSpec,
+    BinaryOp,
+    MeasureQuery,
+    StreamQuery,
+    TimeRange,
+    cond,
+)
+from skywalking_banyandb_spark.plans.measure import compile_measure
+from skywalking_banyandb_spark.plans.stream import compile_stream
+
+from conftest import SF_SMALL
+
+TR = TimeRange.of("2024-01-03T00:00:00", "2024-01-27T00:00:00")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_stream_filter_pushdown_and_pruning(spark):
+    q = StreamQuery(
+        groups=["g1"], name="event_log", time_range=TR,
+        criteria=cond("event_type", BinaryOp.EQ, "click"),
+        projection=["user_id", "event_type"], limit=10,
+    )
+    df = compile_stream(spark, default_catalog(SF_SMALL), q)
+    plan = _plan(df)
+    # EQ predicate reaches the parquet scan
+    assert "PushedFilters" in plan and "EqualTo(event_type,click)" in plan
+    # column pruning: props/value are never read
+    rs = plan[plan.index("ReadSchema"):].split("\n")[0]
+    assert "props" not in rs and "value" not in rs
+
+
+def test_measure_agg_is_partial_final(spark):
+    q = MeasureQuery(
+        groups=["g1"], name="metrics", time_range=TR,
+        group_by=["event_type"], agg=AggregationSpec(AggFunc.SUM, "value"),
+        limit=1000,
+    )
+    df = compile_measure(spark, default_catalog(SF_SMALL), q)
+    plan = _plan(df)
+    # map-side combine before the shuffle (partial/final hash aggregate),
+    # the Spark form of the reference's agg_return_partial protocol
+    assert plan.count("HashAggregate") >= 2 or "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # column pruning survives the version dedup: props is never read
+    rs = plan[plan.index("ReadSchema"):].split("\n")[0]
+    assert "props" not in rs, rs
+    # codegen spans exist in the final (post-AQE) plan — the `*(n)` operator
+    # prefix is the WholeStageCodegen marker in tree-string form
+    import re
+
+    df.collect()
+    final = _plan(df)
+    assert re.search(r"\*\(\d+\)", final), final
+
+
+def test_topk_lowered_to_take_ordered(spark):
+    from skywalking_banyandb_spark.model import Sort, TopSpec
+
+    q = MeasureQuery(
+        groups=["g1"], name="metrics", time_range=TR,
+        group_by=["user_id"], agg=AggregationSpec(AggFunc.SUM, "value"),
+        top=TopSpec(5, "value", Sort.DESC), limit=100,
+    )
+    df = compile_measure(spark, default_catalog(SF_SMALL), q)
+    plan = _plan(df)
+    # bounded per-partition heaps, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q3_broadcasts_dimensions(spark):
+    from skywalking_banyandb_spark.registry_analytics import _tpch_q3
+
+    plan = _plan(_tpch_q3(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_python_udf_in_banyandb_paths(spark):
+    """Every BanyanDB-parity registry entry stays JVM-side (multimodal is
+    the only intentional Pandas-UDF user)."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    for name, fn in qs.items():
+        if name.startswith(("multimodal",)):
+            continue
+        plan = _plan(fn(spark, SF_SMALL))
+        assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"

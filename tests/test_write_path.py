@@ -1,0 +1,87 @@
+"""Write-path tests: segment layout round-trip, partition pruning visible in
+the plan, property CRUD, TTL retention."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from skywalking_banyandb_spark.catalog import (
+    MeasureSchema,
+    PropertySchema,
+    TagSpec,
+    FieldSpec,
+    default_catalog,
+)
+from skywalking_banyandb_spark.sources.parquet import read_table
+from skywalking_banyandb_spark.sources.writer import (
+    apply_ttl,
+    property_apply,
+    property_delete,
+    write_measure,
+)
+
+from conftest import SF_SMALL
+
+
+@pytest.fixture()
+def workdir():
+    d = tempfile.mkdtemp(prefix="writepath_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_measure_roundtrip_and_pruning(spark, workdir):
+    cat = default_catalog(SF_SMALL)
+    schema = cat.get("g1", "measure", "metrics")
+    ev = read_table(spark, f"{SF_SMALL}/events.parquet")
+    path = os.path.join(workdir, "metrics")
+    write_measure(ev, schema, path)
+
+    back = spark.read.parquet(path)
+    assert back.count() == ev.count()
+    # day-partitioned layout on disk
+    assert any(p.startswith("ts_bucket=") for p in os.listdir(path))
+
+    # time-range query must partition-prune: plan shows partition filters on
+    # ts_bucket, and only matching buckets are scanned
+    q = back.where(
+        (F.col("ts_bucket") >= "2024-01-10") & (F.col("ts_bucket") < "2024-01-12")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    days = {r.d for r in q.select(F.date_trunc("day", "ts").alias("d")).distinct().collect()}
+    assert days == {dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 11)}
+
+
+def test_property_apply_and_delete(spark, workdir):
+    path = os.path.join(workdir, "props")
+    schema = PropertySchema(
+        group="g", name="p", paths=(path,), id_column="id",
+        tags=(TagSpec("v", "STRING"),),
+    )
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    property_apply(spark, schema, df1, path)
+    df2 = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    property_apply(spark, schema, df2, path)
+
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}  # upsert replaced id=2
+
+    property_delete(spark, schema, [1, 3], path)
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {2: "B"}
+
+
+def test_ttl_retention(spark):
+    ev = read_table(spark, f"{SF_SMALL}/events.parquet")
+    now = dt.datetime(2024, 1, 31)
+    kept = apply_ttl(ev, "ts", ttl_days=7, now=now)
+    assert kept.count() > 0
+    assert kept.agg(F.min("ts")).head()[0] >= now - dt.timedelta(days=7)
+    assert kept.count() < ev.count()
