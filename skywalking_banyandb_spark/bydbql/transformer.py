@@ -248,3 +248,43 @@ def execute(
     if isinstance(q, TopNQuery):
         return compile_topn(spark, catalog, q)
     raise QueryAnalyzeError(f"cannot execute {type(q).__name__}")
+
+
+def execute_traced(
+    spark: SparkSession,
+    catalog: Catalog,
+    text: str,
+    now: Optional[dt.datetime] = None,
+):
+    """``WITH QUERY_TRACE`` surface — returns (DataFrame, trace spans).
+
+    The reference's tracer (``pkg/query/tracer.go``, ``common/v1/trace.proto``)
+    emits per-stage spans with durations; here the stages are parse /
+    transform / compile plus the optimized and physical Catalyst plans
+    (``df.explain`` content), which is where Spark's actual execution story
+    lives.
+    """
+    import time
+
+    spans = []
+    t0 = time.perf_counter()
+    stmt = parse(text)
+    spans.append({"span": "parse", "duration_ms": (time.perf_counter() - t0) * 1e3})
+    t1 = time.perf_counter()
+    q = to_query(stmt, catalog, now)
+    spans.append({
+        "span": "transform",
+        "duration_ms": (time.perf_counter() - t1) * 1e3,
+        "detail": type(q).__name__,
+    })
+    t2 = time.perf_counter()
+    df = execute(spark, catalog, text, now)
+    qe = df._jdf.queryExecution()
+    spans.append({
+        "span": "compile",
+        "duration_ms": (time.perf_counter() - t2) * 1e3,
+        "detail": qe.optimizedPlan().toString(),
+    })
+    spans.append({"span": "physical_plan", "duration_ms": 0.0,
+                  "detail": qe.executedPlan().toString()})
+    return df, spans

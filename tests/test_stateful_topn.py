@@ -1,0 +1,89 @@
+"""Exact-heap stateful streaming Top-N vs batch recompute, plus query-trace
+and schema-merge coverage."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from skywalking_banyandb_spark.catalog import default_catalog
+from skywalking_banyandb_spark.model import Sort
+from skywalking_banyandb_spark.plans.topn import materialize_topn
+from skywalking_banyandb_spark.sources.parquet import read_table
+from skywalking_banyandb_spark.streaming.stateful_topn import stateful_topn
+
+from conftest import SF_SMALL
+
+
+def test_stateful_topn_single_batch_equals_batch(spark):
+    cat = default_catalog(SF_SMALL)
+    schema = cat.get("g1", "measure", "metrics")
+    work = tempfile.mkdtemp(prefix="stateful_topn_")
+    try:
+        ev = read_table(spark, f"{SF_SMALL}/events.parquet")
+        src = os.path.join(work, "src")
+        ev.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        out = stateful_topn(
+            stream, schema, "value", 3, window="1 hour",
+            lateness="30 days", sort=Sort.DESC, lru_size=10_000,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stateful_topn_sink")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+
+        got = sorted(
+            (str(r.window_start), r.user_id, r.value)
+            for r in spark.sql("SELECT * FROM stateful_topn_sink").collect()
+        )
+        want = sorted(
+            (str(r.window_start), r.user_id, r.value)
+            for r in materialize_topn(
+                spark, schema, "value", 3, "1 hour", Sort.DESC
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_query_trace_surface(spark):
+    import datetime as dt
+
+    from skywalking_banyandb_spark.bydbql.transformer import execute_traced
+
+    cat = default_catalog(SF_SMALL)
+    df, spans = execute_traced(
+        spark, cat,
+        "SELECT event_type, COUNT(value) FROM MEASURE metrics IN g1 "
+        "TIME BETWEEN '2024-01-03T00:00:00Z' AND '2024-01-27T00:00:00Z' "
+        "GROUP BY event_type WITH QUERY_TRACE LIMIT 100",
+        dt.datetime(2024, 2, 1),
+    )
+    names = [s["span"] for s in spans]
+    assert names == ["parse", "transform", "compile", "physical_plan"]
+    assert "HashAggregate" in spans[-1]["detail"]
+    assert len(df.collect()) > 0
+
+
+def test_multigroup_schema_merge_null_fill(spark):
+    """Cross-group union with differing schemas NULL-fills new tags
+    (golden case 'multi groups: new tag and fields')."""
+    from skywalking_banyandb_spark.operators.merge import union_groups
+
+    a = spark.createDataFrame([(1, "x")], "id long, tag_a string")
+    b = spark.createDataFrame([(2, 7.5)], "id long, tag_b double")
+    u = union_groups([a, b]).orderBy("id")
+    rows = u.collect()
+    assert u.columns == ["id", "tag_a", "tag_b"]
+    assert rows[0].tag_a == "x" and rows[0].tag_b is None
+    assert rows[1].tag_a is None and rows[1].tag_b == 7.5
