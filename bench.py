@@ -18,6 +18,7 @@ from skywalking_banyandb_spark.session import get_spark
 import __spark_entry__ as entrymod
 
 HEADLINE = [
+    # BanyanDB-parity paths
     "measure_scan_filter",
     "measure_groupby_sum",
     "measure_groupby_mean",
@@ -29,6 +30,15 @@ HEADLINE = [
     "property_match_or",
     "topn_per_window",
     "topn_postagg_mean",
+    "bydbql_show_top",
+    # analytics + pipeline breadth
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "text_stats",
+    "dedup_exact",
+    "ann_cosine_topk",
+    "json_extract_agg",
 ]
 
 

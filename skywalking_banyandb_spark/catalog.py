@@ -68,6 +68,9 @@ class MeasureSchema:
     entity: Tuple[str, ...]            # series identity (schema.proto:66-68)
     version_column: Optional[str] = None
     interval: Optional[str] = None     # e.g. "1 minute"
+    # index_mode (schema.proto:119-121): the whole point lives in the
+    # inverted index — no series/version semantics, plain scan at read time
+    index_mode: bool = False
 
     kind: str = "measure"
 
@@ -206,6 +209,21 @@ def default_catalog(sf_dir: str) -> Catalog:
                 interval="1 minute",
             )
         )
+
+    # index-mode measure: same data, no version/series semantics
+    cat.register(
+        MeasureSchema(
+            group="g1",
+            name="metrics_idx",
+            paths=(ev,),
+            ts_column="ts",
+            tags=measure_tags,
+            fields=(FieldSpec("value", "FLOAT"),),
+            entity=("user_id",),
+            version_column="event_id",
+            index_mode=True,
+        )
+    )
 
     cat.register(
         StreamSchema(

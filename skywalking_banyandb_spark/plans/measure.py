@@ -85,8 +85,14 @@ def _scan_one(spark: SparkSession, schema: MeasureSchema, q: MeasureQuery) -> Da
         df = df.where(ts >= F.lit(q.time_range.begin))
     if q.time_range.end is not None:
         df = df.where(ts < F.lit(q.time_range.end))  # exclusive upper bound
-    if schema.version_column and schema.version_column in df.columns:
+    if (
+        not schema.index_mode
+        and schema.version_column
+        and schema.version_column in df.columns
+    ):
         df = latest_version(df, schema.entity, schema.ts_column, schema.version_column)
+    elif schema.index_mode and schema.version_column:
+        df = df.drop(schema.version_column)
     return df
 
 

@@ -1,0 +1,151 @@
+"""Coverage entries for the remaining SURVEY §2 rows: index-mode scan,
+order-by-field on raw data points, property id selection, TopN with entity
+conditions, MATCH on the stream path."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import default_catalog
+from .functions.analyzers import tokens_sql
+from .model import (
+    AggFunc,
+    BinaryOp,
+    LogicalOp,
+    MeasureQuery,
+    OrderBy,
+    PropertyQuery,
+    Sort,
+    StreamQuery,
+    TimeRange,
+    TopNQuery,
+    and_,
+    cond,
+)
+from .plans.measure import compile_measure
+from .plans.property import compile_property
+from .plans.stream import compile_stream
+from .plans.topn import compile_topn
+from .registry import DEDUP, SUM6, T0, T1, TR, register
+
+_T0S, _T1S = T0.replace("T", " "), T1.replace("T", " ")
+
+
+def _index_mode_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Index-mode measure (schema.proto:119-121): plain scan, no version
+    dedup — rows are returned as written."""
+    q = MeasureQuery(
+        groups=["g1"], name="metrics_idx", time_range=TR,
+        criteria=cond("event_type", BinaryOp.EQ, "signup"),
+        tag_projection=["user_id", "event_type"], field_projection=["value"],
+        limit=100000,
+    )
+    return compile_measure(spark, default_catalog(sf), q)
+
+
+register(
+    "measure_index_mode_scan",
+    _index_mode_scan,
+    f"""SELECT ts, user_id, event_type, value FROM events
+        WHERE ts >= TIMESTAMP '{_T0S}' AND ts < TIMESTAMP '{_T1S}'
+          AND event_type = 'signup'
+        ORDER BY ts, user_id LIMIT 100000""",
+)
+
+
+def _orderby_field(spark: SparkSession, sf: str) -> DataFrame:
+    """Raw data points ordered by a field value (order-by-indexed-tag path,
+    inverted/sidx sort in the reference — Spark sorts anything)."""
+    q = MeasureQuery(
+        groups=["g1"], name="metrics", time_range=TR,
+        criteria=cond("user_id", BinaryOp.LT, 8),
+        tag_projection=["user_id"], field_projection=["value"],
+        order_by=OrderBy("value", Sort.DESC), limit=60, offset=5,
+    )
+    return compile_measure(spark, default_catalog(sf), q)
+
+
+register(
+    "measure_orderby_field_desc",
+    _orderby_field,
+    f"""SELECT ts, user_id, value FROM {DEDUP}
+        WHERE user_id < 8
+        ORDER BY value DESC, ts, user_id LIMIT 60 OFFSET 5""",
+)
+
+
+def _property_ids(spark: SparkSession, sf: str) -> DataFrame:
+    q = PropertyQuery(
+        group="g1", name="documents", ids=(3, 7, 11, 400),
+        projection=["lang", "source"], limit=100,
+    )
+    return compile_property(spark, default_catalog(sf), q)
+
+
+register(
+    "property_ids_select",
+    _property_ids,
+    """SELECT doc_id, lang, source FROM documents
+       WHERE doc_id IN (3, 7, 11, 400) ORDER BY doc_id LIMIT 100""",
+)
+
+
+def _topn_conditions(spark: SparkSession, sf: str) -> DataFrame:
+    """SHOW TOP with WHERE conditions on the entity tag
+    (processor_topn.go filter path)."""
+    q = TopNQuery(
+        groups=["g1"], name="metrics",
+        time_range=TimeRange.of("2024-01-03T00:00:00", "2024-01-08T00:00:00"),
+        top_n=3, sort=Sort.DESC, agg=AggFunc.MAX,
+        conditions=(cond("user_id", BinaryOp.GE, 3),),
+    )
+    return compile_topn(spark, default_catalog(sf), q)
+
+
+register(
+    "topn_entity_conditions",
+    _topn_conditions,
+    f"""WITH latest AS (
+          SELECT date_trunc('hour', ts) AS window_start, user_id, value FROM events
+          QUALIFY row_number() OVER (
+            PARTITION BY date_trunc('hour', ts), user_id
+            ORDER BY ts DESC, event_id DESC) = 1
+        ), ranked AS (
+          SELECT window_start, user_id, value FROM latest
+          QUALIFY row_number() OVER (
+            PARTITION BY window_start ORDER BY value DESC, user_id) <= 3
+        )
+        SELECT user_id, MAX(value) AS value FROM ranked
+        WHERE window_start >= TIMESTAMP '2024-01-03 00:00:00'
+          AND window_start <  TIMESTAMP '2024-01-08 00:00:00'
+          AND user_id >= 3
+        GROUP BY user_id ORDER BY value DESC, user_id LIMIT 3""",
+)
+
+
+def _stream_match(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH on a stream tag with explicit analyzer (standard tokenizes the
+    JSON props into word/number terms)."""
+    q = StreamQuery(
+        groups=["g1"], name="event_log", time_range=TR,
+        criteria=and_(
+            cond("props", BinaryOp.MATCH, ["87", "12"],
+                 match_analyzer="standard", match_operator=LogicalOp.OR),
+            cond("event_type", BinaryOp.NE, "view"),
+        ),
+        projection=["user_id", "event_type", "props"],
+        order_by=OrderBy(None, Sort.ASC), limit=5000,
+    )
+    return compile_stream(spark, default_catalog(sf), q)
+
+
+_PTOK = tokens_sql("props", "standard")
+register(
+    "stream_match_props",
+    _stream_match,
+    f"""SELECT ts, event_id, user_id, event_type, props FROM events
+        WHERE ts >= TIMESTAMP '{_T0S}' AND ts < TIMESTAMP '{_T1S}'
+          AND (list_contains({_PTOK}, '87') OR list_contains({_PTOK}, '12'))
+          AND event_type <> 'view'
+        ORDER BY ts, event_id LIMIT 5000""",
+)
