@@ -1,0 +1,151 @@
+"""Golden-corpus case shapes ported from the reference's test strategy
+(``test/cases/measure/measure.go`` entry flags: WantEmpty / WantErr /
+DisOrder / default-limit behaviors). Each case is the behavioral contract,
+re-expressed against the synthetic catalog."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from skywalking_banyandb_spark.bydbql.transformer import execute
+from skywalking_banyandb_spark.catalog import default_catalog
+from skywalking_banyandb_spark.errors import QueryAnalyzeError, SchemaError
+from skywalking_banyandb_spark.model import (
+    AggFunc,
+    AggregationSpec,
+    BinaryOp,
+    MeasureQuery,
+    StreamQuery,
+    TimeRange,
+    cond,
+)
+from skywalking_banyandb_spark.plans.measure import compile_measure
+from skywalking_banyandb_spark.plans.stream import compile_stream
+
+from conftest import SF_SMALL
+
+NOW = dt.datetime(2024, 2, 1)
+TR = TimeRange.of("2024-01-03T00:00:00", "2024-01-27T00:00:00")
+
+
+def _cat():
+    return default_catalog(SF_SMALL)
+
+
+# --- WantErr shapes (analyze-time errors, not empty results) ---------------
+
+def test_filter_non_existent_tag_errors(spark):
+    with pytest.raises(QueryAnalyzeError):
+        compile_measure(spark, _cat(), MeasureQuery(
+            groups=["g1"], name="metrics", time_range=TR,
+            criteria=cond("no_such", BinaryOp.EQ, 1)))
+
+
+def test_projection_unknown_tag_errors(spark):
+    with pytest.raises(QueryAnalyzeError):
+        compile_measure(spark, _cat(), MeasureQuery(
+            groups=["g1"], name="metrics", time_range=TR,
+            tag_projection=["no_such"]))
+
+
+def test_group_by_unknown_tag_errors(spark):
+    with pytest.raises(QueryAnalyzeError):
+        compile_measure(spark, _cat(), MeasureQuery(
+            groups=["g1"], name="metrics", time_range=TR,
+            group_by=["no_such"], agg=AggregationSpec(AggFunc.SUM, "value")))
+
+
+def test_agg_unknown_field_errors(spark):
+    with pytest.raises(QueryAnalyzeError):
+        compile_measure(spark, _cat(), MeasureQuery(
+            groups=["g1"], name="metrics", time_range=TR,
+            group_by=["event_type"], agg=AggregationSpec(AggFunc.SUM, "nope")))
+
+
+def test_unknown_group_errors(spark):
+    with pytest.raises(SchemaError):
+        compile_measure(spark, _cat(), MeasureQuery(
+            groups=["no_group"], name="metrics", time_range=TR))
+
+
+def test_stream_order_by_unknown_tag_errors(spark):
+    from skywalking_banyandb_spark.model import OrderBy
+
+    with pytest.raises(QueryAnalyzeError):
+        compile_stream(spark, _cat(), StreamQuery(
+            groups=["g1"], name="event_log", time_range=TR,
+            order_by=OrderBy("no_such")))
+
+
+# --- WantEmpty shapes (valid queries matching nothing) ---------------------
+
+def test_filter_unmatched_value_is_empty(spark):
+    df = compile_measure(spark, _cat(), MeasureQuery(
+        groups=["g1"], name="metrics", time_range=TR,
+        criteria=cond("event_type", BinaryOp.EQ, "nonexistent_type")))
+    assert df.count() == 0
+
+
+def test_time_range_outside_data_is_empty(spark):
+    df = compile_measure(spark, _cat(), MeasureQuery(
+        groups=["g1"], name="metrics",
+        time_range=TimeRange.of("2030-01-01T00:00:00", "2030-02-01T00:00:00")))
+    assert df.count() == 0
+
+
+def test_exclusive_upper_bound(spark):
+    """[begin, end) — a row exactly at `end` is excluded."""
+    ev = spark.read.parquet  # noqa: F841  (documentation of intent)
+    import pyspark.sql.functions as F
+    from skywalking_banyandb_spark.sources.parquet import read_table
+
+    raw = read_table(spark, f"{SF_SMALL}/events.parquet")
+    some_ts = raw.select("ts").orderBy("ts").limit(1).head()[0]
+    df = compile_measure(spark, _cat(), MeasureQuery(
+        groups=["g1"], name="metrics",
+        time_range=TimeRange(some_ts, some_ts)))
+    assert df.count() == 0  # empty half-open range
+    df2 = compile_measure(spark, _cat(), MeasureQuery(
+        groups=["g1"], name="metrics",
+        time_range=TimeRange(some_ts, some_ts + dt.timedelta(microseconds=1))))
+    assert df2.count() == 1  # exactly the boundary row
+
+
+# --- default-limit / pagination behaviors ----------------------------------
+
+def test_default_limit_100(spark):
+    df = compile_measure(spark, _cat(), MeasureQuery(
+        groups=["g1"], name="metrics", time_range=TR))
+    assert df.count() == 100
+
+
+def test_offset_beyond_end_empty(spark):
+    df = compile_measure(spark, _cat(), MeasureQuery(
+        groups=["g1"], name="metrics", time_range=TR,
+        limit=10, offset=10_000_000))
+    assert df.count() == 0
+
+
+def test_limit_beyond_data_returns_all(spark):
+    df = compile_measure(spark, _cat(), MeasureQuery(
+        groups=["g1"], name="metrics", time_range=TimeRange.of(
+            "2024-01-01T00:00:00", "2024-02-01T00:00:00"),
+        limit=10_000_000))
+    assert df.count() == 1000  # sf0.001 full table
+
+
+# --- BydbQL equivalents of the same contracts ------------------------------
+
+def test_bydbql_unknown_tag_errors(spark):
+    with pytest.raises(QueryAnalyzeError):
+        execute(spark, _cat(),
+                "SELECT * FROM MEASURE metrics IN g1 WHERE ghost = 1", NOW)
+
+
+def test_bydbql_empty_result(spark):
+    df = execute(spark, _cat(),
+                 "SELECT * FROM MEASURE metrics IN g1 "
+                 "TIME > '2030-01-01T00:00:00Z' LIMIT 10", NOW)
+    assert df.count() == 0
