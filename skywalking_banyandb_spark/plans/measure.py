@@ -77,14 +77,14 @@ def _needed_columns(schema: MeasureSchema, q: MeasureQuery) -> List[str]:
 
 
 def _scan_one(spark: SparkSession, schema: MeasureSchema, q: MeasureQuery) -> DataFrame:
-    df = read_table(spark, *schema.paths)
+    # half-open [begin, end) applied on the raw scan column (pushdown-able)
+    df = read_table(
+        spark,
+        *schema.paths,
+        time_range=(schema.ts_column, q.time_range.begin, q.time_range.end),
+    )
     keep = [c for c in _needed_columns(schema, q) if c in df.columns]
     df = df.select(*keep)
-    ts = F.col(schema.ts_column)
-    if q.time_range.begin is not None:
-        df = df.where(ts >= F.lit(q.time_range.begin))
-    if q.time_range.end is not None:
-        df = df.where(ts < F.lit(q.time_range.end))  # exclusive upper bound
     if (
         not schema.index_mode
         and schema.version_column

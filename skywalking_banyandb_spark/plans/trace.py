@@ -48,12 +48,10 @@ def compile_trace(spark: SparkSession, catalog: Catalog, q: TraceQuery) -> DataF
 
     parts = []
     for s in schemas:
-        df = read_table(spark, *s.paths)
-        ts = F.col(s.ts_column)
-        if q.time_range.begin is not None:
-            df = df.where(ts >= F.lit(q.time_range.begin))
-        if q.time_range.end is not None:
-            df = df.where(ts < F.lit(q.time_range.end))
+        df = read_table(
+            spark, *s.paths,
+            time_range=(s.ts_column, q.time_range.begin, q.time_range.end),
+        )
         if pred is not None:
             df = df.where(pred)
         if q.trace_ids:

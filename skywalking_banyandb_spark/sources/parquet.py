@@ -47,8 +47,28 @@ def _nano_ts_columns(path: str) -> Tuple[str, ...]:
     )
 
 
-def read_table(spark: SparkSession, *paths: str) -> DataFrame:
-    """Read one or more parquet paths, restoring nano-timestamp columns."""
+def _epoch_nanos(t) -> int:
+    import datetime as dt
+
+    return int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) * 1000
+
+
+def read_table(
+    spark: SparkSession,
+    *paths: str,
+    time_range=None,
+) -> DataFrame:
+    """Read one or more parquet paths, restoring nano-timestamp columns.
+
+    ``time_range=(ts_col, begin, end)`` applies the half-open range ON THE
+    RAW INT64 NANO COLUMN, *before* the timestamp conversion. This is what
+    makes the predicate reach the parquet scan: a comparison against
+    ``timestamp_micros(ts div 1000)`` is opaque to Catalyst's pushdown (the
+    scan would show only ``PushedFilters: [IsNotNull(ts)]``), while the raw
+    long comparison pushes down and prunes row groups by their min/max
+    stats — the reference's segment + skipping-index pruning, and the
+    difference between scanning one day and scanning 100 TB.
+    """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
@@ -57,6 +77,20 @@ def read_table(spark: SparkSession, *paths: str) -> DataFrame:
     nano_cols = set()
     for p in paths:
         nano_cols.update(_nano_ts_columns(p))
+
+    if time_range is not None:
+        ts_col, begin, end = time_range
+        if ts_col in nano_cols:
+            if begin is not None:
+                df = df.where(F.col(ts_col) >= F.lit(_epoch_nanos(begin)))
+            if end is not None:
+                df = df.where(F.col(ts_col) < F.lit(_epoch_nanos(end)))
+        else:
+            if begin is not None:
+                df = df.where(F.col(ts_col) >= F.lit(begin))
+            if end is not None:
+                df = df.where(F.col(ts_col) < F.lit(end))
+
     for c in nano_cols:
         if c in df.columns:
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))

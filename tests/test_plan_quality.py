@@ -27,6 +27,8 @@ TR = TimeRange.of("2024-01-03T00:00:00", "2024-01-27T00:00:00")
 
 
 def _plan(df) -> str:
+    # default maxMetadataStringLength=100 truncates the PushedFilters list
+    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "4000")
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -40,6 +42,9 @@ def test_stream_filter_pushdown_and_pruning(spark):
     plan = _plan(df)
     # EQ predicate reaches the parquet scan
     assert "PushedFilters" in plan and "EqualTo(event_type,click)" in plan
+    # the TIME RANGE also reaches the scan (compared on the raw int64 nano
+    # column, not the converted timestamp — row-group pruning on time)
+    assert "GreaterThanOrEqual(ts," in plan and "LessThan(ts," in plan, plan
     # column pruning: props/value are never read
     rs = plan[plan.index("ReadSchema"):].split("\n")[0]
     assert "props" not in rs and "value" not in rs
