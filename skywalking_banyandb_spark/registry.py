@@ -437,6 +437,7 @@ register(
 
 # Extension registries (import side effect = registration). Placed at the
 # bottom so they can import `register` from this module.
+from . import registry_advanced  # noqa: E402,F401
 from . import registry_analytics  # noqa: E402,F401
 from . import registry_bydbql  # noqa: E402,F401
 from . import registry_coverage  # noqa: E402,F401

@@ -25,6 +25,9 @@ def get_spark(app_name: str = "skywalking-banyandb-spark", cpus: int | None = No
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # write micros, not INT96 — keeps our own segment layout free of the
+        # legacy type and makes footer-sniffing unambiguous
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -29,10 +29,15 @@ from pyspark.sql import functions as F
 
 @lru_cache(maxsize=256)
 def _nano_ts_columns(path: str) -> Tuple[str, ...]:
-    import pyarrow as pa
+    """Columns physically stored as INT64 TIMESTAMP(NANOS).
 
+    Must inspect the *parquet* schema, not the arrow schema: Spark's default
+    INT96 timestamps also surface as ``timestamp[ns]`` in arrow, but Spark
+    reads INT96 as TimestampType directly — only genuine INT64-nanos columns
+    (pandas-written) arrive as longs under ``nanosAsLong``.
+    """
     try:
-        schema = pq.read_schema(path)
+        pf = pq.ParquetFile(path)
     except Exception:
         # directory dataset: sniff the first fragment
         import glob
@@ -41,10 +46,19 @@ def _nano_ts_columns(path: str) -> Tuple[str, ...]:
         frags = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
         if not frags:
             return ()
-        schema = pq.read_schema(frags[0])
-    return tuple(
-        f.name for f in schema if f.type == pa.timestamp("ns")
-    )
+        pf = pq.ParquetFile(frags[0])
+    sch = pf.schema
+    out = []
+    for i in range(len(sch)):
+        col = sch.column(i)
+        lt = str(col.logical_type)
+        if (
+            col.physical_type == "INT64"
+            and lt.startswith("Timestamp")
+            and "nanoseconds" in lt
+        ):
+            out.append(col.name)
+    return tuple(out)
 
 
 def _epoch_nanos(t) -> int:

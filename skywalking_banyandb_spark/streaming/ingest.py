@@ -1,0 +1,63 @@
+"""Streaming ingestion — the Structured Streaming analogue of BanyanDB's
+client-streamed gRPC writes (``measure/v1/write.proto`` DataPointValue,
+``stream/v1/write.proto`` ElementValue): a continuous source lands in the
+same segment layout the batch writers produce, so the read path is
+identical for batch-written and stream-written data.
+
+Each micro-batch appends day/hour-bucketed, series-sorted parquet via
+``foreachBatch`` → the batch writer. Append-only (LSM semantics): no
+rewrites, version dedup resolves duplicates at read time, exactly like the
+reference's memtable-flush parts."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..catalog import MeasureSchema, StreamSchema
+from ..sources.writer import write_measure, write_stream
+
+
+def start_measure_ingest(
+    source: DataFrame,
+    schema: MeasureSchema,
+    output_path: str,
+    checkpoint_path: str,
+    segment_interval: str = "DAY",
+    trigger_once: bool = False,
+):
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.take(1):
+            write_measure(batch, schema, output_path,
+                          mode="append", segment_interval=segment_interval)
+
+    writer = (
+        source.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_sink)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_stream_ingest(
+    source: DataFrame,
+    schema: StreamSchema,
+    output_path: str,
+    checkpoint_path: str,
+    segment_interval: str = "DAY",
+    trigger_once: bool = False,
+):
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.take(1):
+            write_stream(batch, schema, output_path,
+                         mode="append", segment_interval=segment_interval)
+
+    writer = (
+        source.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_sink)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
