@@ -21,6 +21,8 @@ import hashlib
 import math
 from typing import List, Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -117,6 +119,109 @@ def lsh_topk(
     for p in preds[1:]:
         any_table = any_table | p
     cand = df.where(any_table)
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        cand.select(F.col(id_col), cosine(F.col(vec_col), qlit).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _assign_udf(centroids: List[List[float]]):
+    """Vectorized nearest-centroid assignment (spherical k-means): one Arrow
+    batch = one numpy matmul. Centroids are closure-captured (broadcast with
+    the task), so assignment is a map-only stage — no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        M = np.asarray(v.tolist(), dtype=np.float64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series((Mn @ Cn.T).argmax(axis=1).astype("int32"))
+
+    return assign
+
+
+def ivf_build(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_clusters: int = 16,
+    iters: int = 3,
+) -> List[List[float]]:
+    """Train IVF centroids (Lloyd / spherical k-means) distributively.
+
+    Deterministic init: the ``k_clusters`` lowest-id vectors. Each iteration
+    is one map-only assignment plus one groupBy mean (posexplode → per-dim
+    avg) — the standard large-scale k-means loop; only k×dim floats ever
+    reach the driver. Empty clusters keep their previous centroid."""
+    init = (
+        df.orderBy(F.col(id_col))
+        .limit(k_clusters)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    centroids = [list(r.v) for r in init]
+    for _ in range(iters):
+        assign = _assign_udf(centroids)
+        assigned = df.select(
+            assign(F.col(vec_col).cast("array<double>")).alias("cluster"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+            .collect()
+        )
+        new = list(centroids)
+        for r in means:
+            new[r.cluster] = list(r.centroid)
+        centroids = new
+    return centroids
+
+
+def ivf_assign(df: DataFrame, vec_col: str, centroids: List[List[float]]) -> DataFrame:
+    """Add a ``cluster_id`` column — at scale this is the partition/bucket
+    key of the stored index table, so a probe reads only nprobe/k of the
+    data (partition pruning does the candidate selection)."""
+    assign = _assign_udf(centroids)
+    return df.withColumn(
+        "cluster_id", assign(F.col(vec_col).cast("array<double>"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    k: int,
+    k_clusters: int = 16,
+    nprobe: int = 4,
+    centroids: List[List[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` centroids nearest the
+    query, exact cosine re-rank inside the probed cells only.
+
+    With a pre-built, cluster-partitioned index table the probe filter is
+    partition pruning (scan nprobe/k_clusters of 100 TB); here the filter
+    runs in the scan stage of one job."""
+    if centroids is None:
+        centroids = ivf_build(df, id_col, vec_col, k_clusters)
+    qn = math.sqrt(sum(x * x for x in query)) or 1e-12
+    sims = []
+    for ci, c in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in c)) or 1e-12
+        sims.append((sum(a * b for a, b in zip(c, query)) / (cn * qn), ci))
+    probe = [ci for _, ci in sorted(sims, reverse=True)[:nprobe]]
+    cand = ivf_assign(df, vec_col, centroids).where(F.col("cluster_id").isin(probe))
     qlit = F.array(*[F.lit(float(x)) for x in query])
     return (
         cand.select(F.col(id_col), cosine(F.col(vec_col), qlit).alias("score"))

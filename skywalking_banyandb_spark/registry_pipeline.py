@@ -144,6 +144,18 @@ def _ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
 register("ann_lsh_topk", _ann_lsh, None)
 
 
+def _ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    # IVF scale path: centroid index + nprobe cell probing, exact re-rank
+    # inside probed cells only (rows-only check; recall vs brute force in
+    # tests/test_semantics.py)
+    q = _query_vec(spark, sf)
+    d = _emb(spark, sf).where(F.col("vec_id") != 0)
+    return sim.ivf_topk(d, "vec_id", "embedding", q, 10, k_clusters=8, nprobe=4)
+
+
+register("ann_ivf_topk", _ann_ivf, None)
+
+
 # -- multimodal plumbing ----------------------------------------------------
 
 def _multimodal_features(spark: SparkSession, sf: str) -> DataFrame:

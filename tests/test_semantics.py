@@ -65,6 +65,27 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     assert len(exact & approx) >= 7, (exact, approx)
 
 
+def test_ivf_topk_recall_vs_brute_force(spark):
+    from skywalking_banyandb_spark.functions.similarity import ivf_assign, ivf_build, ivf_topk
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    d = emb.where(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in brute_force_topk(d, "vec_id", "embedding", q, 10).collect()}
+    approx = {r.vec_id for r in
+              ivf_topk(d, "vec_id", "embedding", q, 10, k_clusters=8, nprobe=4).collect()}
+    assert len(exact & approx) >= 7, (exact, approx)
+
+    # the index is deterministic: same build twice -> same centroids, and
+    # every vector lands in exactly one of k clusters
+    c1 = ivf_build(d, "vec_id", "embedding", k_clusters=8, iters=2)
+    c2 = ivf_build(d, "vec_id", "embedding", k_clusters=8, iters=2)
+    assert c1 == c2
+    clusters = ivf_assign(d, "embedding", c1).select("cluster_id").distinct().collect()
+    assert 1 <= len(clusters) <= 8
+    assert all(0 <= r.cluster_id < 8 for r in clusters)
+
+
 def test_multimodal_decode_is_stubbed():
     from skywalking_banyandb_spark.functions.multimodal import decode_image
 
