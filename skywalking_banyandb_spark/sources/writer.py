@@ -69,6 +69,72 @@ def write_stream(
     out.write.partitionBy("ts_bucket").mode(mode).parquet(path)
 
 
+def write_measure_bucketed(
+    df: DataFrame,
+    schema: MeasureSchema,
+    table_name: str,
+    buckets: int = 32,
+    segment_interval: str = "DAY",
+) -> None:
+    """Bucketed segment layout — the shuffle-free scale path.
+
+    ``partitionBy(ts_bucket)`` (segment pruning) + ``bucketBy(entity)`` +
+    ``sortBy(entity, ts)``: the persisted hash distribution on the entity
+    satisfies the clustered distribution every downstream (entity, ts)
+    version-dedup and entity group-by requires, so those aggregations run
+    with NO Exchange — the shard-routing of ``pkg/partition/entity.go:89-100``
+    expressed as a Spark bucketed table. At 100 TB this removes the one
+    full-data shuffle from every measure read."""
+    gran = _GRANULARITY[segment_interval.upper()]
+    out = df.withColumn("ts_bucket", F.date_trunc(gran, F.col(schema.ts_column)))
+    (
+        out.write.format("parquet")
+        .mode("overwrite")
+        .partitionBy("ts_bucket")
+        .bucketBy(buckets, *schema.entity)
+        .sortBy(*schema.entity, schema.ts_column)
+        .saveAsTable(table_name)
+    )
+
+
+def compact_segments(
+    spark: SparkSession,
+    schema: MeasureSchema,
+    path: str,
+    target_files: int = 1,
+) -> int:
+    """LSM merge analogue (``banyand/measure/flusher.go`` +
+    ``merger.go``): append-mode ingest leaves many small parts per segment;
+    compaction rewrites each ``ts_bucket=`` segment directory into
+    ``target_files`` large series-sorted files and swaps it in atomically.
+    Read semantics are unchanged (version dedup already resolves
+    duplicates); parquet row-group stats get tighter, so entity predicates
+    skip more. Returns the number of segments compacted."""
+    import glob
+
+    done = 0
+    for seg in sorted(os.listdir(path)):
+        if not seg.startswith("ts_bucket="):
+            continue
+        segdir = os.path.join(path, seg)
+        files = glob.glob(os.path.join(segdir, "*.parquet"))
+        if len(files) <= target_files:
+            continue
+        out = (
+            spark.read.parquet(segdir)
+            .coalesce(target_files)
+            .sortWithinPartitions(*schema.entity, schema.ts_column)
+        )
+        tmp = segdir + "._compact"
+        out.write.mode("overwrite").parquet(tmp)
+        old = segdir + "._old"
+        os.rename(segdir, old)
+        os.rename(tmp, segdir)
+        shutil.rmtree(old, ignore_errors=True)
+        done += 1
+    return done
+
+
 def _atomic_replace(df: DataFrame, path: str) -> None:
     """Write a full new table state then swap directories (poor-man's ACID;
     a table format with MERGE replaces this at scale)."""

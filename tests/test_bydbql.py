@@ -205,3 +205,34 @@ def test_execute_trace_empty_projection(spark):
     rows = df.collect()
     assert 0 < len(rows) <= 10
     assert "trace_id" in df.columns and "spans" in df.columns
+
+
+def test_parse_edge_identifiers_and_timezones():
+    from skywalking_banyandb_spark.bydbql.parser import parse
+    import datetime as dt
+    from skywalking_banyandb_spark.bydbql.transformer import resolve_time
+
+    # dotted + quoted identifiers (syntax.md "Core Rules")
+    s = parse("SELECT http.method, \"count\" FROM STREAM logs IN default "
+              "WHERE http.method = 'GET'")
+    names = [p.name for p in s.projection]
+    assert names == ["http.method", "count"]
+    assert s.where.tag == "http.method"
+
+    # '' escape inside string literal
+    s = parse("SELECT * FROM STREAM logs IN g WHERE msg = 'it''s'")
+    assert s.where.value == "it's"
+
+    # RFC3339 with explicit offset normalizes to UTC
+    t = resolve_time("2023-01-01T15:30:45+08:00", dt.datetime(2024, 1, 1))
+    assert t == dt.datetime(2023, 1, 1, 7, 30, 45)
+
+    # TOP projection form with trailing columns
+    s = parse("SELECT TOP 5 latency DESC, service FROM MEASURE m IN g "
+              "TIME > '-30m'")
+    assert s.top.number == 5 and s.top.field_name == "latency"
+    assert [p.name for p in s.projection] == ["service"]
+
+    # week-unit relative time
+    t = resolve_time("-1w", dt.datetime(2024, 1, 8))
+    assert t == dt.datetime(2024, 1, 1)

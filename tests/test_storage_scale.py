@@ -1,0 +1,103 @@
+"""Scale-path storage tests: the bucketed layout must make version dedup and
+entity group-by shuffle-free (no Exchange in the physical plan), and segment
+compaction must reduce file counts without changing query results."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from skywalking_banyandb_spark.catalog import default_catalog
+from skywalking_banyandb_spark.operators.dedup import latest_version
+from skywalking_banyandb_spark.sources.parquet import read_table
+from skywalking_banyandb_spark.sources.writer import (
+    compact_segments,
+    write_measure,
+    write_measure_bucketed,
+)
+
+from conftest import SF_SMALL
+
+
+@pytest.fixture()
+def workdir():
+    d = tempfile.mkdtemp(prefix="storage_scale_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_layout_dedup_without_shuffle(spark, workdir):
+    cat = default_catalog(SF_SMALL)
+    schema = cat.get("g1", "measure", "metrics")
+    ev = read_table(spark, f"{SF_SMALL}/events.parquet")
+
+    spark.sql("DROP TABLE IF EXISTS metrics_bucketed")
+    write_measure_bucketed(ev, schema, "metrics_bucketed", buckets=8)
+    try:
+        t = spark.table("metrics_bucketed")
+
+        # (entity, ts) version dedup: the bucket hash distribution on
+        # user_id satisfies the clustered distribution -> no Exchange
+        deduped = latest_version(t, schema.entity, schema.ts_column, "event_id")
+        plan = _plan(deduped)
+        assert "Exchange" not in plan, plan
+
+        # ...and the entity group-by after dedup is also shuffle-free
+        agg = deduped.groupBy("user_id").agg(F.max("value").alias("value"))
+        plan = _plan(agg)
+        assert "Exchange" not in plan, plan
+
+        # results identical to the unbucketed path
+        got = {(r.user_id, r.value) for r in agg.collect()}
+        want_df = latest_version(
+            ev, schema.entity, schema.ts_column, "event_id"
+        ).groupBy("user_id").agg(F.max("value").alias("value"))
+        want = {(r.user_id, r.value) for r in want_df.collect()}
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS metrics_bucketed")
+
+
+def test_compact_segments_merges_small_parts(spark, workdir):
+    cat = default_catalog(SF_SMALL)
+    schema = cat.get("g1", "measure", "metrics")
+    ev = read_table(spark, f"{SF_SMALL}/events.parquet").limit(2000).cache()
+    path = os.path.join(workdir, "metrics")
+
+    # two append rounds -> >=2 part files per touched segment (LSM parts)
+    half1 = ev.where(F.col("user_id") % 2 == 0)
+    half2 = ev.where(F.col("user_id") % 2 == 1)
+    write_measure(half1, schema, path)
+    write_measure(half2, schema, path)
+
+    def seg_files():
+        return {
+            seg: len(glob.glob(os.path.join(path, seg, "*.parquet")))
+            for seg in os.listdir(path)
+            if seg.startswith("ts_bucket=")
+        }
+
+    before = seg_files()
+    assert any(n > 1 for n in before.values()), before
+
+    before_rows = sorted(
+        tuple(r) for r in spark.read.parquet(path).drop("ts_bucket").collect()
+    )
+    n = compact_segments(spark, schema, path, target_files=1)
+    assert n == sum(1 for v in before.values() if v > 1)
+
+    after = seg_files()
+    assert all(v == 1 for v in after.values()), after
+    after_rows = sorted(
+        tuple(r) for r in spark.read.parquet(path).drop("ts_bucket").collect()
+    )
+    assert before_rows == after_rows
