@@ -71,6 +71,10 @@ class MeasureSchema:
     # index_mode (schema.proto:119-121): the whole point lives in the
     # inverted index — no series/version semantics, plain scan at read time
     index_mode: bool = False
+    # entity-bucketed catalog table (written by write_measure_bucketed);
+    # when set, reads go through spark.table() and inherit the persisted
+    # hash distribution (shuffle-free dedup/group-by) instead of paths
+    table: Optional[str] = None
 
     kind: str = "measure"
 

@@ -77,12 +77,26 @@ def _needed_columns(schema: MeasureSchema, q: MeasureQuery) -> List[str]:
 
 
 def _scan_one(spark: SparkSession, schema: MeasureSchema, q: MeasureQuery) -> DataFrame:
-    # half-open [begin, end) applied on the raw scan column (pushdown-able)
-    df = read_table(
-        spark,
-        *schema.paths,
-        time_range=(schema.ts_column, q.time_range.begin, q.time_range.end),
-    )
+    if schema.table:
+        # entity-bucketed catalog table (write_measure_bucketed): the scan
+        # carries the persisted hash distribution, so the dedup/group-by
+        # below run without an Exchange; ts_bucket predicates prune segments
+        from ..sources.parquet import prune_ts_buckets
+
+        df = spark.table(schema.table)
+        begin, end = q.time_range.begin, q.time_range.end
+        if begin is not None:
+            df = df.where(F.col(schema.ts_column) >= F.lit(begin))
+        if end is not None:
+            df = df.where(F.col(schema.ts_column) < F.lit(end))
+        df = prune_ts_buckets(df, begin, end)
+    else:
+        # half-open [begin, end) applied on the raw scan column (pushdown-able)
+        df = read_table(
+            spark,
+            *schema.paths,
+            time_range=(schema.ts_column, q.time_range.begin, q.time_range.end),
+        )
     keep = [c for c in _needed_columns(schema, q) if c in df.columns]
     df = df.select(*keep)
     if (

@@ -105,9 +105,32 @@ def read_table(
             if end is not None:
                 df = df.where(F.col(ts_col) < F.lit(end))
 
+    if time_range is not None:
+        df = prune_ts_buckets(df, time_range[1], time_range[2])
+
     for c in nano_cols:
         if c in df.columns:
             df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def prune_ts_buckets(df: DataFrame, begin, end) -> DataFrame:
+    """Derive partition-pruning predicates on the ``ts_bucket`` segment
+    column from a row-level time range — the reference's
+    ``SelectSegments(timeRange)`` (``storage.go:114-118``).
+
+    ``ts_bucket = date_trunc(ts)`` with day or hour granularity, so rows in
+    ``[begin, end)`` can only live in buckets ``[day_trunc(begin), end)``
+    (day-truncating the lower bound is conservative for both granularities).
+    Without this, a segment-partitioned table is scanned in full and only
+    row-group stats save us; with it, Catalyst prunes whole directories
+    before any I/O."""
+    if "ts_bucket" not in df.columns:
+        return df
+    if begin is not None:
+        df = df.where(F.col("ts_bucket") >= F.date_trunc("day", F.lit(begin)))
+    if end is not None:
+        df = df.where(F.col("ts_bucket") < F.lit(end))
     return df
 
 

@@ -101,3 +101,69 @@ def test_compact_segments_merges_small_parts(spark, workdir):
         tuple(r) for r in spark.read.parquet(path).drop("ts_bucket").collect()
     )
     assert before_rows == after_rows
+
+
+def test_engine_reads_bucketed_table_shuffle_free(spark, workdir):
+    import dataclasses
+
+    cat = default_catalog(SF_SMALL)
+    schema = cat.get("g1", "measure", "metrics")
+    ev = read_table(spark, f"{SF_SMALL}/events.parquet")
+
+    spark.sql("DROP TABLE IF EXISTS metrics_engine_bucketed")
+    write_measure_bucketed(ev, schema, "metrics_engine_bucketed", buckets=8)
+    try:
+        from skywalking_banyandb_spark.model import (
+            AggFunc, AggregationSpec, MeasureQuery, TimeRange,
+        )
+        from skywalking_banyandb_spark.plans.measure import compile_measure
+
+        bcat = default_catalog(SF_SMALL)
+        bcat.register(dataclasses.replace(schema, table="metrics_engine_bucketed"))
+        q = MeasureQuery(
+            groups=["g1"], name="metrics",
+            time_range=TimeRange.of("2024-01-03T00:00:00", "2024-01-27T00:00:00"),
+            group_by=["user_id"], agg=AggregationSpec(AggFunc.MAX, "value"),
+            limit=100000,
+        )
+        bdf = compile_measure(spark, bcat, q)
+        # group key == entity == bucket key: the whole dedup+agg pipeline
+        # runs on the persisted distribution, no Exchange anywhere
+        plan = _plan(bdf)
+        assert "Exchange" not in plan, plan
+
+        got = {(r.user_id, r.value) for r in bdf.collect()}
+        want = {(r.user_id, r.value) for r in
+                compile_measure(spark, cat, q).collect()}
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS metrics_engine_bucketed")
+
+
+def test_segment_layout_partition_pruning_from_time_range(spark, workdir):
+    import dataclasses
+
+    cat = default_catalog(SF_SMALL)
+    schema = cat.get("g1", "measure", "metrics")
+    ev = read_table(spark, f"{SF_SMALL}/events.parquet")
+    path = os.path.join(workdir, "metrics_seg")
+    write_measure(ev, schema, path)
+
+    from skywalking_banyandb_spark.model import MeasureQuery, TimeRange
+    from skywalking_banyandb_spark.plans.measure import compile_measure
+
+    scat = default_catalog(SF_SMALL)
+    scat.register(dataclasses.replace(schema, paths=(path,)))
+    q = MeasureQuery(
+        groups=["g1"], name="metrics",
+        time_range=TimeRange.of("2024-01-10T00:00:00", "2024-01-12T00:00:00"),
+        limit=100000,
+    )
+    df = compile_measure(spark, scat, q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the time range must become ts_bucket partition filters (segment pruning)
+    assert "PartitionFilters: [" in plan and "ts_bucket" in plan, plan
+
+    # and the result matches the raw-parquet path on the same range
+    base = compile_measure(spark, cat, q)
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, base.collect()))
