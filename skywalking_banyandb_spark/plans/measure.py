@@ -73,6 +73,8 @@ def _needed_columns(schema: MeasureSchema, q: MeasureQuery) -> List[str]:
         need |= {t.name for t in schema.tags} | {f.name for f in schema.fields}
     if q.order_by and q.order_by.tag:
         need.add(q.order_by.tag)
+    if q.top is not None:
+        need.add(q.top.field_name)
     return [c for c in need]
 
 
@@ -178,16 +180,26 @@ def compile_measure(spark: SparkSession, catalog: Catalog, q: MeasureQuery) -> D
         proj = list(q.tag_projection) + list(q.field_projection)
         if not proj:
             proj = [t.name for t in ref.tags] + [f.name for f in ref.fields]
+        if q.top is not None and q.top.field_name not in proj:
+            # SELECT-form TOP projects its ranking field
+            proj.append(q.top.field_name)
         cols = [F.col(ref.ts_column)] + [F.col(c) for c in proj if c != ref.ts_column]
         df = df.select(*cols)
-        order = q.order_by
-        ts_first = order is None or order.tag is None
-        key = ref.ts_column if ts_first else order.tag
-        direction = (order.sort if order else Sort.ASC)
+        if q.top is not None:
+            # SELECT TOP n field [dir] over raw points: rank by the field,
+            # keep n (grammar.go TOP projection; lowers to TakeOrdered)
+            key, direction = q.top.field_name, q.top.sort
+        else:
+            order = q.order_by
+            ts_first = order is None or order.tag is None
+            key = ref.ts_column if ts_first else order.tag
+            direction = (order.sort if order else Sort.ASC)
         kcol = F.col(key).desc() if direction is Sort.DESC else F.col(key).asc()
         # total order: entity + ts tiebreak (series-sorted like the reference)
         tiebreak = [c for c in [ref.ts_column, *ref.entity] if c != key and c in df.columns]
         df = df.orderBy(kcol, *[F.col(c).asc() for c in tiebreak])
+        if q.top is not None:
+            df = df.limit(q.top.number)
 
     limit = q.limit if q.limit is not None else DEFAULT_LIMIT
     return limit_offset(df, limit, q.offset)

@@ -120,3 +120,14 @@ register(
          AND value > 300
        GROUP BY user_id ORDER BY start_ts, trace_id LIMIT 5000""",
 )
+
+
+register(
+    "bydbql_select_top",
+    _ql(
+        "SELECT TOP 10 value DESC, user_id FROM MEASURE metrics IN g1 "
+        "TIME BETWEEN '2024-01-03T00:00:00Z' AND '2024-01-27T00:00:00Z'"
+    ),
+    f"""SELECT ts, user_id, value FROM {DEDUP}
+        ORDER BY value DESC, ts, user_id LIMIT 10""",
+)

@@ -149,3 +149,76 @@ register(
           AND event_type <> 'view'
         ORDER BY ts, event_id LIMIT 5000""",
 )
+
+
+def _trace_by_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """Trace-ID selection (``trace/v1/query.proto`` trace_ids): fetch the
+    named traces, spans regrouped."""
+    from .model import TraceQuery
+    from .plans.trace import compile_trace
+
+    q = TraceQuery(
+        groups=["g1"], name="event_trace", time_range=TR,
+        trace_ids=[1, 3, 5, 7], limit=100,
+    )
+    df = compile_trace(spark, default_catalog(sf), q)
+    return df.select("trace_id", "span_count", "start_ts", "end_ts")
+
+
+register(
+    "trace_by_ids",
+    _trace_by_ids,
+    f"""SELECT user_id AS trace_id, COUNT(*) AS span_count,
+               MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        FROM events
+        WHERE ts >= TIMESTAMP '{_T0S}' AND ts < TIMESTAMP '{_T1S}'
+          AND user_id IN (1, 3, 5, 7)
+        GROUP BY user_id ORDER BY start_ts, trace_id LIMIT 100""",
+)
+
+
+def _property_match_keyword(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH with the keyword analyzer = exact-term equality on the whole
+    value (``pkg/index/index.go:31-40`` AnalyzerKeyword)."""
+    q = PropertyQuery(
+        group="g1", name="documents",
+        criteria=cond("source", BinaryOp.MATCH, ["src7"],
+                      match_analyzer="keyword"),
+        projection=["source", "n_chars"], limit=10000,
+    )
+    from .plans.property import compile_property
+
+    return compile_property(spark, default_catalog(sf), q)
+
+
+register(
+    "property_match_keyword",
+    _property_match_keyword,
+    """SELECT doc_id, source, n_chars FROM documents
+       WHERE source = 'src7' ORDER BY doc_id LIMIT 10000""",
+)
+
+
+def _property_match_url(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH with an explicit 'url' analyzer override (condition-level
+    analyzer beats the tag's declared one — query.proto MatchOption)."""
+    q = PropertyQuery(
+        group="g1", name="documents",
+        criteria=cond("text", BinaryOp.MATCH, ["shuffle", "partition"],
+                      match_analyzer="url", match_operator=LogicalOp.AND),
+        projection=["lang", "n_chars"], limit=10000,
+    )
+    from .plans.property import compile_property
+
+    return compile_property(spark, default_catalog(sf), q)
+
+
+_TOK_URL = tokens_sql("text", "url")
+register(
+    "property_match_url_and",
+    _property_match_url,
+    f"""SELECT doc_id, lang, n_chars FROM documents
+        WHERE list_contains({_TOK_URL}, 'shuffle')
+          AND list_contains({_TOK_URL}, 'partition')
+        ORDER BY doc_id LIMIT 10000""",
+)
