@@ -3,8 +3,9 @@ the analogue of the reference's ``pkg/bydbql/binder.go`` /
 ``prepared.go`` / liaison LRU cache (``banyand/liaison/grpc/
 bydbql_cache.go``).
 
-A statement may contain ``?`` placeholders wherever a *value* is legal
-(condition values, IN/HAVING/MATCH lists, TIME literals, LIMIT/OFFSET).
+A statement may contain ``?`` placeholders wherever a *condition or time
+value* is legal (condition values, IN/HAVING/MATCH list elements, TIME
+literals). LIMIT/OFFSET take literal integers only, as in the reference.
 ``prepare()`` parses once; ``bind()`` substitutes parameters into the AST
 without re-parsing — binding is by position, and binding a prepared
 statement twice with different parameters yields independent ASTs (the

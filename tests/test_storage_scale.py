@@ -167,3 +167,33 @@ def test_segment_layout_partition_pruning_from_time_range(spark, workdir):
     # and the result matches the raw-parquet path on the same range
     base = compile_measure(spark, cat, q)
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_hour_granularity_segment_pruning(spark, workdir):
+    import dataclasses
+
+    cat = default_catalog(SF_SMALL)
+    schema = cat.get("g1", "measure", "metrics")
+    ev = read_table(spark, f"{SF_SMALL}/events.parquet")
+    path = os.path.join(workdir, "metrics_hourly")
+    write_measure(ev, schema, path, segment_interval="HOUR")
+
+    # hour buckets on disk
+    bucket_dirs = [d for d in os.listdir(path) if d.startswith("ts_bucket=")]
+    assert len(bucket_dirs) > 30, bucket_dirs[:3]
+
+    from skywalking_banyandb_spark.model import MeasureQuery, TimeRange
+    from skywalking_banyandb_spark.plans.measure import compile_measure
+
+    scat = default_catalog(SF_SMALL)
+    scat.register(dataclasses.replace(schema, paths=(path,)))
+    # range starting mid-day: the day-truncated lower bucket bound is
+    # conservative but correct for hour buckets
+    q = MeasureQuery(
+        groups=["g1"], name="metrics",
+        time_range=TimeRange.of("2024-01-10T06:30:00", "2024-01-10T18:00:00"),
+        limit=100000,
+    )
+    df = compile_measure(spark, scat, q)
+    base = compile_measure(spark, cat, q)
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, base.collect()))
