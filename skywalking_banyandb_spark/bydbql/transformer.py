@@ -173,10 +173,18 @@ def to_query(
         proj = () if stmt.projection in ("*", "()") else tuple(
             p.name for p in stmt.projection
         )
+        limit = stmt.limit
+        if stmt.top is not None:
+            # SELECT TOP n field [dir] over a stream lowers to
+            # order-by-field + limit n (grammar.go TOP projection)
+            order = OrderBy(tag=stmt.top.field_name, sort=stmt.top.sort)
+            limit = stmt.top.number if limit is None else min(limit, stmt.top.number)
+            if stmt.top.field_name not in proj and proj:
+                proj = (*proj, stmt.top.field_name)
         return StreamQuery(
             groups=stmt.groups, name=stmt.name, time_range=tr,
             criteria=stmt.where, projection=proj, order_by=order,
-            limit=stmt.limit, offset=stmt.offset or 0,
+            limit=limit, offset=stmt.offset or 0,
         )
     if stmt.resource == "TRACE":
         proj = () if stmt.projection in ("*", "()") else tuple(

@@ -131,3 +131,18 @@ register(
     f"""SELECT ts, user_id, value FROM {DEDUP}
         ORDER BY value DESC, ts, user_id LIMIT 10""",
 )
+
+
+register(
+    "bydbql_stream_select_top",
+    _ql(
+        "SELECT TOP 15 value ASC, user_id, event_type FROM STREAM event_log IN g1 "
+        "TIME BETWEEN '2024-01-03T00:00:00Z' AND '2024-01-27T00:00:00Z' "
+        "WHERE event_type != 'view'"
+    ),
+    """SELECT ts, event_id, user_id, event_type, value FROM events
+       WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+         AND ts <  TIMESTAMP '2024-01-27 00:00:00'
+         AND event_type <> 'view'
+       ORDER BY value ASC, event_id LIMIT 15""",
+)

@@ -9,9 +9,14 @@ Mapping (documented divergences, SURVEY §7 "hard parts"):
 
 - tumbling window  -> ``F.window(ts, size)``;
 - watermark & lateness (``sliding_window.go:195-243``: monotonic max-event-
-  time watermark, late windows dropped) -> ``withWatermark(ts, lateness)``.
-  Spark's watermark is per-query global where the reference's is per-flow —
-  acceptable divergence;
+  time watermark, late windows dropped) -> ``withWatermark(ts, lateness)``
+  plus an explicit late-window drop in the flush: Spark's update-mode
+  watermark evicts state but silently RE-CREATES a window when a far-late
+  row arrives after eviction, so ``isWindowLate`` (:237-243) is enforced
+  against the materialized high-water mark (verified:
+  ``tests/test_streaming_topn.py`` late-drop case). Spark's watermark is
+  per-query global where the reference's is per-flow — acceptable
+  divergence;
 - per-window bounded heap with in-place entity replacement
   (``topn.go:238-286``) -> recompute-per-microbatch: the window aggregate
   keeps the *latest* value per (window, entity) (``max_by`` keyed on event
@@ -36,6 +41,20 @@ from pyspark.sql import functions as F
 from ..catalog import MeasureSchema
 from ..model import Sort
 from ..operators.topk import per_window_top_n
+
+_INTERVAL_UNITS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _parse_interval(text: str):
+    """'10 minutes' / '1 hour' / '30 days' -> timedelta."""
+    import datetime as dt
+
+    n, unit = text.strip().split()
+    return dt.timedelta(seconds=int(n) * _INTERVAL_UNITS[unit.lower()])
 
 
 def topn_stream_query(
@@ -87,11 +106,29 @@ def start_topn_materialization(
     """
     agg = topn_stream_query(source, schema, field, window, lateness)
 
+    late_delta = _parse_interval(lateness)
+
     def _flush(batch: DataFrame, batch_id: int) -> None:
         if not batch.take(1):
             return
         spark_b = batch.sparkSession
         spark_b.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Reference late-window drop (sliding_window.go:237-243 isWindowLate):
+        # Spark's update-mode watermark evicts state but RE-CREATES a window
+        # if a far-late row arrives after eviction, so enforce the drop here —
+        # windows older than (materialized high-water mark − lateness) are
+        # discarded rather than merged.
+        if os.path.exists(output_path):
+            prev_max = (
+                spark_b.read.parquet(output_path)
+                .agg(F.max("window_start")).head()[0]
+            )
+            if prev_max is not None:
+                batch = batch.where(
+                    F.col("window_start") >= F.lit(prev_max - late_delta)
+                )
+                if not batch.take(1):
+                    return
         # merge with existing snapshot rows of the touched windows (late
         # events update a window that was already flushed)
         touched = [r[0] for r in batch.select("window_start").distinct().collect()]

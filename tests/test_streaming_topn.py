@@ -63,3 +63,60 @@ def test_streaming_topn_matches_batch(spark):
         assert got == want and len(got) > 0
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_watermark_drops_events_older_than_lateness(spark):
+    """sliding_window.go:237-243 isWindowLate analogue: an event whose
+    window closed before (watermark - lateness) is dropped, not merged."""
+    import datetime as dt
+    import time
+
+    cat = default_catalog(SF_SMALL)
+    schema = cat.get("g1", "measure", "metrics")
+    work = tempfile.mkdtemp(prefix="topn_late_")
+    src_dir = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+    ckpt_dir = os.path.join(work, "ckpt")
+    os.makedirs(src_dir)
+    try:
+        cols = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+        def rows(ts_list, base_id):
+            return spark.createDataFrame(
+                [(base_id + i, t, 1 + i, "click", 10.0 * (i + 1), "{}")
+                 for i, t in enumerate(ts_list)],
+                cols,
+            )
+
+        recent = dt.datetime(2024, 1, 20, 12, 30)
+        # batch 0: recent events -> watermark advances to ~recent - 1h
+        rows([recent, recent + dt.timedelta(minutes=5)], 100).coalesce(1) \
+            .write.parquet(os.path.join(src_dir, "b0"))
+        time.sleep(1.2)  # distinct mod times -> deterministic batch order
+        # batch 1: one far-late event (window long closed) + one recent
+        late = dt.datetime(2024, 1, 5, 0, 10)
+        rows([late, recent + dt.timedelta(minutes=10)], 200).coalesce(1) \
+            .write.parquet(os.path.join(src_dir, "b1"))
+
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(os.path.join(src_dir, "b0")).schema
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src_dir, "*"))
+        )
+        q = start_topn_materialization(
+            spark, stream, schema, field="value", n=3,
+            output_path=out_dir, checkpoint_path=ckpt_dir,
+            window="1 hour", lateness="1 hour",
+            sort=Sort.DESC, trigger_once=True,
+        )
+        q.awaitTermination(timeout=300)
+
+        wins = {str(r.window_start) for r in
+                spark.read.parquet(out_dir).select("window_start").distinct().collect()}
+        assert any("2024-01-20" in w for w in wins), wins
+        # the far-late window must have been dropped by the watermark
+        assert not any("2024-01-05" in w for w in wins), wins
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
