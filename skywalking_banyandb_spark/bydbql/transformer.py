@@ -202,7 +202,8 @@ def to_query(
         )
         return PropertyQuery(
             group=stmt.groups[0], name=stmt.name, ids=ids,
-            criteria=rest, projection=proj, limit=stmt.limit,
+            criteria=rest, projection=proj, order_by=order,
+            limit=stmt.limit, offset=stmt.offset or 0,
         )
     raise QueryAnalyzeError(f"unknown resource {stmt.resource}")
 

@@ -75,6 +75,10 @@ class MeasureSchema:
     # when set, reads go through spark.table() and inherit the persisted
     # hash distribution (shuffle-free dedup/group-by) instead of paths
     table: Optional[str] = None
+    # maintained _top_n_result materialization (batch materialize_topn or
+    # the streaming job); when set, TopN queries route to this table
+    # instead of recomputing from the source measure (topn_analyzer.go)
+    topn_path: Optional[str] = None
 
     kind: str = "measure"
 

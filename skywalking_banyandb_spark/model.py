@@ -201,7 +201,9 @@ class PropertyQuery:
     ids: Sequence[str] = ()
     criteria: Optional[CriteriaNode] = None
     projection: Sequence[str] = ()
+    order_by: Optional["OrderBy"] = None
     limit: Optional[int] = None
+    offset: int = 0
 
 
 @dataclass(frozen=True)

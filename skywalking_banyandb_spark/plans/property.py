@@ -44,7 +44,22 @@ def compile_property(spark: SparkSession, catalog: Catalog, q: PropertyQuery) ->
         df = df.where(pred)
 
     proj = list(q.projection) or [t.name for t in schema.tags]
+    if q.order_by and q.order_by.tag and q.order_by.tag not in proj:
+        proj.append(q.order_by.tag)
     keep = [schema.id_column] + [c for c in proj if c != schema.id_column]
-    df = df.select(*[F.col(c) for c in keep]).orderBy(F.col(schema.id_column).asc())
+    df = df.select(*[F.col(c) for c in keep])
+    if q.order_by and q.order_by.tag:
+        if q.order_by.tag not in tagmap:
+            raise QueryAnalyzeError(
+                f"order by references unknown tag {q.order_by.tag!r}"
+            )
+        from ..model import Sort
+
+        kcol = (F.col(q.order_by.tag).desc() if q.order_by.sort is Sort.DESC
+                else F.col(q.order_by.tag).asc())
+        # id tiebreak -> total order under LIMIT/OFFSET
+        df = df.orderBy(kcol, F.col(schema.id_column).asc())
+    else:
+        df = df.orderBy(F.col(schema.id_column).asc())
     limit = q.limit if q.limit is not None else DEFAULT_LIMIT
-    return limit_offset(df, limit, 0)
+    return limit_offset(df, limit, q.offset)

@@ -81,7 +81,24 @@ def compile_topn(
     ref: MeasureSchema = schemas[0]
     parts = []
     for s in schemas:
-        df = materialize_topn(spark, s, field, q.top_n, window, q.sort)
+        if s.topn_path:
+            # materialized-view routing (SURVEY §4.1, topn_analyzer.go):
+            # scan the maintained _top_n_result table instead of the source
+            # measure; re-rank to the query's N (the stored counters_number
+            # may exceed it)
+            import os as _os
+
+            if not _os.path.exists(s.topn_path):
+                raise QueryAnalyzeError(
+                    f"topn materialization {s.topn_path!r} does not exist"
+                )
+            stored = read_table(spark, s.topn_path)
+            df = per_window_top_n(
+                stored, ["window_start"], field, q.top_n, q.sort,
+                tiebreak=list(s.entity),
+            )
+        else:
+            df = materialize_topn(spark, s, field, q.top_n, window, q.sort)
         ts = F.col("window_start")
         if q.time_range.begin is not None:
             df = df.where(ts >= F.lit(q.time_range.begin))

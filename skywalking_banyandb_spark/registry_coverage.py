@@ -222,3 +222,28 @@ register(
           AND list_contains({_TOK_URL}, 'partition')
         ORDER BY doc_id LIMIT 10000""",
 )
+
+
+def _property_orderby_offset(spark: SparkSession, sf: str) -> DataFrame:
+    """Property sort + pagination (rpc.proto:74-91: criteria, sort, limit;
+    BydbQL property ORDER BY <tag> [dir] ... LIMIT ... OFFSET)."""
+    from .model import OrderBy
+    from .plans.property import compile_property
+
+    q = PropertyQuery(
+        group="g1", name="documents",
+        criteria=cond("lang", BinaryOp.NE, "de"),
+        projection=["lang", "n_chars"],
+        order_by=OrderBy("n_chars", Sort.DESC),
+        limit=40, offset=12,
+    )
+    return compile_property(spark, default_catalog(sf), q)
+
+
+register(
+    "property_orderby_offset",
+    _property_orderby_offset,
+    """SELECT doc_id, lang, n_chars FROM documents
+       WHERE lang <> 'de'
+       ORDER BY n_chars DESC, doc_id LIMIT 40 OFFSET 12""",
+)

@@ -197,3 +197,36 @@ def test_hour_granularity_segment_pruning(spark, workdir):
     df = compile_measure(spark, scat, q)
     base = compile_measure(spark, cat, q)
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_topn_routes_to_materialized_table(spark, workdir):
+    """SHOW TOP routing (topn_analyzer.go): with a maintained _top_n_result
+    table, the TopN read path scans it instead of the source measure, and
+    results equal the recompute path."""
+    import dataclasses
+
+    from skywalking_banyandb_spark.model import Sort, TimeRange, TopNQuery
+    from skywalking_banyandb_spark.plans.topn import compile_topn, materialize_topn
+
+    cat = default_catalog(SF_SMALL)
+    schema = cat.get("g1", "measure", "metrics")
+    mat_path = os.path.join(workdir, "topn_result")
+    # maintain with a larger N than the query asks for (counters_number)
+    materialize_topn(spark, schema, "value", 10, "1 hour", Sort.DESC) \
+        .write.parquet(mat_path)
+
+    mcat = default_catalog(SF_SMALL)
+    mcat.register(dataclasses.replace(schema, topn_path=mat_path))
+    q = TopNQuery(
+        groups=["g1"], name="metrics",
+        time_range=TimeRange.of("2024-01-03T00:00:00", "2024-01-08T00:00:00"),
+        top_n=3, sort=Sort.DESC,
+    )
+    routed = compile_topn(spark, mcat, q)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "topn_result" in plan          # scans the materialization...
+    assert "events.parquet" not in plan   # ...not the source measure
+
+    recomputed = compile_topn(spark, cat, q)
+    assert sorted(map(tuple, routed.collect())) == \
+           sorted(map(tuple, recomputed.collect()))
