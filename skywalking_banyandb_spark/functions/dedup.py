@@ -179,8 +179,48 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
-    return cand.join(exact, on=["a", "b"]).select("a", "b", "jaccard")
+    # Exact-Jaccard verification restricted to the CANDIDATE set — the whole
+    # point of LSH discovery: only candidate docs are re-shingled and only
+    # candidate pairs counted, so verification cost tracks the (linear)
+    # candidate volume, never the corpus's all-pairs volume.
+    ids = (
+        cand.select(F.col("a").alias("id"))
+        .unionByName(cand.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(_shingles(F.col(text_col), n)).alias("sh"),
+        )
+        .join(F.broadcast(ids), "id", "left_semi")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    common = (
+        sh.alias("x")
+        .join(sh.alias("y"), on="sh")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    verified = (
+        common.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.col("sza") + F.col("szb") - F.col("common")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    # pair-level restriction applied LAST, on the already-thresholded small
+    # result (a candidate-doc pair can still fail to band-collide)
+    return verified.join(cand, ["a", "b"], "left_semi")
 
 
 def minhash_lsh_pairs_sql(
@@ -197,7 +237,6 @@ def minhash_lsh_pairs_sql(
         )
         for b in range(BANDS)
     )
-    exact = ngram_jaccard_pairs_sql(table, id_col, text_col, n, threshold)
     return f"""
 WITH sh0 AS (
   SELECT {id_col} AS id, unnest({sh}) AS sh FROM {table}
@@ -208,6 +247,22 @@ cand AS (
   SELECT DISTINCT x.id AS a, y.id AS b
   FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh AND x.id < y.id
 ),
-exact AS ({exact})
-SELECT exact.a, exact.b, exact.jaccard FROM cand JOIN exact ON cand.a = exact.a AND cand.b = exact.b
+cand_ids AS (SELECT a AS id FROM cand UNION SELECT b AS id FROM cand),
+shc AS (SELECT * FROM sh0 WHERE id IN (SELECT id FROM cand_ids)),
+sizes AS (SELECT id, COUNT(*) AS sz FROM shc GROUP BY id),
+common AS (
+  SELECT x.id AS a, y.id AS b, COUNT(*) AS common
+  FROM shc x JOIN shc y ON x.sh = y.sh AND x.id < y.id
+  GROUP BY x.id, y.id
+),
+verified AS (
+  SELECT common.a, common.b,
+         round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.id = common.a
+  JOIN sizes sb ON sb.id = common.b
+  WHERE round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) >= {threshold}
+)
+SELECT verified.a, verified.b, verified.jaccard
+FROM verified JOIN cand ON cand.a = verified.a AND cand.b = verified.b
 """

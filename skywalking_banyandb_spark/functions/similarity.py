@@ -233,14 +233,29 @@ def ivf_topk(
 def embedding_neardup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
-    """All pairs (a < b) with cosine >= threshold (brute force)."""
-    left = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    right = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    """All pairs (a < b) with cosine >= threshold (brute force).
+
+    Two scale moves, both value-preserving:
+    - per-vector self-dot computed BEFORE the join (n folds, not 3n²; the
+      pair side then runs one fold each) — identical expressions, so the
+      rounded cosine is bit-equal to the naive form;
+    - the left side is repartitioned so the O(n²) pair work spreads over
+      the cluster instead of inheriting the (often single-partition)
+      file layout.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("_n", _dot(F.col("_v"), F.col("_v")))
+    left = base.select(F.col("_id").alias("a"), F.col("_v").alias("va"),
+                       F.col("_n").alias("na")).repartition(32, "a")
+    right = base.select(F.col("_id").alias("b"), F.col("_v").alias("vb"),
+                        F.col("_n").alias("nb"))
     pairs = left.join(right, F.col("a") < F.col("b"))
-    return (
-        pairs.select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos"))
-        .where(F.col("cos") >= threshold)
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6
     )
+    return pairs.select("a", "b", cos.alias("cos")).where(F.col("cos") >= threshold)
 
 
 def embedding_neardup_pairs_sql(table: str, id_col: str, vec_col: str, threshold: float) -> str:

@@ -177,3 +177,38 @@ register(
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
 )
+
+
+def _tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape — order priority checking: LEFT SEMI join (EXISTS) of
+    orders against late lineitems; semi joins never duplicate or widen the
+    left side, so the agg input stays one row per order."""
+    o = read_table(spark, f"{sf}/orders.parquet")
+    l = read_table(spark, f"{sf}/lineitem.parquet")
+    # synthetic lineitem has no commit/receipt dates; "late" proxy =
+    # returned lines (l_returnflag = 'R') — same EXISTS semi-join shape
+    late = l.where(F.col("l_returnflag") == "R")
+    return (
+        o.where(
+            (F.col("o_orderdate") >= F.lit(dt.datetime(1996, 7, 1)))
+            & (F.col("o_orderdate") < F.lit(dt.datetime(1996, 10, 1)))
+        )
+        .join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+register(
+    "tpch_q4_order_priority",
+    _tpch_q4,
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+         AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_returnflag = 'R')
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+)

@@ -96,3 +96,41 @@ def test_multimodal_decode_is_stubbed():
 def test_match_unknown_analyzer_errors():
     with pytest.raises(ValueError):
         analyze_term("x", "bogus")
+
+
+def test_data_binary_tag_roundtrip(spark, tmp_path):
+    """DATA_BINARY tags (schema.proto:31-39) survive the write->read path
+    and project correctly; binary is opaque (no index, no criteria)."""
+    import dataclasses
+
+    from skywalking_banyandb_spark.catalog import (
+        FieldSpec, MeasureSchema, TagSpec,
+    )
+    from skywalking_banyandb_spark.model import MeasureQuery, TimeRange
+    from skywalking_banyandb_spark.plans.measure import compile_measure
+    from skywalking_banyandb_spark.sources.writer import write_measure
+    from skywalking_banyandb_spark.catalog import Catalog
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 10, 8), 7, bytearray(b"\x00\x01\xff"), 1.5),
+         (2, dt.datetime(2024, 1, 10, 9), 7, bytearray(b"payload"), 2.5)],
+        "version long, ts timestamp, sid long, blob binary, value double",
+    )
+    schema = MeasureSchema(
+        group="g", name="bin_m", paths=(str(tmp_path / "bin_m"),),
+        ts_column="ts",
+        tags=(TagSpec("sid", "INT"), TagSpec("blob", "DATA_BINARY", indexed=False)),
+        fields=(FieldSpec("value", "FLOAT"),),
+        entity=("sid",), version_column="version",
+    )
+    write_measure(df, schema, schema.paths[0])
+    cat = Catalog(); cat.register(schema)
+    q = MeasureQuery(
+        groups=["g"], name="bin_m",
+        time_range=TimeRange.of("2024-01-01T00:00:00", "2024-02-01T00:00:00"),
+        tag_projection=["sid", "blob"], field_projection=["value"], limit=10,
+    )
+    rows = compile_measure(spark, cat, q).collect()
+    assert {bytes(r.blob) for r in rows} == {b"\x00\x01\xff", b"payload"}
+    assert all(isinstance(r.value, float) for r in rows)
