@@ -247,3 +247,27 @@ register(
        WHERE lang <> 'de'
        ORDER BY n_chars DESC, doc_id LIMIT 40 OFFSET 12""",
 )
+
+
+def _salted_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-resistant salted two-phase MEAN (operators/skew.py) — must be
+    value-identical to the direct groupBy (decimal accumulation is
+    associative), here proven against the DuckDB oracle."""
+    from .operators.dedup import latest_version
+    from .operators.skew import salted_group_agg
+    from .sources.parquet import read_table
+
+    ev = read_table(spark, f"{sf}/events.parquet",
+                    time_range=("ts", TR.begin, TR.end))
+    deduped = latest_version(ev, ["user_id"], "ts", "event_id")
+    return salted_group_agg(
+        deduped, ["event_type"], AggFunc.MEAN, "value", n_salts=8,
+    )
+
+
+register(
+    "measure_groupby_mean_salted",
+    _salted_mean,
+    f"""SELECT event_type, {SUM6.format(x='value')} / COUNT(value) AS value
+        FROM {DEDUP} GROUP BY event_type""",
+)
