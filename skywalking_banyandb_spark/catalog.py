@@ -218,6 +218,23 @@ def default_catalog(sf_dir: str) -> Catalog:
             )
         )
 
+    # g3: same measure minus the 'props' tag — the heterogeneous-schema
+    # multi-group case ("multi groups: new tag and fields" golden case:
+    # columns missing from one group come back NULL-filled)
+    cat.register(
+        MeasureSchema(
+            group="g3",
+            name="metrics",
+            paths=(ev,),
+            ts_column="ts",
+            tags=(TagSpec("user_id", "INT"), TagSpec("event_type", "STRING")),
+            fields=(FieldSpec("value", "FLOAT"),),
+            entity=("user_id",),
+            version_column="event_id",
+            interval="1 minute",
+        )
+    )
+
     # index-mode measure: same data, no version/series semantics
     cat.register(
         MeasureSchema(

@@ -99,7 +99,18 @@ def _scan_one(spark: SparkSession, schema: MeasureSchema, q: MeasureQuery) -> Da
             *schema.paths,
             time_range=(schema.ts_column, q.time_range.begin, q.time_range.end),
         )
-    keep = [c for c in _needed_columns(schema, q) if c in df.columns]
+    # restrict to columns this group's schema DECLARES: a physical file may
+    # carry more columns than the schema (shared files, schema evolution),
+    # and undeclared ones must come back NULL-filled by the multi-group
+    # union, not leak through ("multi groups: new tag and fields")
+    declared = {schema.ts_column, *schema.entity}
+    if schema.version_column:
+        declared.add(schema.version_column)
+    declared |= {t.name for t in schema.tags} | {f.name for f in schema.fields}
+    keep = [
+        c for c in _needed_columns(schema, q)
+        if c in declared and c in df.columns
+    ]
     df = df.select(*keep)
     if (
         not schema.index_mode

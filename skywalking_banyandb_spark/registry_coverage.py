@@ -271,3 +271,29 @@ register(
     f"""SELECT event_type, {SUM6.format(x='value')} / COUNT(value) AS value
         FROM {DEDUP} GROUP BY event_type""",
 )
+
+
+def _multigroup_schema_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Heterogeneous multi-group union (measure_plan_merge.go:39-176 +
+    mergeSchema): g3's schema lacks the 'props' tag, so its rows come back
+    with props NULL-filled while g1 rows carry the value."""
+    from .plans.measure import compile_measure
+
+    q = MeasureQuery(
+        groups=["g1", "g3"], name="metrics", time_range=TR,
+        criteria=cond("user_id", BinaryOp.LE, 2),
+        tag_projection=["user_id", "props"], field_projection=["value"],
+        order_by=OrderBy(None, Sort.ASC), limit=100000,
+    )
+    return compile_measure(spark, default_catalog(sf), q)
+
+
+register(
+    "measure_multigroup_schema_merge",
+    _multigroup_schema_merge,
+    f"""WITH d AS (SELECT ts, user_id, props, value FROM {DEDUP} WHERE user_id <= 2)
+        SELECT ts, user_id, props, value FROM d
+        UNION ALL
+        SELECT ts, user_id, NULL AS props, value FROM d
+        ORDER BY ts, user_id LIMIT 100000""",
+)
