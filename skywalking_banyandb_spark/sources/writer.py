@@ -189,6 +189,34 @@ def property_delete(
     _atomic_replace(current.where(~F.col(schema.id_column).isin(*list(ids))), path)
 
 
+def drop_expired_segments(path: str, ttl_days: int, now) -> int:
+    """Physical retention: delete whole ``ts_bucket=`` segment directories
+    older than the TTL — the reference's segment-drop expiry
+    (``storage.go:132-137``: retention removes segments, never row-level
+    deletes). O(#segments) directory operations, zero data scanned; the
+    read-path ``apply_ttl`` filter covers the boundary segment. Returns the
+    number of segments dropped."""
+    import datetime as dt
+
+    cutoff = now - dt.timedelta(days=ttl_days)
+    dropped = 0
+    for seg in sorted(os.listdir(path)):
+        if not seg.startswith("ts_bucket="):
+            continue
+        raw = seg.split("=", 1)[1].replace("%3A", ":").replace("+", " ")
+        try:
+            bucket = dt.datetime.fromisoformat(raw.strip())
+        except ValueError:
+            continue
+        # a bucket covers [bucket, bucket + interval); it is fully expired
+        # only when the NEXT bucket start is <= cutoff — use one-day width
+        # (the coarsest interval) to stay conservative for day buckets
+        if bucket + dt.timedelta(days=1) <= cutoff:
+            shutil.rmtree(os.path.join(path, seg), ignore_errors=True)
+            dropped += 1
+    return dropped
+
+
 def apply_ttl(df: DataFrame, ts_column: str, ttl_days: int, now) -> DataFrame:
     """Retention filter — segment-drop TTL (``storage.go:132-137``) expressed
     as a read-path predicate; on the partitioned layout it prunes whole

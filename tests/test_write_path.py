@@ -85,3 +85,32 @@ def test_ttl_retention(spark):
     assert kept.count() > 0
     assert kept.agg(F.min("ts")).head()[0] >= now - dt.timedelta(days=7)
     assert kept.count() < ev.count()
+
+
+def test_drop_expired_segments(spark, workdir):
+    """Physical TTL: whole expired ts_bucket directories are removed;
+    surviving data and the boundary segment stay intact."""
+    import datetime as dt
+
+    from skywalking_banyandb_spark.sources.writer import drop_expired_segments
+
+    cat = default_catalog(SF_SMALL)
+    schema = cat.get("g1", "measure", "metrics")
+    ev = read_table(spark, f"{SF_SMALL}/events.parquet")
+    path = os.path.join(workdir, "metrics_ttl")
+    write_measure(ev, schema, path)
+
+    before = {d for d in os.listdir(path) if d.startswith("ts_bucket=")}
+    # data spans 2024-01; retain 10 days as of 2024-01-31 -> drop < 2024-01-20
+    now = dt.datetime(2024, 1, 31)
+    n = drop_expired_segments(path, ttl_days=10, now=now)
+    after = {d for d in os.listdir(path) if d.startswith("ts_bucket=")}
+    assert n == len(before) - len(after) and n > 0
+    # every surviving row is within (or on the boundary of) the window
+    remaining = spark.read.parquet(path)
+    min_ts = remaining.agg(F.min("ts")).head()[0]
+    assert min_ts >= dt.datetime(2024, 1, 20)
+    # expired rows are gone, recent rows intact
+    keep_want = ev.where(F.col("ts") >= F.lit(dt.datetime(2024, 1, 21))).count()
+    keep_got = remaining.where(F.col("ts") >= F.lit(dt.datetime(2024, 1, 21))).count()
+    assert keep_got == keep_want
