@@ -167,7 +167,7 @@ def to_query(
             groups=stmt.groups, name=stmt.name, time_range=tr,
             criteria=stmt.where, tag_projection=tags, field_projection=fields,
             group_by=stmt.group_by, agg=agg, top=top, order_by=order,
-            limit=stmt.limit, offset=stmt.offset or 0,
+            limit=stmt.limit, offset=stmt.offset or 0, stages=stmt.stages,
         )
     if stmt.resource == "STREAM":
         proj = () if stmt.projection in ("*", "()") else tuple(
@@ -184,7 +184,7 @@ def to_query(
         return StreamQuery(
             groups=stmt.groups, name=stmt.name, time_range=tr,
             criteria=stmt.where, projection=proj, order_by=order,
-            limit=limit, offset=stmt.offset or 0,
+            limit=limit, offset=stmt.offset or 0, stages=stmt.stages,
         )
     if stmt.resource == "TRACE":
         proj = () if stmt.projection in ("*", "()") else tuple(
@@ -193,7 +193,7 @@ def to_query(
         return TraceQuery(
             groups=stmt.groups, name=stmt.name, time_range=tr,
             criteria=stmt.where, projection=proj, order_by=order,
-            limit=stmt.limit, offset=stmt.offset or 0,
+            limit=stmt.limit, offset=stmt.offset or 0, stages=stmt.stages,
         )
     if stmt.resource == "PROPERTY":
         ids, rest = _extract_ids(stmt.where)

@@ -55,6 +55,44 @@ class FieldSpec:
 
 
 @dataclass(frozen=True)
+class StageSpec:
+    """One lifecycle stage (hot/warm/cold) of a group's data —
+    ``common.proto:65-93`` LifecycleStage. The reference routes a stage to a
+    node selector; here a stage owns a subset of the resource's paths (e.g.
+    hot = recent ts buckets on fast storage, cold = archived buckets), which
+    is the Spark-native analogue: stage selection = path-set selection, and
+    partition pruning still applies within each stage."""
+
+    name: str
+    paths: Tuple[str, ...]
+
+
+def resolve_stage_paths(schema, stages: Sequence[str]) -> Tuple[str, ...]:
+    """Stage routing (``banyand/dquery/dquery.go:161-192`` parseNodeSelector):
+    empty request -> the schema's ``default_stages``; names match
+    case-insensitively; unknown names are skipped; if nothing resolves the
+    query is unrestricted (all paths)."""
+    declared = getattr(schema, "stages", ()) or ()
+    if not declared:
+        return tuple(schema.paths)
+    want = list(stages) or list(getattr(schema, "default_stages", ()) or ())
+    if not want:
+        return tuple(schema.paths)
+    by_name = {s.name.lower(): s for s in declared}
+    out: list = []
+    for name in want:
+        hit = by_name.get(name.lower())
+        if hit is not None:
+            out.extend(hit.paths)
+    if not out:
+        return tuple(schema.paths)
+    # preserve order, drop duplicates (a path may belong to several stages)
+    seen = set()
+    uniq = [p for p in out if not (p in seen or seen.add(p))]
+    return tuple(uniq)
+
+
+@dataclass(frozen=True)
 class MeasureSchema:
     """A measure = numeric time series with tags+fields, upsert by version
     (``schema.proto:105-127``)."""
@@ -79,6 +117,10 @@ class MeasureSchema:
     # the streaming job); when set, TopN queries route to this table
     # instead of recomputing from the source measure (topn_analyzer.go)
     topn_path: Optional[str] = None
+    # lifecycle stages (ResourceOpts.stages, common.proto:65-93); see
+    # resolve_stage_paths for the ON ... STAGES routing semantics
+    stages: Tuple["StageSpec", ...] = ()
+    default_stages: Tuple[str, ...] = ()
 
     kind: str = "measure"
 
@@ -106,6 +148,8 @@ class StreamSchema:
     ts_column: str
     element_id_column: str
     tags: Tuple[TagSpec, ...]
+    stages: Tuple["StageSpec", ...] = ()
+    default_stages: Tuple[str, ...] = ()
 
     kind: str = "stream"
 
@@ -129,6 +173,8 @@ class TraceSchema:
     span_id_column: str
     span_column: Optional[str]
     tags: Tuple[TagSpec, ...]
+    stages: Tuple["StageSpec", ...] = ()
+    default_stages: Tuple[str, ...] = ()
 
     kind: str = "trace"
 
@@ -162,14 +208,38 @@ ResourceSchema = object  # union of the four dataclasses above
 
 
 class Catalog:
-    """(group, kind, name) -> resource schema registry."""
+    """(group, kind, name) -> resource schema registry.
+
+    Each group carries a monotonically increasing ``mod_revision`` (bumped on
+    every schema register), mirroring the etcd mod-revision the reference
+    exposes for per-group gating (``measure/v1/query.proto:151-154``
+    group_mod_revisions: a query pinned to a revision fails if the group's
+    schema changed since the client cached it)."""
 
     def __init__(self) -> None:
         self._resources: Dict[Tuple[str, str, str], ResourceSchema] = {}
+        self._revisions: Dict[str, int] = {}
 
     def register(self, schema: ResourceSchema) -> None:
         key = (schema.group, schema.kind, schema.name)
         self._resources[key] = schema
+        self._revisions[schema.group] = self._revisions.get(schema.group, 0) + 1
+
+    def mod_revision(self, group: str) -> int:
+        return self._revisions.get(group, 0)
+
+    def check_revisions(self, expected: Dict[str, int]) -> None:
+        """Fail fast when a pinned group revision is stale — the reference
+        rejects the query rather than answering from a changed schema."""
+        from .errors import QueryAnalyzeError
+
+        for group, rev in (expected or {}).items():
+            have = self.mod_revision(group)
+            if have != rev:
+                raise QueryAnalyzeError(
+                    f"group {group!r} schema revision changed "
+                    f"(expected {rev}, have {have})"
+                )
 
     def get(self, group: str, kind: str, name: str) -> ResourceSchema:
         try:

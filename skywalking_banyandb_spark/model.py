@@ -160,6 +160,11 @@ class MeasureQuery:
     order_by: Optional[OrderBy] = None
     limit: Optional[int] = None
     offset: int = 0
+    # lifecycle stages to read (measure/v1/query.proto:147-148); empty ->
+    # the group's default stages (dquery.go:161-192)
+    stages: Sequence[str] = ()
+    # pinned schema revisions (measure/v1/query.proto:151-154): {} = no gate
+    group_mod_revisions: Optional[dict] = None
 
 
 @dataclass(frozen=True)
@@ -174,6 +179,7 @@ class StreamQuery:
     order_by: Optional[OrderBy] = None
     limit: Optional[int] = None
     offset: int = 0
+    stages: Sequence[str] = ()
 
 
 @dataclass(frozen=True)
@@ -190,6 +196,7 @@ class TraceQuery:
     order_by: Optional[OrderBy] = None
     limit: Optional[int] = None
     offset: int = 0
+    stages: Sequence[str] = ()
 
 
 @dataclass(frozen=True)

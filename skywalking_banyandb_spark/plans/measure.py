@@ -93,10 +93,12 @@ def _scan_one(spark: SparkSession, schema: MeasureSchema, q: MeasureQuery) -> Da
             df = df.where(F.col(schema.ts_column) < F.lit(end))
         df = prune_ts_buckets(df, begin, end)
     else:
+        from ..catalog import resolve_stage_paths
+
         # half-open [begin, end) applied on the raw scan column (pushdown-able)
         df = read_table(
             spark,
-            *schema.paths,
+            *resolve_stage_paths(schema, q.stages),
             time_range=(schema.ts_column, q.time_range.begin, q.time_range.end),
         )
     # restrict to columns this group's schema DECLARES: a physical file may
@@ -145,6 +147,8 @@ def agg_expr(func: AggFunc, field: str, field_type: str) -> Column:
 
 
 def compile_measure(spark: SparkSession, catalog: Catalog, q: MeasureQuery) -> DataFrame:
+    if q.group_mod_revisions:
+        catalog.check_revisions(q.group_mod_revisions)
     schemas: List[MeasureSchema] = catalog.get_many(q.groups, "measure", q.name)
     ref = schemas[0]
     tagmap = _schema_tagmap(ref)

@@ -46,10 +46,12 @@ def compile_trace(spark: SparkSession, catalog: Catalog, q: TraceQuery) -> DataF
     tagmap = _tagmap(ref)
     pred = compile_criteria(q.criteria, tagmap)
 
+    from ..catalog import resolve_stage_paths
+
     parts = []
     for s in schemas:
         df = read_table(
-            spark, *s.paths,
+            spark, *resolve_stage_paths(s, q.stages),
             time_range=(s.ts_column, q.time_range.begin, q.time_range.end),
         )
         if pred is not None:

@@ -212,3 +212,169 @@ register(
                        AND l_returnflag = 'R')
        GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 )
+
+
+def _tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item reporting: one big fact join
+    (lineitem x orders, shuffled on orderkey) with the two small dims
+    (customer, nation) broadcast; top 20 by a decimal-accumulated revenue
+    with a unique custkey tiebreak for a total order."""
+    c = read_table(spark, f"{sf}/customer.parquet")
+    o = read_table(spark, f"{sf}/orders.parquet")
+    l = read_table(spark, f"{sf}/lineitem.parquet")
+    n = read_table(spark, f"{sf}/nation.parquet")
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
+    return (
+        l.where(F.col("l_returnflag") == "R")
+        .join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit(dt.datetime(1996, 10, 1)))
+                & (F.col("o_orderdate") < F.lit(dt.datetime(1997, 1, 1)))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+register(
+    "tpch_q10_returned_items",
+    _tpch_q10,
+    f"""SELECT c_custkey, c_name, c_acctbal, n_name,
+        {SUM6.format(x='l_extendedprice * (1.0 - l_discount)')} AS revenue
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+
+
+def _tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape — promotion effect: conditional aggregation after a
+    broadcast join with part; single global result, no second shuffle."""
+    l = read_table(spark, f"{sf}/lineitem.parquet")
+    p = read_table(spark, f"{sf}/part.parquet")
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
+    promo = F.when(F.col("p_type").startswith("PROMO"), revenue).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit(dt.datetime(1996, 9, 1)))
+            & (F.col("l_shipdate") < F.lit(dt.datetime(1996, 10, 1)))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(revenue).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+register(
+    "tpch_q14_promo_effect",
+    _tpch_q14,
+    f"""SELECT 100.0 * {SUM6.format(
+        x="CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END"
+    )} / {SUM6.format(x='l_extendedprice * (1.0 - l_discount)')} AS promo_revenue
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'""",
+)
+
+
+def _tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume customers: self-aggregated fact used
+    as a semi-join filter (the HAVING subquery), then re-join and final
+    group. Both lineitem passes shuffle on l_orderkey only; the qualifying
+    key set is tiny, so it broadcasts into the second pass."""
+    c = read_table(spark, f"{sf}/customer.parquet")
+    o = read_table(spark, f"{sf}/orders.parquet")
+    l = read_table(spark, f"{sf}/lineitem.parquet")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("q"))
+        .where(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+register(
+    "tpch_q18_large_volume",
+    _tpch_q18,
+    f"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        {SUM6.format(x='l_quantity')} AS sum_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(24,6))) > 150)
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+)
+
+
+def _rollup_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY ROLLUP — subtotal hierarchy (event_type, day) in ONE pass:
+    Spark expands grouping sets inside a single hash aggregate instead of
+    unioning three scans (SURVEY §2.4 lists grouping sets as a free Spark
+    extension beyond the reference's operator set)."""
+    ev = read_table(spark, f"{sf}/events.parquet")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    return (
+        ev.select(F.col("event_type"), day, F.col("value"))
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )
+
+
+register(
+    "rollup_events_daily",
+    _rollup_daily,
+    f"""SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        COUNT(*) AS n, {SUM6.format(x='value')} AS sum_value
+        FROM events
+        GROUP BY ROLLUP (event_type, date_trunc('day', ts))""",
+)
+
+
+def _count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group — Spark plans this as a two-stage
+    expand + aggregate, still one shuffle on the group key."""
+    ev = read_table(spark, f"{sf}/events.parquet")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("distinct_users"))
+        .orderBy("event_type")
+    )
+
+
+register(
+    "measure_count_distinct",
+    _count_distinct,
+    """SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
+       FROM events GROUP BY event_type ORDER BY event_type""",
+)

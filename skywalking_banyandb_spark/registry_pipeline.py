@@ -12,6 +12,7 @@ from .functions import dedup as dd
 from .functions import multimodal as mm
 from .functions import similarity as sim
 from .functions import text as tx
+from .functions.analyzers import tokens_sql
 from .registry import register
 from .sources.parquet import read_table
 
@@ -167,4 +168,67 @@ register(
     "multimodal_features",
     _multimodal_features,
     mm.extract_features_sql("documents", "doc_id", "text"),
+)
+
+
+# -- dataset management for training pipelines ------------------------------
+
+def _train_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test split — hash-bucket on a stable key
+    (md5 of doc_id), NOT random sampling: reproducible across runs, engines
+    and re-partitions, and a doc keeps its split when the corpus grows. The
+    bucketing is a narrow map over the scan (no shuffle); the count is one
+    partial+final agg."""
+    d = _docs(spark, sf)
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+                    ).cast("bigint") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split")
+    )
+
+
+register(
+    "documents_train_split",
+    _train_split,
+    """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+              ELSE 'test' END AS split, COUNT(*) AS n_docs
+       FROM (SELECT ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+                   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+                   + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 100 AS b
+             FROM (SELECT md5(CAST(doc_id AS VARCHAR)) AS h FROM documents))
+       GROUP BY split ORDER BY split""",
+)
+
+
+def _vocab_top_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary building: explode standard-analyzer tokens, count corpus
+    frequency, keep the top 50 (token tiebreak for a total order). The
+    explode is map-side; the single shuffle is the token group-by, and the
+    final top-k is a TakeOrdered, not a full sort."""
+    from .functions.analyzers import tokens
+
+    d = _docs(spark, sf)
+    return (
+        d.select(F.explode(tokens(F.col("text"), "standard")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+register(
+    "vocab_top_tokens",
+    _vocab_top_tokens,
+    f"""SELECT token, COUNT(*) AS freq
+        FROM (SELECT unnest({tokens_sql('text', 'standard')}) AS token
+              FROM documents)
+        GROUP BY token ORDER BY freq DESC, token LIMIT 50""",
 )

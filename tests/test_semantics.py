@@ -134,3 +134,29 @@ def test_data_binary_tag_roundtrip(spark, tmp_path):
     rows = compile_measure(spark, cat, q).collect()
     assert {bytes(r.blob) for r in rows} == {b"\x00\x01\xff", b"payload"}
     assert all(isinstance(r.value, float) for r in rows)
+
+
+def test_group_mod_revision_gate(spark):
+    """Per-group gating (measure/v1/query.proto:151-154): a query pinned to
+    a schema revision fails fast once the group's schema changes; the
+    current revision still passes."""
+    from skywalking_banyandb_spark.catalog import default_catalog
+    from skywalking_banyandb_spark.model import MeasureQuery, TimeRange
+    from skywalking_banyandb_spark.plans.measure import compile_measure
+
+    cat = default_catalog("/root/testdata/sf0.001")
+    rev = cat.mod_revision("g1")
+    q = MeasureQuery(
+        groups=["g1"], name="metrics",
+        time_range=TimeRange.of("2024-01-01T00:00:00", "2024-02-01T00:00:00"),
+        limit=1, group_mod_revisions={"g1": rev},
+    )
+    assert compile_measure(spark, cat, q).count() == 1
+
+    # schema change bumps the revision -> pinned query now rejected
+    cat.register(cat.get("g1", "measure", "metrics"))
+    import dataclasses
+
+    stale = dataclasses.replace(q, group_mod_revisions={"g1": rev})
+    with pytest.raises(QueryAnalyzeError, match="revision"):
+        compile_measure(spark, cat, stale)

@@ -1,0 +1,155 @@
+"""Lifecycle-stage routing (``ON ... STAGES``): hot/warm path selection at
+plan time — the Spark-native analogue of the reference's stage → node-selector
+routing (``banyand/dquery/dquery.go:161-192`` parseNodeSelector,
+``common.proto:65-93`` LifecycleStage, ``measure/v1/query.proto:147-148``).
+
+A stage owns a subset of the resource's paths; stage selection = path-set
+selection, so the scan never opens files outside the chosen tiers (the
+100 TB analogue: cold object-store data is untouched unless asked for)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from skywalking_banyandb_spark.bydbql.transformer import execute
+from skywalking_banyandb_spark.catalog import (
+    Catalog,
+    FieldSpec,
+    MeasureSchema,
+    StageSpec,
+    StreamSchema,
+    TagSpec,
+    resolve_stage_paths,
+)
+from skywalking_banyandb_spark.model import MeasureQuery, StreamQuery, TimeRange
+from skywalking_banyandb_spark.plans.measure import compile_measure
+from skywalking_banyandb_spark.plans.stream import compile_stream
+from skywalking_banyandb_spark.sources.parquet import read_table
+
+from conftest import SF_SMALL
+
+CUTOFF = dt.datetime(2024, 1, 16)
+
+
+@pytest.fixture(scope="module")
+def staged(spark):
+    """events split into hot (ts >= Jan 16) and warm (ts < Jan 16) dirs."""
+    d = tempfile.mkdtemp(prefix="stages_")
+    ev = read_table(spark, f"{SF_SMALL}/events.parquet")
+    hot, warm = os.path.join(d, "hot"), os.path.join(d, "warm")
+    ev.where(F.col("ts") >= F.lit(CUTOFF)).write.parquet(hot)
+    ev.where(F.col("ts") < F.lit(CUTOFF)).write.parquet(warm)
+    cat = Catalog()
+    tags = (TagSpec("user_id", "INT"), TagSpec("event_type", "STRING"))
+    cat.register(
+        MeasureSchema(
+            group="g1", name="metrics", paths=(hot, warm), ts_column="ts",
+            tags=tags, fields=(FieldSpec("value", "FLOAT"),),
+            entity=("user_id",), version_column="event_id",
+            stages=(StageSpec("hot", (hot,)), StageSpec("warm", (warm,))),
+            default_stages=("hot",),
+        )
+    )
+    cat.register(
+        StreamSchema(
+            group="g1", name="event_log", paths=(hot, warm), ts_column="ts",
+            element_id_column="event_id",
+            tags=(*tags, TagSpec("value", "FLOAT")),
+            stages=(StageSpec("hot", (hot,)), StageSpec("warm", (warm,))),
+            default_stages=("hot", "warm"),
+        )
+    )
+    yield cat
+    shutil.rmtree(d, ignore_errors=True)
+
+
+TR = TimeRange.of("2024-01-01T00:00:00", "2024-02-01T00:00:00")
+
+
+def _counts(spark):
+    ev = read_table(spark, f"{SF_SMALL}/events.parquet")
+    from skywalking_banyandb_spark.operators.dedup import latest_version
+
+    dd = latest_version(ev, ["user_id"], "ts", "event_id")
+    hot = dd.where(F.col("ts") >= F.lit(CUTOFF)).count()
+    warm = dd.where(F.col("ts") < F.lit(CUTOFF)).count()
+    return hot, warm
+
+
+def test_default_stages_apply(spark, staged):
+    """No stages in the query -> the group's default_stages (hot only)."""
+    hot, _ = _counts(spark)
+    q = MeasureQuery(groups=["g1"], name="metrics", time_range=TR, limit=10**9)
+    got = compile_measure(spark, staged, q)
+    assert got.count() == hot
+    assert got.agg(F.min("ts")).head()[0] >= CUTOFF
+
+
+def test_explicit_stage_selects_tier(spark, staged):
+    _, warm = _counts(spark)
+    q = MeasureQuery(
+        groups=["g1"], name="metrics", time_range=TR, limit=10**9,
+        stages=("WARM",),  # case-insensitive match (dquery.go EqualFold)
+    )
+    got = compile_measure(spark, staged, q)
+    assert got.count() == warm
+    assert got.agg(F.max("ts")).head()[0] < CUTOFF
+
+
+def test_all_stages_and_unknown_fallback(spark, staged):
+    hot, warm = _counts(spark)
+    both = MeasureQuery(
+        groups=["g1"], name="metrics", time_range=TR, limit=10**9,
+        stages=("hot", "warm"),
+    )
+    assert compile_measure(spark, staged, both).count() == hot + warm
+    # unknown stage names resolve to nothing -> unrestricted (dquery.go
+    # returns no selector and the query fans out to all nodes)
+    unk = MeasureQuery(
+        groups=["g1"], name="metrics", time_range=TR, limit=10**9,
+        stages=("frozen",),
+    )
+    assert compile_measure(spark, staged, unk).count() == hot + warm
+
+
+def test_scan_only_opens_selected_stage(spark, staged):
+    """The physical plan reads only the chosen tier's files."""
+    schema = staged.get("g1", "measure", "metrics")
+    hot_paths = resolve_stage_paths(schema, ("hot",))
+    assert len(hot_paths) == 1 and hot_paths[0].endswith("hot")
+    q = MeasureQuery(
+        groups=["g1"], name="metrics", time_range=TR, stages=("hot",),
+    )
+    plan = compile_measure(spark, staged, q)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "/hot" in plan and "/warm" not in plan
+
+
+def test_bydbql_on_stages(spark, staged):
+    """ON ... STAGES through the full BydbQL front end, measure + stream."""
+    hot, warm = _counts(spark)
+    got = execute(
+        spark, staged,
+        "SELECT * FROM MEASURE metrics IN g1 ON warm STAGES "
+        "TIME BETWEEN '2024-01-01T00:00:00' AND '2024-02-01T00:00:00' "
+        "LIMIT 1000000",
+    )
+    assert got.count() == warm
+    # stream defaults cover both tiers; explicit ON (hot) narrows
+    s_all = compile_stream(
+        spark, staged,
+        StreamQuery(groups=["g1"], name="event_log", time_range=TR, limit=10**9),
+    ).count()
+    s_hot = execute(
+        spark, staged,
+        "SELECT * FROM STREAM event_log IN g1 ON (hot) STAGES "
+        "TIME BETWEEN '2024-01-01T00:00:00' AND '2024-02-01T00:00:00' "
+        "LIMIT 1000000",
+    ).count()
+    assert s_hot < s_all
