@@ -232,3 +232,35 @@ register(
               FROM documents)
         GROUP BY token ORDER BY freq DESC, token LIMIT 50""",
 )
+
+
+def _stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling — per language stratum keep the 20
+    docs with the smallest md5(doc_id): reproducible (no RNG state), and at
+    scale it is one shuffle on the stratum key with a rank that never sorts
+    a whole stratum (window Top-K lowers to a partial sort + per-key heap
+    under AQE; strata counts stay balanced regardless of corpus skew)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf)
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc())
+    return (
+        d.select("doc_id", "lang", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+register(
+    "documents_stratified_sample",
+    _stratified_sample,
+    """SELECT doc_id, lang FROM (
+         SELECT doc_id, lang,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+         FROM documents)
+       WHERE rn <= 20 ORDER BY lang, doc_id""",
+)

@@ -106,3 +106,37 @@ def test_no_python_udf_in_banyandb_paths(spark):
             continue
         plan = _plan(fn(spark, SF_SMALL))
         assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
+
+
+def test_tpch_q10_q14_q18_join_strategies(spark):
+    """The new analytics entries keep their intended physical shape:
+    dims broadcast (no fact shuffle for them), semi-join filter in q18
+    broadcast, partial aggregation everywhere."""
+    from skywalking_banyandb_spark import registry
+
+    qs = registry.queries()
+    p10 = _plan(qs["tpch_q10_returned_items"](spark, SF_SMALL))
+    # customer + nation broadcast; the only shuffle join key is l_orderkey
+    assert p10.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p10
+
+    p14 = _plan(qs["tpch_q14_promo_effect"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in p14 and "SortMergeJoin" not in p14
+    # shipdate range is pushed to the lineitem scan
+    assert "PushedFilters" in p14 and "GreaterThanOrEqual(l_shipdate" in p14
+
+    p18 = _plan(qs["tpch_q18_large_volume"](spark, SF_SMALL))
+    # the qualifying-orders set and customer dim come in as broadcasts;
+    # the semi join never widens lineitem
+    assert "LeftSemi" in p18 and p18.count("BroadcastHashJoin") >= 2
+    assert "HashAggregate" in p18
+
+
+def test_rollup_single_pass(spark):
+    """ROLLUP lowers to Expand + one partial/final HashAggregate pair —
+    not a union of three scans."""
+    from skywalking_banyandb_spark import registry
+
+    plan = _plan(registry.queries()["rollup_events_daily"](spark, SF_SMALL))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
