@@ -149,3 +149,40 @@ register(
     HAVING COUNT(*) > 1
     ORDER BY cluster_id""",
 )
+
+
+def _downsample_5m(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval downsampling (the series-resolution change implied by the
+    measure ``interval``, SURVEY §2.7): tumbling 5-minute buckets per
+    entity-group key, one shuffle on (bucket, key), decimal-deterministic
+    mean. ``F.window`` is a narrow projection — the bucket is computed
+    map-side, so partition pruning and pushdown on ts still apply."""
+    ev = read_table(spark, f"{sf}/events.parquet")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "5 minutes").getField("start").alias("bucket"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("value").cast("decimal(24,6)")).cast("double")
+                / F.count(F.col("value"))
+            ).alias("avg_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+register(
+    "measure_downsample_5m",
+    _downsample_5m,
+    """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS bucket, event_type,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / COUNT(value)
+                  AS avg_value,
+              MAX(value) AS max_value
+       FROM events GROUP BY bucket, event_type
+       ORDER BY bucket, event_type""",
+)
