@@ -37,13 +37,40 @@ def _as_list(value: Any) -> Sequence[Any]:
     return [value]
 
 
-def compile_condition(c: Condition, schema_tags: Dict[str, Optional[str]]) -> Column:
+def compile_condition(
+    c: Condition,
+    schema_tags: Dict[str, Optional[str]],
+    tag_types: Optional[Dict[str, str]] = None,
+) -> Column:
     """Compile one condition. ``schema_tags`` maps known tag/field name ->
-    analyzer (or None)."""
+    analyzer (or None); ``tag_types`` (optional) maps name -> declared
+    BanyanDB type for op/type validation."""
     if c.tag not in schema_tags:
         raise QueryAnalyzeError(f"filter references unknown tag {c.tag!r}")
     col = F.col(c.tag)
     op = c.op
+    ttype = (tag_types or {}).get(c.tag)
+
+    # op/type legality (tag_filter.go:174-189; golden cases
+    # gen_err_in_scalar / gen_err_match_int are WantErr)
+    if op in (BinaryOp.IN, BinaryOp.NOT_IN) and ttype in (
+        "STRING_ARRAY", "INT_ARRAY",
+    ):
+        raise QueryAnalyzeError(
+            f"{'not in' if op is BinaryOp.NOT_IN else 'in'} condition is "
+            f"not supported for array type (tag {c.tag!r})"
+        )
+    if op is BinaryOp.MATCH and ttype not in (None, "STRING", "STRING_ARRAY"):
+        raise QueryAnalyzeError(
+            f"match condition requires an analyzed string tag, "
+            f"{c.tag!r} is {ttype}"
+        )
+    if op in (BinaryOp.HAVING, BinaryOp.NOT_HAVING) and ttype not in (
+        None, "STRING_ARRAY", "INT_ARRAY",
+    ):
+        raise QueryAnalyzeError(
+            f"having condition requires an array tag, {c.tag!r} is {ttype}"
+        )
 
     if op is BinaryOp.EQ:
         return col.isNull() if c.value is None else (col == F.lit(c.value))
@@ -94,15 +121,30 @@ def criteria_tags(node: Optional[CriteriaNode]) -> set:
     return criteria_tags(node.left) | criteria_tags(node.right)
 
 
-def compile_criteria(node: Optional[CriteriaNode], schema_tags: Dict[str, Optional[str]]) -> Optional[Column]:
+def compile_criteria(
+    node: Optional[CriteriaNode],
+    schema_tags: Dict[str, Optional[str]],
+    tag_types: Optional[Dict[str, str]] = None,
+) -> Optional[Column]:
     """Compile the AND/OR tree; ``None`` criteria -> no filter."""
     if node is None:
         return None
     if isinstance(node, Condition):
-        return compile_condition(node, schema_tags)
+        return compile_condition(node, schema_tags, tag_types)
     if isinstance(node, Criteria):
-        left = compile_criteria(node.left, schema_tags)
-        right = compile_criteria(node.right, schema_tags)
+        left = compile_criteria(node.left, schema_tags, tag_types)
+        right = compile_criteria(node.right, schema_tags, tag_types)
         assert left is not None and right is not None
         return (left & right) if node.op is LogicalOp.AND else (left | right)
     raise QueryAnalyzeError(f"bad criteria node {node!r}")
+
+
+def types_of(schema) -> Dict[str, str]:
+    """Declared tag/field types of any resource schema, for
+    :func:`compile_condition` op/type validation."""
+    out: Dict[str, str] = {}
+    for t in getattr(schema, "tags", ()):
+        out[t.name] = t.type
+    for f in getattr(schema, "fields", ()):
+        out[f.name] = f.type
+    return out

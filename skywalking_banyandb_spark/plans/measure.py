@@ -38,7 +38,7 @@ from ..catalog import Catalog, MeasureSchema
 from ..errors import QueryAnalyzeError
 from ..model import AggFunc, MeasureQuery, Sort, DEFAULT_LIMIT
 from ..sources.parquet import read_table
-from ..operators.criteria import compile_criteria, criteria_tags
+from ..operators.criteria import compile_criteria, criteria_tags, types_of
 from ..operators.dedup import latest_version
 from ..operators.merge import union_groups
 from ..operators.topk import limit_offset, top_n
@@ -161,7 +161,7 @@ def compile_measure(spark: SparkSession, catalog: Catalog, q: MeasureQuery) -> D
         if ref.field(name) is None:
             raise QueryAnalyzeError(f"projection references unknown field {name!r}")
 
-    pred = compile_criteria(q.criteria, tagmap)
+    pred = compile_criteria(q.criteria, tagmap, types_of(ref))
     parts = []
     for s in schemas:
         df = _scan_one(spark, s, q)

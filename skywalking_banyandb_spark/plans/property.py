@@ -18,7 +18,7 @@ from ..catalog import Catalog, PropertySchema
 from ..errors import QueryAnalyzeError
 from ..model import PropertyQuery, DEFAULT_LIMIT
 from ..sources.parquet import read_table
-from ..operators.criteria import compile_criteria
+from ..operators.criteria import compile_criteria, types_of
 from ..operators.topk import limit_offset
 
 
@@ -35,7 +35,7 @@ def compile_property(spark: SparkSession, catalog: Catalog, q: PropertyQuery) ->
     for name in q.projection:
         if name not in tagmap:
             raise QueryAnalyzeError(f"projection references unknown tag {name!r}")
-    pred = compile_criteria(q.criteria, tagmap)
+    pred = compile_criteria(q.criteria, tagmap, types_of(schema))
 
     df = read_table(spark, *schema.paths)
     if q.ids:

@@ -19,7 +19,7 @@ from ..catalog import Catalog, StreamSchema
 from ..errors import QueryAnalyzeError
 from ..model import Sort, StreamQuery, DEFAULT_LIMIT
 from ..sources.parquet import read_table
-from ..operators.criteria import compile_criteria
+from ..operators.criteria import compile_criteria, types_of
 from ..operators.dedup import distinct_element
 from ..operators.merge import union_groups
 from ..operators.topk import limit_offset
@@ -42,7 +42,7 @@ def compile_stream(spark: SparkSession, catalog: Catalog, q: StreamQuery) -> Dat
     for name in q.projection:
         if name not in tagmap:
             raise QueryAnalyzeError(f"projection references unknown tag {name!r}")
-    pred = compile_criteria(q.criteria, tagmap)
+    pred = compile_criteria(q.criteria, tagmap, types_of(ref))
 
     from ..catalog import resolve_stage_paths
 

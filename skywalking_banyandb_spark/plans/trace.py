@@ -24,7 +24,7 @@ from ..catalog import Catalog, TraceSchema
 from ..errors import QueryAnalyzeError
 from ..model import Sort, TraceQuery, DEFAULT_LIMIT
 from ..sources.parquet import read_table
-from ..operators.criteria import compile_criteria
+from ..operators.criteria import compile_criteria, types_of
 from ..operators.merge import union_groups
 from ..operators.topk import limit_offset
 
@@ -44,7 +44,7 @@ def compile_trace(spark: SparkSession, catalog: Catalog, q: TraceQuery) -> DataF
     schemas: List[TraceSchema] = catalog.get_many(q.groups, "trace", q.name)
     ref = schemas[0]
     tagmap = _tagmap(ref)
-    pred = compile_criteria(q.criteria, tagmap)
+    pred = compile_criteria(q.criteria, tagmap, types_of(ref))
 
     from ..catalog import resolve_stage_paths
 

@@ -149,3 +149,49 @@ def test_bydbql_empty_result(spark):
                  "SELECT * FROM MEASURE metrics IN g1 "
                  "TIME > '2030-01-01T00:00:00Z' LIMIT 10", NOW)
     assert df.count() == 0
+
+
+def test_op_type_legality_errors(spark):
+    """Reference op/type legality (tag_filter.go:174-189; golden WantErr
+    cases gen_err_in_scalar spirit, gen_err_match_int): IN on an array tag,
+    MATCH on an int tag, HAVING on a scalar tag are analyze-time errors."""
+    from skywalking_banyandb_spark.catalog import (
+        Catalog, MeasureSchema, TagSpec, FieldSpec,
+    )
+
+    cat = Catalog()
+    cat.register(MeasureSchema(
+        group="g", name="m", paths=(f"{SF_SMALL}/events.parquet",),
+        ts_column="ts",
+        tags=(
+            TagSpec("user_id", "INT"),
+            TagSpec("event_type", "STRING"),
+            TagSpec("labels", "STRING_ARRAY", indexed=False),
+        ),
+        fields=(FieldSpec("value", "FLOAT"),),
+        entity=("user_id",), version_column="event_id",
+    ))
+
+    def q(criteria):
+        return MeasureQuery(groups=["g"], name="m", time_range=TR,
+                            criteria=criteria, limit=10)
+
+    with pytest.raises(QueryAnalyzeError, match="array type"):
+        compile_measure(spark, cat, q(cond("labels", BinaryOp.IN, ["a"])))
+    with pytest.raises(QueryAnalyzeError, match="array type"):
+        compile_measure(spark, cat, q(cond("labels", BinaryOp.NOT_IN, ["a"])))
+    with pytest.raises(QueryAnalyzeError, match="string"):
+        compile_measure(spark, cat, q(cond("user_id", BinaryOp.MATCH, ["1"])))
+    with pytest.raises(QueryAnalyzeError, match="array"):
+        compile_measure(spark, cat, q(
+            cond("event_type", BinaryOp.HAVING, ["click"])))
+    # the legal shapes still compile: IN on scalar, MATCH on string
+    # (project physical columns only — 'labels' has no backing column in
+    # the synthetic file; analyze-time legality is what's under test)
+    def legal(criteria):
+        return MeasureQuery(groups=["g"], name="m", time_range=TR,
+                            criteria=criteria, limit=10,
+                            tag_projection=["user_id", "event_type"])
+
+    compile_measure(spark, cat, legal(cond("user_id", BinaryOp.IN, [1, 2])))
+    compile_measure(spark, cat, legal(cond("event_type", BinaryOp.MATCH, ["click"])))
