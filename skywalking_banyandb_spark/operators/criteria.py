@@ -132,9 +132,13 @@ def compile_criteria(
     if isinstance(node, Condition):
         return compile_condition(node, schema_tags, tag_types)
     if isinstance(node, Criteria):
+        # a logical node missing either child is malformed — analyze-time
+        # error, matching golden case err_invalid_le (WantErr)
+        if node.left is None or node.right is None:
+            raise QueryAnalyzeError("invalid logical expression: operator "
+                                    f"{node.op.name} requires two operands")
         left = compile_criteria(node.left, schema_tags, tag_types)
         right = compile_criteria(node.right, schema_tags, tag_types)
-        assert left is not None and right is not None
         return (left & right) if node.op is LogicalOp.AND else (left | right)
     raise QueryAnalyzeError(f"bad criteria node {node!r}")
 

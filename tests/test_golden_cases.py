@@ -195,3 +195,14 @@ def test_op_type_legality_errors(spark):
 
     compile_measure(spark, cat, legal(cond("user_id", BinaryOp.IN, [1, 2])))
     compile_measure(spark, cat, legal(cond("event_type", BinaryOp.MATCH, ["click"])))
+
+
+def test_invalid_logical_expression_errors(spark):
+    """Golden case err_invalid_le: an AND/OR node missing an operand is an
+    analyze-time error, not a crash or a silent no-op."""
+    from skywalking_banyandb_spark.model import Criteria, LogicalOp
+
+    bad = Criteria(LogicalOp.AND, cond("user_id", BinaryOp.EQ, 1), None)
+    with pytest.raises(QueryAnalyzeError, match="invalid logical"):
+        compile_measure(spark, _cat(), MeasureQuery(
+            groups=["g1"], name="metrics", time_range=TR, criteria=bad))
