@@ -435,6 +435,32 @@ register(
 )
 
 
+def _topn_multigroup(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-group SHOW TOP (golden case multi_group_aggr_desc,
+    ``banyand/dquery/topn.go`` + ``topn_plan_merge.go``): per-group Top-N
+    materializations union'd, then cross-window post-aggregation and the
+    final rank. g1/g3 share physical data, so the oracle is the same ranked
+    set UNION ALL'd twice."""
+    q = TopNQuery(groups=["g1", "g3"], name="metrics", time_range=_TOPN_TR,
+                  top_n=3, sort=Sort.DESC, agg=AggFunc.MAX)
+    return compile_topn(spark, default_catalog(sf), q)
+
+
+register(
+    "topn_multigroup_postagg_max",
+    _topn_multigroup,
+    f"""SELECT user_id, MAX(value) AS value FROM (
+          SELECT * FROM {_TOPN_RANKED}
+          WHERE window_start >= TIMESTAMP '{_TOPN_T0.replace("T", " ")}'
+            AND window_start <  TIMESTAMP '{_TOPN_T1.replace("T", " ")}'
+          UNION ALL
+          SELECT * FROM {_TOPN_RANKED}
+          WHERE window_start >= TIMESTAMP '{_TOPN_T0.replace("T", " ")}'
+            AND window_start <  TIMESTAMP '{_TOPN_T1.replace("T", " ")}')
+        GROUP BY user_id ORDER BY value DESC, user_id LIMIT 3""",
+)
+
+
 # Extension registries (import side effect = registration). Placed at the
 # bottom so they can import `register` from this module.
 from . import registry_advanced  # noqa: E402,F401
