@@ -1,0 +1,200 @@
+"""Response shaping — DataFrame results -> proto-style response dicts.
+
+The reference's query services marshal results into typed responses:
+
+- measure ``QueryResponse.data_points``: DataPoint{timestamp, tag_families
+  (grouped by the schema's declared families), fields, version}
+  (``measure/v1/query.proto:33-60``);
+- stream ``QueryResponse.elements``: Element{element_id, timestamp,
+  tag_families} (``stream/v1/query.proto:34-48``);
+- trace ``QueryResponse.traces``: Trace{trace_id, spans=[Span{tags, span,
+  span_id}]} (``trace/v1/query.proto:31-62``);
+- property ``QueryResponse.properties``: Property{group, name, id, tags}
+  (``property/v1/rpc.proto``).
+
+Tag values keep the protobuf ``oneof`` flavor as ``{"str": {"value": ...}}``
+/ ``{"int": {"value": ...}}`` etc. (``model/v1/common.proto:48-72``), so a
+client of the reference's HTTP gateway can consume these dicts unchanged.
+
+Shaping runs driver-side on the *collected* result (responses are bounded by
+limit / default 100 — ``measure_analyzer.go:32``), never on the distributed
+path; the heavy lifting stays in the DataFrame plan.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Any, Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+
+from .catalog import (
+    MeasureSchema,
+    PropertySchema,
+    StreamSchema,
+    TagSpec,
+    TraceSchema,
+)
+
+
+def _ts_rfc3339(value: Optional[dt.datetime]) -> Optional[str]:
+    if value is None:
+        return None
+    return value.isoformat(timespec="milliseconds") + "Z"
+
+
+def _tag_value(spec_type: str, v: Any) -> Dict[str, Any]:
+    """protobuf TagValue oneof (``model/v1/common.proto:48-58``)."""
+    if v is None:
+        return {"null": None}
+    if spec_type == "STRING":
+        return {"str": {"value": str(v)}}
+    if spec_type == "INT":
+        return {"int": {"value": int(v)}}
+    if spec_type == "FLOAT":
+        return {"float": {"value": float(v)}}
+    if spec_type == "STRING_ARRAY":
+        return {"strArray": {"value": [str(x) for x in v]}}
+    if spec_type == "INT_ARRAY":
+        return {"intArray": {"value": [int(x) for x in v]}}
+    if spec_type == "DATA_BINARY":
+        return {"binaryData": bytes(v)}
+    if spec_type == "TIMESTAMP":
+        return {"timestamp": _ts_rfc3339(v)}
+    return {"str": {"value": str(v)}}
+
+
+def _field_value(spec_type: str, v: Any) -> Dict[str, Any]:
+    """protobuf FieldValue oneof (``model/v1/common.proto:64-72``)."""
+    if v is None:
+        return {"null": None}
+    if spec_type == "INT":
+        return {"int": {"value": int(v)}}
+    if spec_type == "FLOAT":
+        return {"float": {"value": float(v)}}
+    if spec_type == "DATA_BINARY":
+        return {"binaryData": bytes(v)}
+    return {"str": {"value": str(v)}}
+
+
+def _tag_families(
+    tags: Sequence[TagSpec], row: Dict[str, Any]
+) -> List[Dict[str, Any]]:
+    """Group present tag columns into the schema's declared families,
+    preserving family and tag declaration order
+    (``model/v1/query.proto:37-40``; family grouping ``schema.proto:41-50``)."""
+    families: Dict[str, List[Dict[str, Any]]] = {}
+    order: List[str] = []
+    for t in tags:
+        if t.name not in row:
+            continue  # not in the projection
+        if t.family not in families:
+            families[t.family] = []
+            order.append(t.family)
+        families[t.family].append(
+            {"key": t.name, "value": _tag_value(t.type, row[t.name])}
+        )
+    return [{"name": fam, "tags": families[fam]} for fam in order]
+
+
+def measure_response(df: DataFrame, schema: MeasureSchema) -> Dict[str, Any]:
+    """Shape a measure result (``measure/v1/query.proto`` QueryResponse).
+
+    Aggregated results carry field values only for the projected columns;
+    raw results include version when present.
+    """
+    points = []
+    for r in df.collect():
+        row = r.asDict()
+        dp: Dict[str, Any] = {}
+        if schema.ts_column in row:
+            dp["timestamp"] = _ts_rfc3339(row[schema.ts_column])
+        dp["tagFamilies"] = _tag_families(schema.tags, row)
+        fields = []
+        for f in schema.fields:
+            if f.name in row:
+                fields.append(
+                    {"name": f.name, "value": _field_value(f.type, row[f.name])}
+                )
+        dp["fields"] = fields
+        if schema.version_column and schema.version_column in row:
+            dp["version"] = int(row[schema.version_column])
+        points.append(dp)
+    return {"dataPoints": points}
+
+
+def stream_response(df: DataFrame, schema: StreamSchema) -> Dict[str, Any]:
+    """Shape a stream result (``stream/v1/query.proto`` QueryResponse)."""
+    elements = []
+    for r in df.collect():
+        row = r.asDict()
+        el: Dict[str, Any] = {}
+        if schema.element_id_column in row:
+            el["elementId"] = str(row[schema.element_id_column])
+        if schema.ts_column in row:
+            el["timestamp"] = _ts_rfc3339(row[schema.ts_column])
+        el["tagFamilies"] = _tag_families(schema.tags, row)
+        elements.append(el)
+    return {"elements": elements}
+
+
+def trace_response(df: DataFrame, schema: TraceSchema) -> Dict[str, Any]:
+    """Shape a trace result: spans grouped per trace id
+    (``trace/v1/query.proto:51-62`` Trace message). Accepts either the
+    regrouped form (one row per trace with a spans array) or flat span rows.
+    """
+    traces: Dict[str, List[Dict[str, Any]]] = {}
+    order: List[str] = []
+    # the regrouped plan aliases the id column to the proto's field name
+    id_col = schema.trace_id_column
+    for r in df.collect():
+        row = r.asDict()
+        tid = str(row[id_col] if id_col in row else row["trace_id"])
+        if tid not in traces:
+            traces[tid] = []
+            order.append(tid)
+        if "spans" in row:  # regrouped: collect_list of span structs
+            for s in row["spans"] or []:
+                sd = s.asDict() if hasattr(s, "asDict") else dict(s)
+                traces[tid].append(_span(sd, schema))
+        else:
+            traces[tid].append(_span(row, schema))
+    return {
+        "traces": [{"traceId": tid, "spans": traces[tid]} for tid in order]
+    }
+
+
+def _span(row: Dict[str, Any], schema: TraceSchema) -> Dict[str, Any]:
+    span: Dict[str, Any] = {}
+    if schema.span_id_column in row:
+        span["spanId"] = str(row[schema.span_id_column])
+    tags = []
+    for t in schema.tags:
+        if t.name in row:
+            tags.append({"key": t.name, "value": _tag_value(t.type, row[t.name])})
+    span["tags"] = tags
+    if schema.span_column and schema.span_column in row and row[schema.span_column] is not None:
+        v = row[schema.span_column]
+        span["span"] = bytes(v) if isinstance(v, (bytes, bytearray)) else str(v).encode()
+    return span
+
+
+def property_response(df: DataFrame, schema: PropertySchema) -> Dict[str, Any]:
+    """Shape a property result (``property/v1/rpc.proto`` QueryResponse)."""
+    props = []
+    for r in df.collect():
+        row = r.asDict()
+        p: Dict[str, Any] = {
+            "metadata": {"group": schema.group, "name": schema.name},
+        }
+        if schema.id_column in row:
+            p["id"] = str(row[schema.id_column])
+        tags = []
+        for t in schema.tags:
+            if t.name in row:
+                tags.append(
+                    {"key": t.name, "value": _tag_value(t.type, row[t.name])}
+                )
+        p["tags"] = tags
+        props.append(p)
+    return {"properties": props}
