@@ -147,7 +147,7 @@ def to_query(
             groups=stmt.groups, name=stmt.name, time_range=tr,
             top_n=stmt.number, sort=stmt.sort,
             agg=AggFunc(stmt.agg) if stmt.agg else None,
-            conditions=stmt.where,
+            conditions=stmt.where, stages=stmt.stages,
         )
 
     assert isinstance(stmt, SelectStmt)

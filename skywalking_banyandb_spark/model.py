@@ -229,3 +229,4 @@ class TopNQuery:
     sort: Sort = Sort.DESC
     agg: Optional[AggFunc] = None
     conditions: Sequence[Condition] = ()
+    stages: Sequence[str] = ()

@@ -40,14 +40,17 @@ def materialize_topn(
     n: int,
     window: str = "1 hour",
     sort: Sort = Sort.DESC,
+    stages: Sequence[str] = (),
 ) -> DataFrame:
     """Build the ``_top_n_result`` table from the source measure (batch).
 
     Output: (window_start, entity..., field) with ≤ N rows per window.
     """
+    from ..catalog import resolve_stage_paths
+
     if schema.field(field) is None:
         raise QueryAnalyzeError(f"top-n over unknown field {field!r}")
-    df = read_table(spark, *schema.paths)
+    df = read_table(spark, *resolve_stage_paths(schema, stages))
     win_start = F.window(F.col(schema.ts_column), window)["start"].alias("window_start")
     # per (window, entity): latest write wins (heap replace semantics) —
     # max_by keyed on (ts, version) keeps it a partial-aggregatable agg.
@@ -98,7 +101,9 @@ def compile_topn(
                 tiebreak=list(s.entity),
             )
         else:
-            df = materialize_topn(spark, s, field, q.top_n, window, q.sort)
+            df = materialize_topn(
+                spark, s, field, q.top_n, window, q.sort, stages=q.stages
+            )
         ts = F.col("window_start")
         if q.time_range.begin is not None:
             df = df.where(ts >= F.lit(q.time_range.begin))

@@ -153,3 +153,21 @@ def test_bydbql_on_stages(spark, staged):
         "LIMIT 1000000",
     ).count()
     assert s_hot < s_all
+
+
+def test_show_top_on_stages(spark, staged):
+    """SHOW TOP ... ON <stage> STAGES routes the materialization scan to the
+    chosen tier only."""
+    hot = execute(
+        spark, staged,
+        "SHOW TOP 3 FROM MEASURE metrics IN g1 ON hot STAGES "
+        "TIME BETWEEN '2024-01-01T00:00:00' AND '2024-02-01T00:00:00'",
+    )
+    # every ranked point comes from the hot tier
+    assert hot.agg(F.min("window_start")).head()[0] >= CUTOFF
+    warm = execute(
+        spark, staged,
+        "SHOW TOP 3 FROM MEASURE metrics IN g1 ON warm STAGES "
+        "TIME BETWEEN '2024-01-01T00:00:00' AND '2024-02-01T00:00:00'",
+    )
+    assert warm.agg(F.max("window_start")).head()[0] < CUTOFF
