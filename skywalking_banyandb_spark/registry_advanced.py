@@ -75,8 +75,9 @@ register(
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
        ), s AS (
          SELECT user_id, ts,
-                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+                CAST(SUM(new_sess) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
          FROM g
        )
        SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -80,7 +80,7 @@ def _json_extract(spark: SparkSession, sf: str) -> DataFrame:
 register(
     "json_extract_agg",
     _json_extract,
-    """SELECT event_type, COUNT(k) AS n, SUM(k) AS k_sum, MAX(k) AS k_max
+    """SELECT event_type, COUNT(k) AS n, CAST(SUM(k) AS BIGINT) AS k_sum, MAX(k) AS k_max
        FROM (SELECT event_type,
                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
              FROM events)
