@@ -264,3 +264,54 @@ register(
          FROM documents)
        WHERE rn <= 20 ORDER BY lang, doc_id""",
 )
+
+
+def _corpus_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end corpus cleaning — the composed pipeline a training-data
+    run executes before tokenization: exact dedup (keep min doc_id per
+    content fingerprint) → quality gate (score >= 0.5) → deterministic
+    split assignment → per (split, lang) counts. One narrow scan feeds the
+    fingerprint group-by (shuffle 1); the survivor set semi-joins back
+    (broadcast at this cardinality, shuffle-free), and the final count is a
+    partial+final agg (shuffle 2) — the whole pipeline is two shuffles
+    regardless of corpus size."""
+    d = _docs(spark, sf)
+    survivors = dd.exact_dedup(d, "doc_id", "text").select("doc_id")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                    16, 10).cast("bigint") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.join(F.broadcast(survivors), "doc_id", "left_semi")
+        .where(tx.quality_score(F.col("text")) >= 0.5)
+        .select(split.alias("split"), F.col("lang"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+register(
+    "corpus_clean_pipeline",
+    _corpus_clean,
+    f"""WITH survivors AS (
+          SELECT min(doc_id) AS doc_id FROM (
+            SELECT doc_id, {{fp}} AS fp FROM documents) GROUP BY fp),
+        kept AS (
+          SELECT d.doc_id, d.lang FROM documents d
+          WHERE d.doc_id IN (SELECT doc_id FROM survivors)
+            AND {{q}} >= 0.5)
+       SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+              ELSE 'test' END AS split, lang, COUNT(*) AS n_docs
+       FROM (SELECT lang,
+               ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 100 AS b
+             FROM (SELECT lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM kept))
+       GROUP BY split, lang ORDER BY split, lang""".format(
+        fp=tx.fingerprint_sql("text"),
+        q=tx.quality_score_sql("text"),
+    ),
+)
