@@ -378,3 +378,74 @@ register(
     """SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users
        FROM events GROUP BY event_type ORDER BY event_type""",
 )
+
+
+def _tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: the widest join tree in the
+    suite (lineitem ⋈ orders shuffle on orderkey; part, supplier, customer,
+    nation, region all broadcast). The year + conditional-share aggregation
+    is one partial+final pass; no join ever widens the fact table."""
+    l = read_table(spark, f"{sf}/lineitem.parquet")
+    o = read_table(spark, f"{sf}/orders.parquet")
+    p = read_table(spark, f"{sf}/part.parquet")
+    s = read_table(spark, f"{sf}/supplier.parquet")
+    c = read_table(spark, f"{sf}/customer.parquet")
+    n = read_table(spark, f"{sf}/nation.parquet")
+    r = read_table(spark, f"{sf}/region.parquet")
+    vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
+    # customer-side nation joined to a region filter; supplier-side nation
+    # is the market-share subject
+    cn = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    sn = (
+        s.join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"),
+                                 F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sn_key"),
+        ).select("s_suppkey", "supp_nation")
+    )
+    return (
+        l.join(
+            o.where(
+                (F.col("o_orderdate") >= F.lit(dt.datetime(1995, 1, 1)))
+                & (F.col("o_orderdate") < F.lit(dt.datetime(1997, 1, 1)))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(p.where(F.col("p_type").startswith("PROMO"))),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "CHINA", vol)
+                      .otherwise(F.lit(0).cast(DEC))).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+register(
+    "tpch_q8_market_share",
+    _tpch_q8,
+    f"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        {SUM6.format(x="CASE WHEN n2.n_name = 'CHINA' THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END")}
+        / {SUM6.format(x='l_extendedprice * (1.0 - l_discount)')} AS mkt_share
+        FROM lineitem, orders, part, customer, supplier,
+             nation n1, nation n2, region
+        WHERE l_orderkey = o_orderkey AND p_partkey = l_partkey
+          AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+          AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+          AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND p_type LIKE 'PROMO%'
+        GROUP BY o_year ORDER BY o_year""",
+)
