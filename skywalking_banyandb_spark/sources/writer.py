@@ -189,6 +189,27 @@ def property_delete(
     _atomic_replace(current.where(~F.col(schema.id_column).isin(*list(ids))), path)
 
 
+def _expired_segments(path: str, cutoff) -> list:
+    """``ts_bucket=`` segment dirs wholly before ``cutoff``. A bucket covers
+    [bucket, bucket + interval); it is fully expired only when the NEXT
+    bucket start is <= cutoff — one-day width (the coarsest interval) keeps
+    the check conservative for day buckets."""
+    import datetime as dt
+
+    out = []
+    for seg in sorted(os.listdir(path)):
+        if not seg.startswith("ts_bucket="):
+            continue
+        raw = seg.split("=", 1)[1].replace("%3A", ":").replace("+", " ")
+        try:
+            bucket = dt.datetime.fromisoformat(raw.strip())
+        except ValueError:
+            continue
+        if bucket + dt.timedelta(days=1) <= cutoff:
+            out.append(seg)
+    return out
+
+
 def drop_expired_segments(path: str, ttl_days: int, now) -> int:
     """Physical retention: delete whole ``ts_bucket=`` segment directories
     older than the TTL — the reference's segment-drop expiry
@@ -198,23 +219,40 @@ def drop_expired_segments(path: str, ttl_days: int, now) -> int:
     number of segments dropped."""
     import datetime as dt
 
-    cutoff = now - dt.timedelta(days=ttl_days)
     dropped = 0
-    for seg in sorted(os.listdir(path)):
-        if not seg.startswith("ts_bucket="):
-            continue
-        raw = seg.split("=", 1)[1].replace("%3A", ":").replace("+", " ")
-        try:
-            bucket = dt.datetime.fromisoformat(raw.strip())
-        except ValueError:
-            continue
-        # a bucket covers [bucket, bucket + interval); it is fully expired
-        # only when the NEXT bucket start is <= cutoff — use one-day width
-        # (the coarsest interval) to stay conservative for day buckets
-        if bucket + dt.timedelta(days=1) <= cutoff:
-            shutil.rmtree(os.path.join(path, seg), ignore_errors=True)
-            dropped += 1
+    for seg in _expired_segments(path, now - dt.timedelta(days=ttl_days)):
+        shutil.rmtree(os.path.join(path, seg), ignore_errors=True)
+        dropped += 1
     return dropped
+
+
+def migrate_segments(src: str, dst: str, ttl_days: int, now) -> int:
+    """Lifecycle stage migration — move segments that aged out of a stage's
+    TTL to the next stage's directory (hot → warm → cold), the
+    ``banyand/backup/lifecycle/`` migration analogue (per-stage TTLs in
+    ``common.proto:65-93``; migration visitors
+    ``measure_migration_visitor.go`` / ``stream_migration_visitor.go``).
+
+    Whole ``ts_bucket=`` directories move — O(#segments) renames on a
+    filesystem, a manifest/metadata operation on object storage; no rows
+    are rewritten, and the moved segments keep their series-sorted layout
+    so warm reads are as pruned as hot ones. Returns segments moved."""
+    import datetime as dt
+
+    os.makedirs(dst, exist_ok=True)
+    moved = 0
+    for seg in _expired_segments(src, now - dt.timedelta(days=ttl_days)):
+        target = os.path.join(dst, seg)
+        if os.path.exists(target):
+            # same bucket exists in the destination stage (e.g. partial
+            # earlier migration): merge files instead of clobbering
+            for f in os.listdir(os.path.join(src, seg)):
+                shutil.move(os.path.join(src, seg, f), os.path.join(target, f))
+            shutil.rmtree(os.path.join(src, seg), ignore_errors=True)
+        else:
+            shutil.move(os.path.join(src, seg), target)
+        moved += 1
+    return moved
 
 
 def apply_ttl(df: DataFrame, ts_column: str, ttl_days: int, now) -> DataFrame:
