@@ -114,3 +114,36 @@ def test_drop_expired_segments(spark, workdir):
     keep_want = ev.where(F.col("ts") >= F.lit(dt.datetime(2024, 1, 21))).count()
     keep_got = remaining.where(F.col("ts") >= F.lit(dt.datetime(2024, 1, 21))).count()
     assert keep_got == keep_want
+
+
+def test_backup_restore_roundtrip(spark, workdir):
+    """banyand/backup analogue: time-dir backup is incremental; restore
+    swaps the snapshot back in atomically and the data reads identically."""
+    import datetime as dt
+
+    from skywalking_banyandb_spark.sources.backup import (
+        backup,
+        list_backups,
+        restore,
+    )
+    from skywalking_banyandb_spark.sources.writer import drop_expired_segments
+
+    cat = default_catalog(SF_SMALL)
+    schema = cat.get("g1", "measure", "metrics")
+    ev = read_table(spark, f"{SF_SMALL}/events.parquet")
+    path = os.path.join(workdir, "metrics_bk")
+    broot = os.path.join(workdir, "backups")
+    write_measure(ev, schema, path)
+    total = spark.read.parquet(path).count()
+
+    tdir = backup(path, broot, now=dt.datetime(2024, 2, 1))
+    assert list_backups(broot) == [tdir] == ["2024-02-01"]
+    # incremental: a second run copies nothing new (same tree)
+    assert backup(path, broot, now=dt.datetime(2024, 2, 1)) == tdir
+
+    # damage the live data (simulated retention overshoot), then restore
+    drop_expired_segments(path, ttl_days=1, now=dt.datetime(2024, 1, 31))
+    assert spark.read.parquet(path).count() < total
+    restored = restore(broot, path)
+    assert restored == tdir
+    assert spark.read.parquet(path).count() == total
