@@ -61,3 +61,34 @@ def start_stream_ingest(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_exact_dedup(
+    source: DataFrame,
+    id_col: str,
+    text_col: str,
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup — the training-pipeline dedup operator applied
+    at ingest time instead of as a batch sweep: fingerprint the content
+    (same md5 fingerprint as the batch ``functions/dedup.exact_dedup``) and
+    keep the first arrival per fingerprint within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state by event time:
+    at 100 TB/day the state store holds one fingerprint per *distinct*
+    document seen inside the lateness window — not the corpus — and Spark
+    evicts entries as the watermark advances. Exactly-once per fingerprint
+    within the horizon; cross-horizon duplicates fall through to the batch
+    sweep (the same layered design as the reference's memtable-then-merge
+    LSM dedup)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import fingerprint
+
+    return (
+        source.withColumn("fp", fingerprint(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .drop("fp")
+    )
