@@ -95,6 +95,60 @@ def time_range(cond: Optional[TimeCond], now: dt.datetime) -> TimeRange:
     return TimeRange(begin, end)
 
 
+def _strip_family(name: str, schema) -> str:
+    """Resolve a family-qualified identifier path (``family.tag``,
+    ``grammar.go:291-295`` GrammarIdentifierPath) against the schema's
+    declared tag families: ``default.user_id`` -> ``user_id`` when the tag's
+    family matches. Unqualified or unresolvable names pass through so the
+    normal unknown-name validation produces the error."""
+    if "." not in name:
+        return name
+    fam, _, tag = name.partition(".")
+    spec = schema.tag(tag) if hasattr(schema, "tag") else None
+    if spec is not None and (getattr(spec, "family", "default") or "default") == fam:
+        return tag
+    return name
+
+
+def _strip_families(stmt: SelectStmt, schema) -> SelectStmt:
+    """Rewrite every identifier position of a parsed statement through
+    :func:`_strip_family` (projection, WHERE tree, GROUP BY, ORDER BY,
+    TOP)."""
+    import dataclasses
+
+    def rewrite_node(node):
+        if node is None:
+            return None
+        if isinstance(node, Condition):
+            return dataclasses.replace(node, tag=_strip_family(node.tag, schema))
+        return Criteria(node.op, rewrite_node(node.left), rewrite_node(node.right))
+
+    proj = stmt.projection
+    if proj not in ("*", "()"):
+        proj = tuple(
+            dataclasses.replace(p, name=_strip_family(p.name, schema))
+            for p in proj
+        )
+    top = stmt.top
+    if top is not None:
+        top = dataclasses.replace(
+            top, field_name=_strip_family(top.field_name, schema)
+        )
+    order_by = stmt.order_by
+    if order_by is not None and order_by.key is not None:
+        order_by = dataclasses.replace(
+            order_by, key=_strip_family(order_by.key, schema)
+        )
+    return dataclasses.replace(
+        stmt,
+        projection=proj,
+        where=rewrite_node(stmt.where),
+        group_by=tuple(_strip_family(g, schema) for g in stmt.group_by),
+        order_by=order_by,
+        top=top,
+    )
+
+
 def _split_projection(
     stmt: SelectStmt, schema: MeasureSchema
 ) -> Tuple[Tuple[str, ...], Tuple[str, ...], Optional[AggregationSpec]]:
@@ -142,12 +196,19 @@ def to_query(
         now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
 
     if isinstance(stmt, ShowTopStmt):
+        import dataclasses
+
         tr = time_range(stmt.time, now)
+        _sch = catalog.get(stmt.groups[0], "measure", stmt.name)
+        conds = tuple(
+            dataclasses.replace(c, tag=_strip_family(c.tag, _sch))
+            for c in stmt.where
+        )
         return TopNQuery(
             groups=stmt.groups, name=stmt.name, time_range=tr,
             top_n=stmt.number, sort=stmt.sort,
             agg=AggFunc(stmt.agg) if stmt.agg else None,
-            conditions=stmt.where, stages=stmt.stages,
+            conditions=conds, stages=stmt.stages,
         )
 
     assert isinstance(stmt, SelectStmt)
@@ -159,6 +220,11 @@ def to_query(
 
     if stmt.resource == "MEASURE":
         schema: MeasureSchema = catalog.get(stmt.groups[0], "measure", stmt.name)
+        stmt = _strip_families(stmt, schema)
+        order = (
+            OrderBy(tag=stmt.order_by.key, sort=stmt.order_by.sort)
+            if stmt.order_by else None
+        )
         tags, fields, agg = _split_projection(stmt, schema)
         top = None
         if stmt.top is not None:
@@ -170,6 +236,12 @@ def to_query(
             limit=stmt.limit, offset=stmt.offset or 0, stages=stmt.stages,
         )
     if stmt.resource == "STREAM":
+        stmt = _strip_families(
+            stmt, catalog.get(stmt.groups[0], "stream", stmt.name))
+        order = (
+            OrderBy(tag=stmt.order_by.key, sort=stmt.order_by.sort)
+            if stmt.order_by else None
+        )
         proj = () if stmt.projection in ("*", "()") else tuple(
             p.name for p in stmt.projection
         )
@@ -187,6 +259,12 @@ def to_query(
             limit=limit, offset=stmt.offset or 0, stages=stmt.stages,
         )
     if stmt.resource == "TRACE":
+        stmt = _strip_families(
+            stmt, catalog.get(stmt.groups[0], "trace", stmt.name))
+        order = (
+            OrderBy(tag=stmt.order_by.key, sort=stmt.order_by.sort)
+            if stmt.order_by else None
+        )
         proj = () if stmt.projection in ("*", "()") else tuple(
             p.name for p in stmt.projection
         )
@@ -196,6 +274,12 @@ def to_query(
             limit=stmt.limit, offset=stmt.offset or 0, stages=stmt.stages,
         )
     if stmt.resource == "PROPERTY":
+        stmt = _strip_families(
+            stmt, catalog.get(stmt.groups[0], "property", stmt.name))
+        order = (
+            OrderBy(tag=stmt.order_by.key, sort=stmt.order_by.sort)
+            if stmt.order_by else None
+        )
         ids, rest = _extract_ids(stmt.where)
         proj = () if stmt.projection in ("*", "()") else tuple(
             p.name for p in stmt.projection

@@ -236,3 +236,35 @@ def test_parse_edge_identifiers_and_timezones():
     # week-unit relative time
     t = resolve_time("-1w", dt.datetime(2024, 1, 8))
     assert t == dt.datetime(2024, 1, 1)
+
+
+def test_family_qualified_identifiers(spark):
+    """grammar.go:291-295 GrammarIdentifierPath: ``family.tag`` paths resolve
+    against the declared tag family everywhere an identifier appears —
+    projection, WHERE, GROUP BY, ORDER BY."""
+    cat = default_catalog(SF_SMALL)
+    plain = execute(
+        spark, cat,
+        "SELECT user_id, event_type FROM MEASURE metrics IN g1 "
+        "TIME BETWEEN '2024-01-01T00:00:00' AND '2024-02-01T00:00:00' "
+        "WHERE event_type = 'click' "
+        "ORDER BY user_id LIMIT 20", NOW,
+    )
+    qualified = execute(
+        spark, cat,
+        "SELECT default.user_id, default.event_type FROM MEASURE metrics IN g1 "
+        "TIME BETWEEN '2024-01-01T00:00:00' AND '2024-02-01T00:00:00' "
+        "WHERE default.event_type = 'click' "
+        "ORDER BY default.user_id LIMIT 20", NOW,
+    )
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, qualified.collect()))
+    # a wrong family does NOT resolve -> unknown-name analyze error
+    import pytest as _pytest
+
+    from skywalking_banyandb_spark.errors import QueryAnalyzeError
+
+    with _pytest.raises(QueryAnalyzeError):
+        execute(spark, cat,
+                "SELECT nosuchfam.user_id FROM MEASURE metrics IN g1 "
+                "TIME > '-30d' LIMIT 5", NOW)
