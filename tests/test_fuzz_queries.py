@@ -1,0 +1,137 @@
+"""Property-based differential fuzz at the WHOLE-QUERY level: random
+MeasureQuery shapes (criteria × group-by × aggregation × order × pagination)
+compiled by the engine vs a hand-built equivalent SQL statement in DuckDB
+that replicates the measure read semantics (version dedup, post-dedup
+filter, decimal float accumulation, total-order pagination).
+
+The generated corpus mirrors the reference's generated golden cases
+(``test/cases/measure/data/input/gen_feat_*`` — feature-combination
+queries) but is unbounded instead of a fixed 209."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from skywalking_banyandb_spark.catalog import default_catalog
+from skywalking_banyandb_spark.model import (
+    AggFunc,
+    AggregationSpec,
+    MeasureQuery,
+    OrderBy,
+    Sort,
+    TimeRange,
+)
+from skywalking_banyandb_spark.plans.measure import compile_measure
+
+from conftest import SF_SMALL
+from test_fuzz_criteria import _to_sql, criteria_trees
+
+TR = TimeRange.of("2024-01-05T00:00:00", "2024-01-25T00:00:00")
+
+# version-dedup'd, time-bounded measure view (the engine's scan semantics:
+# latest event_id wins per (user_id, ts); criteria evaluate AFTER dedup)
+DD = """
+  (SELECT ts, user_id, event_type, props, value FROM (
+     SELECT *, row_number() OVER (
+        PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+     FROM events
+     WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+       AND ts <  TIMESTAMP '2024-01-25 00:00:00') WHERE rn = 1)"""
+
+SUM6 = "CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)"
+AGG_SQL = {
+    AggFunc.MIN: "MIN(value)",
+    AggFunc.MAX: "MAX(value)",
+    AggFunc.SUM: SUM6,
+    AggFunc.COUNT: "COUNT(value)",
+    AggFunc.MEAN: f"{SUM6} / COUNT(value)",
+}
+
+raw_queries = st.fixed_dictionaries({
+    "mode": st.just("raw"),
+    "criteria": st.none() | criteria_trees,
+    "order": st.sampled_from(
+        [None, ("user_id", Sort.ASC), ("user_id", Sort.DESC),
+         ("event_type", Sort.ASC), ("event_type", Sort.DESC),
+         (None, Sort.DESC)]),
+    "limit": st.integers(min_value=1, max_value=150),
+    "offset": st.integers(min_value=0, max_value=120),
+})
+
+agg_queries = st.fixed_dictionaries({
+    "mode": st.just("agg"),
+    "criteria": st.none() | criteria_trees,
+    "group_by": st.sampled_from(
+        [["event_type"], ["user_id"], ["user_id", "event_type"], []]),
+    "agg": st.sampled_from(list(AggFunc)),
+})
+
+query_shapes = st.one_of(raw_queries, agg_queries)
+
+
+@pytest.fixture(scope="module")
+def env(spark):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMALL}/events.parquet'"
+    )
+    return spark, default_catalog(SF_SMALL), con
+
+
+def _build(shape):
+    """shape dict -> (MeasureQuery, duckdb SQL)."""
+    crit = shape["criteria"]
+    where = f" WHERE {_to_sql(crit)}" if crit is not None else ""
+    if shape["mode"] == "agg":
+        gb = shape["group_by"]
+        agg = shape["agg"]
+        q = MeasureQuery(
+            groups=["g1"], name="metrics", time_range=TR, criteria=crit,
+            group_by=gb, agg=AggregationSpec(agg, "value"), limit=10**6,
+        )
+        if gb:
+            cols = ", ".join(gb)
+            sql = (f"SELECT {cols}, {AGG_SQL[agg]} AS value FROM {DD}{where} "
+                   f"GROUP BY {cols}")
+        else:
+            sql = f"SELECT {AGG_SQL[agg]} AS value FROM {DD}{where}"
+        return q, sql, False  # unordered compare
+
+    order = shape["order"]
+    ob = None
+    if order is not None:
+        ob = OrderBy(tag=order[0], sort=order[1])
+    key = "ts" if (order is None or order[0] is None) else order[0]
+    direction = "DESC" if (order and order[1] is Sort.DESC) else "ASC"
+    tiebreak = [c for c in ("ts", "user_id") if c != key]
+    order_sql = ", ".join(
+        [f"{key} {direction}"] + [f"{t} ASC" for t in tiebreak]
+    )
+    q = MeasureQuery(
+        groups=["g1"], name="metrics", time_range=TR, criteria=crit,
+        order_by=ob, limit=shape["limit"], offset=shape["offset"],
+    )
+    sql = (f"SELECT ts, user_id, event_type, props, value FROM {DD}{where} "
+           f"ORDER BY {order_sql} LIMIT {shape['limit']} "
+           f"OFFSET {shape['offset']}")
+    return q, sql, True  # ordered compare
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(shape=query_shapes)
+def test_query_shape_matches_duckdb(env, shape):
+    spark, cat, con = env
+    q, sql, ordered = _build(shape)
+    df = compile_measure(spark, cat, q)
+    cols = sorted(df.columns)
+    sp = [tuple(r[c] for c in cols) for r in df.collect()]
+    duck = con.execute(sql).fetch_arrow_table().to_pylist()
+    du = [tuple(r[c] for c in cols) for r in duck]
+    if not ordered:
+        key = lambda row: tuple((v is None, str(v)) for v in row)
+        sp, du = sorted(sp, key=key), sorted(du, key=key)
+    assert sp == du, f"shape={shape}\nsql={sql}"
