@@ -367,3 +367,71 @@ def default_catalog(sf_dir: str) -> Catalog:
         )
     )
     return cat
+
+
+# ---------------------------------------------------------------------------
+# Declarative persistence — the registry's schemas as JSON documents, the
+# analogue of the reference's etcd-backed metadata registry
+# (``banyand/metadata/``, ``pkg/schema/``; schemas declared first via
+# ``database/v1/rpc.proto`` then validated against at analyze time).
+# ---------------------------------------------------------------------------
+
+_KIND_TO_CLASS = None  # populated lazily below
+
+
+def _kind_map():
+    global _KIND_TO_CLASS
+    if _KIND_TO_CLASS is None:
+        _KIND_TO_CLASS = {
+            "measure": MeasureSchema,
+            "stream": StreamSchema,
+            "trace": TraceSchema,
+            "property": PropertySchema,
+        }
+    return _KIND_TO_CLASS
+
+
+def catalog_to_json(catalog: "Catalog") -> str:
+    """Serialize every registered resource (declaration order preserved)."""
+    import dataclasses
+    import json
+
+    out = []
+    for schema in catalog._resources.values():
+        d = dataclasses.asdict(schema)
+        out.append(d)
+    return json.dumps({"resources": out}, indent=2, default=list)
+
+
+def catalog_from_json(text: str) -> "Catalog":
+    """Rebuild a Catalog from :func:`catalog_to_json` output."""
+    import json
+
+    cat = Catalog()
+    for d in json.loads(text)["resources"]:
+        kind = d.pop("kind")
+        cls = _kind_map()[kind]
+        for key in ("paths", "entity", "default_stages"):
+            if key in d and d[key] is not None:
+                d[key] = tuple(d[key])
+        if "tags" in d:
+            d["tags"] = tuple(TagSpec(**t) for t in d["tags"])
+        if "fields" in d and d["fields"] is not None:
+            d["fields"] = tuple(FieldSpec(**f) for f in d["fields"])
+        if "stages" in d and d["stages"]:
+            d["stages"] = tuple(
+                StageSpec(name=s["name"], paths=tuple(s["paths"]))
+                for s in d["stages"]
+            )
+        cat.register(cls(**d))
+    return cat
+
+
+def save_catalog(catalog: "Catalog", path: str) -> None:
+    with open(path, "w") as f:
+        f.write(catalog_to_json(catalog))
+
+
+def load_catalog(path: str) -> "Catalog":
+    with open(path) as f:
+        return catalog_from_json(f.read())

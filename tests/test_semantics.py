@@ -160,3 +160,48 @@ def test_group_mod_revision_gate(spark):
     stale = dataclasses.replace(q, group_mod_revisions={"g1": rev})
     with pytest.raises(QueryAnalyzeError, match="revision"):
         compile_measure(spark, cat, stale)
+
+
+def test_catalog_json_roundtrip(spark, tmp_path):
+    """Declarative registry persistence (banyand/metadata analogue): the
+    full default catalog round-trips through JSON — every resource kind,
+    tag/field specs, stages — and the rebuilt catalog compiles the same
+    query to the same result."""
+    from skywalking_banyandb_spark.catalog import (
+        StageSpec,
+        default_catalog,
+        load_catalog,
+        save_catalog,
+    )
+    from skywalking_banyandb_spark.model import (
+        AggFunc,
+        AggregationSpec,
+        MeasureQuery,
+        TimeRange,
+    )
+    from skywalking_banyandb_spark.plans.measure import compile_measure
+
+    cat = default_catalog("/root/testdata/sf0.001")
+    # exercise stages serialization too
+    m = cat.get("g1", "measure", "metrics")
+    import dataclasses
+
+    cat.register(dataclasses.replace(
+        m, name="metrics_staged",
+        stages=(StageSpec("hot", m.paths),), default_stages=("hot",),
+    ))
+    p = str(tmp_path / "catalog.json")
+    save_catalog(cat, p)
+    back = load_catalog(p)
+
+    q = MeasureQuery(
+        groups=["g1"], name="metrics",
+        time_range=TimeRange.of("2024-01-01T00:00:00", "2024-02-01T00:00:00"),
+        group_by=["event_type"], agg=AggregationSpec(AggFunc.SUM, "value"),
+        limit=100,
+    )
+    a = sorted(map(tuple, compile_measure(spark, cat, q).collect()))
+    b = sorted(map(tuple, compile_measure(spark, back, q).collect()))
+    assert a == b and len(a) > 0
+    s = back.get("g1", "measure", "metrics_staged")
+    assert s.stages[0].name == "hot" and s.default_stages == ("hot",)
