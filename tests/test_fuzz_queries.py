@@ -135,3 +135,54 @@ def test_query_shape_matches_duckdb(env, shape):
         key = lambda row: tuple((v is None, str(v)) for v in row)
         sp, du = sorted(sp, key=key), sorted(du, key=key)
     assert sp == du, f"shape={shape}\nsql={sql}"
+
+
+# ---------------------------------------------------------------------------
+# Stream-level shapes: criteria × order-by-tag × pagination over the
+# element model (dedup by unique element id, total-order pagination) —
+# the generated stream corpus analogue (gen_feat_* in test/cases/stream).
+# ---------------------------------------------------------------------------
+
+stream_shapes = st.fixed_dictionaries({
+    "criteria": st.none() | criteria_trees,
+    "order": st.sampled_from(
+        [None, ("user_id", Sort.ASC), ("user_id", Sort.DESC),
+         ("value", Sort.ASC), ("value", Sort.DESC), (None, Sort.DESC)]),
+    "limit": st.integers(min_value=1, max_value=120),
+    "offset": st.integers(min_value=0, max_value=80),
+})
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(shape=stream_shapes)
+def test_stream_shape_matches_duckdb(env, shape):
+    from skywalking_banyandb_spark.model import StreamQuery
+    from skywalking_banyandb_spark.plans.stream import compile_stream
+
+    spark, cat, con = env
+    crit = shape["criteria"]
+    order = shape["order"]
+    ob = OrderBy(tag=order[0], sort=order[1]) if order is not None else None
+    q = StreamQuery(
+        groups=["g1"], name="event_log", time_range=TR, criteria=crit,
+        projection=["user_id", "event_type", "value"],
+        order_by=ob, limit=shape["limit"], offset=shape["offset"],
+    )
+    df = compile_stream(spark, cat, q)
+    cols = sorted(df.columns)
+    sp = [tuple(r[c] for c in cols) for r in df.collect()]
+
+    where = f" AND ({_to_sql(crit)})" if crit is not None else ""
+    key = "ts" if (order is None or order[0] is None) else order[0]
+    direction = "DESC" if (order and order[1] is Sort.DESC) else "ASC"
+    sql = (
+        "SELECT ts, event_id, user_id, event_type, value FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' "
+        "  AND ts <  TIMESTAMP '2024-01-25 00:00:00'"
+        f"{where} ORDER BY {key} {direction}, event_id ASC "
+        f"LIMIT {shape['limit']} OFFSET {shape['offset']}"
+    )
+    du = [tuple(r[c] for c in cols)
+          for r in con.execute(sql).fetch_arrow_table().to_pylist()]
+    assert sp == du, f"shape={shape}\nsql={sql}"
