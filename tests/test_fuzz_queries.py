@@ -28,6 +28,12 @@ from skywalking_banyandb_spark.plans.measure import compile_measure
 
 from conftest import SF_SMALL
 from test_fuzz_criteria import _to_sql, criteria_trees
+from skywalking_banyandb_spark.model import (
+    BinaryOp,
+    Criteria,
+    LogicalOp,
+    cond,
+)
 
 TR = TimeRange.of("2024-01-05T00:00:00", "2024-01-25T00:00:00")
 
@@ -182,6 +188,126 @@ def test_stream_shape_matches_duckdb(env, shape):
         "  AND ts <  TIMESTAMP '2024-01-25 00:00:00'"
         f"{where} ORDER BY {key} {direction}, event_id ASC "
         f"LIMIT {shape['limit']} OFFSET {shape['offset']}"
+    )
+    du = [tuple(r[c] for c in cols)
+          for r in con.execute(sql).fetch_arrow_table().to_pylist()]
+    assert sp == du, f"shape={shape}\nsql={sql}"
+
+
+# ---------------------------------------------------------------------------
+# Trace-level shapes: criteria × time order × pagination, checked on the
+# regrouped per-trace stats (span_count / start_ts / end_ts) — pins the
+# trace-ID regrouping semantics (trace_plan_local.go) without comparing
+# nested span arrays.
+# ---------------------------------------------------------------------------
+
+trace_shapes = st.fixed_dictionaries({
+    "criteria": st.none() | criteria_trees,
+    "sort": st.sampled_from([None, Sort.ASC, Sort.DESC]),
+    "limit": st.integers(min_value=1, max_value=60),
+    "offset": st.integers(min_value=0, max_value=40),
+})
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(shape=trace_shapes)
+def test_trace_shape_matches_duckdb(env, shape):
+    from skywalking_banyandb_spark.model import TraceQuery
+    from skywalking_banyandb_spark.plans.trace import compile_trace
+
+    spark, cat, con = env
+    crit = shape["criteria"]
+    ob = OrderBy(tag=None, sort=shape["sort"]) if shape["sort"] else None
+    q = TraceQuery(
+        groups=["g1"], name="event_trace", time_range=TR, criteria=crit,
+        order_by=ob, limit=shape["limit"], offset=shape["offset"],
+    )
+    df = compile_trace(spark, cat, q).select(
+        "trace_id", "span_count", "start_ts", "end_ts")
+    sp = [tuple(r) for r in df.collect()]
+
+    where = f" AND ({_to_sql(crit)})" if crit is not None else ""
+    direction = "DESC" if shape["sort"] is Sort.DESC else "ASC"
+    sql = (
+        "SELECT user_id AS trace_id, COUNT(*) AS span_count, "
+        "MIN(ts) AS start_ts, MAX(ts) AS end_ts FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' "
+        "  AND ts <  TIMESTAMP '2024-01-25 00:00:00'"
+        f"{where} GROUP BY user_id "
+        f"ORDER BY start_ts {direction}, trace_id ASC "
+        f"LIMIT {shape['limit']} OFFSET {shape['offset']}"
+    )
+    du = [(r["trace_id"], r["span_count"], r["start_ts"], r["end_ts"])
+          for r in con.execute(sql).fetch_arrow_table().to_pylist()]
+    assert sp == du, f"shape={shape}\nsql={sql}"
+
+
+# ---------------------------------------------------------------------------
+# Property-level shapes: criteria × order-by-tag × pagination over the
+# documents property table (id-tiebroken total order).
+# ---------------------------------------------------------------------------
+
+_prop_leaf = st.one_of(
+    st.tuples(st.just("lang"), st.sampled_from([BinaryOp.EQ, BinaryOp.NE]),
+              st.sampled_from(["en", "de", "fr", "es", "zz"])),
+    st.tuples(st.just("n_chars"),
+              st.sampled_from([BinaryOp.LT, BinaryOp.GT, BinaryOp.LE,
+                               BinaryOp.GE]),
+              st.integers(min_value=0, max_value=2000)),
+)
+
+prop_trees = st.recursive(
+    _prop_leaf.map(lambda t: cond(*t)),
+    lambda inner: st.tuples(
+        st.sampled_from([LogicalOp.AND, LogicalOp.OR]), inner, inner
+    ).map(lambda t: Criteria(t[0], t[1], t[2])),
+    max_leaves=4,
+)
+
+prop_shapes = st.fixed_dictionaries({
+    "criteria": st.none() | prop_trees,
+    "order": st.sampled_from(
+        [None, ("n_chars", Sort.ASC), ("n_chars", Sort.DESC),
+         ("lang", Sort.ASC), ("lang", Sort.DESC)]),
+    "limit": st.integers(min_value=1, max_value=80),
+    "offset": st.integers(min_value=0, max_value=60),
+})
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(shape=prop_shapes)
+def test_property_shape_matches_duckdb(env, shape):
+    from skywalking_banyandb_spark.model import PropertyQuery
+    from skywalking_banyandb_spark.plans.property import compile_property
+
+    spark, cat, con = env
+    con.execute(
+        f"CREATE VIEW IF NOT EXISTS documents AS "
+        f"SELECT * FROM '{SF_SMALL}/documents.parquet'"
+    )
+    crit = shape["criteria"]
+    order = shape["order"]
+    ob = OrderBy(tag=order[0], sort=order[1]) if order else None
+    q = PropertyQuery(
+        group="g1", name="documents", criteria=crit,
+        projection=["lang", "n_chars"],
+        order_by=ob, limit=shape["limit"], offset=shape["offset"],
+    )
+    df = compile_property(spark, cat, q)
+    cols = sorted(df.columns)
+    sp = [tuple(r[c] for c in cols) for r in df.collect()]
+
+    where = f" WHERE {_to_sql(crit)}" if crit is not None else ""
+    if order:
+        direction = "DESC" if order[1] is Sort.DESC else "ASC"
+        order_sql = f"{order[0]} {direction}, doc_id ASC"
+    else:
+        order_sql = "doc_id ASC"
+    sql = (
+        f"SELECT doc_id, lang, n_chars FROM documents{where} "
+        f"ORDER BY {order_sql} LIMIT {shape['limit']} OFFSET {shape['offset']}"
     )
     du = [tuple(r[c] for c in cols)
           for r in con.execute(sql).fetch_arrow_table().to_pylist()]
