@@ -28,7 +28,13 @@ def get_spark(app_name: str = "skywalking-banyandb-spark", cpus: int | None = No
         # write micros, not INT96 — keeps our own segment layout free of the
         # legacy type and makes footer-sniffing unambiguous
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # long-lived local sessions accumulate broadcast/shuffle state that
+        # only the ContextCleaner frees, and it is driven by driver GC —
+        # with a mostly-idle 16g heap a full GC can be 30+ min away
+        # (default periodicGC.interval), so force one every 2 minutes;
+        # negligible cost, prevents heap creep over thousands of stages
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
