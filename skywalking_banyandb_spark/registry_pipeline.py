@@ -315,3 +315,33 @@ register(
         q=tx.quality_score_sql("text"),
     ),
 )
+
+
+def _embedding_norms(spark: SparkSession, sf: str) -> DataFrame:
+    """Vector hygiene for ANN pipelines: per-row L2 norm over the
+    ``array<float>`` column (row-local ``F.aggregate`` — no shuffle, stays
+    in whole-stage codegen; per-row sequential fold is deterministic and
+    engine-portable, unlike a distributed float reduction), top 20 by norm
+    with vec_id tiebreak (TakeOrdered)."""
+    d = _emb(spark, sf)
+    sq_sum = F.aggregate(
+        "embedding",
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return (
+        d.select("vec_id", F.sqrt(sq_sum).alias("l2_norm"))
+        .orderBy(F.col("l2_norm").desc(), F.col("vec_id"))
+        .limit(20)
+    )
+
+
+register(
+    "embedding_l2_norms",
+    _embedding_norms,
+    """SELECT vec_id,
+              sqrt(list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  AS l2_norm
+       FROM embeddings ORDER BY l2_norm DESC, vec_id LIMIT 20""",
+)
