@@ -146,3 +146,18 @@ register(
          AND event_type <> 'view'
        ORDER BY value ASC, event_id LIMIT 15""",
 )
+
+
+register(
+    "bydbql_family_qualified_agg",
+    _ql(
+        "SELECT default.user_id, MAX(value) FROM MEASURE metrics IN g1 "
+        "TIME BETWEEN '2024-01-03T00:00:00Z' AND '2024-01-27T00:00:00Z' "
+        "WHERE default.event_type != 'view' "
+        "GROUP BY default.user_id LIMIT 100000"
+    ),
+    # family-qualified identifier paths (grammar.go:291-295) resolve to the
+    # bare tag everywhere: projection, WHERE, GROUP BY
+    f"""SELECT user_id, MAX(value) AS value FROM {DEDUP}
+        WHERE event_type <> 'view' GROUP BY user_id""",
+)
