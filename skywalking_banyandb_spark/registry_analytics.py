@@ -423,7 +423,7 @@ def _tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             (
-                F.sum(F.when(F.col("supp_nation") == "CHINA", vol)
+                F.sum(F.when(F.col("supp_nation") == "NATION_9", vol)
                       .otherwise(F.lit(0).cast(DEC))).cast("double")
                 / F.sum(vol).cast("double")
             ).alias("mkt_share")
@@ -436,7 +436,7 @@ register(
     "tpch_q8_market_share",
     _tpch_q8,
     f"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-        {SUM6.format(x="CASE WHEN n2.n_name = 'CHINA' THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END")}
+        {SUM6.format(x="CASE WHEN n2.n_name = 'NATION_9' THEN l_extendedprice * (1.0 - l_discount) ELSE 0 END")}
         / {SUM6.format(x='l_extendedprice * (1.0 - l_discount)')} AS mkt_share
         FROM lineitem, orders, part, customer, supplier,
              nation n1, nation n2, region
@@ -448,4 +448,67 @@ register(
           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
           AND p_type LIKE 'PROMO%'
         GROUP BY o_year ORDER BY o_year""",
+)
+
+
+def _tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape — volume shipping between two nations: the fact-fact
+    shuffle join (lineitem ⋈ orders on orderkey) with supplier/customer
+    nation lookups broadcast on both sides; the (supp_nation, cust_nation,
+    year) aggregation is one partial+final pass."""
+    l = read_table(spark, f"{sf}/lineitem.parquet")
+    o = read_table(spark, f"{sf}/orders.parquet")
+    s = read_table(spark, f"{sf}/supplier.parquet")
+    c = read_table(spark, f"{sf}/customer.parquet")
+    n = read_table(spark, f"{sf}/nation.parquet")
+    vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
+    sn = (
+        s.join(F.broadcast(n.select(F.col("n_nationkey").alias("sk"),
+                                    F.col("n_name").alias("supp_nation"))),
+               F.col("s_nationkey") == F.col("sk"))
+        .select("s_suppkey", "supp_nation")
+    )
+    cn = (
+        c.join(F.broadcast(n.select(F.col("n_nationkey").alias("ck"),
+                                    F.col("n_name").alias("cust_nation"))),
+               F.col("c_nationkey") == F.col("ck"))
+        .select("c_custkey", "cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_10")
+    ) | (
+        (F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_9")
+    )
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit(dt.datetime(1995, 1, 1)))
+            & (F.col("l_shipdate") < F.lit(dt.datetime(1997, 1, 1)))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+register(
+    "tpch_q7_volume_shipping",
+    _tpch_q7,
+    f"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        {SUM6.format(x='l_extendedprice * (1.0 - l_discount)')} AS revenue
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+            OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+          AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year""",
 )
