@@ -76,12 +76,60 @@ def register(name: str, fn: QueryFn, sql: str | None = None) -> None:
         _ORACLES[name] = sql
 
 
+# Entries the round-1 driver sweep verified green (CORRECTNESS_r01.json).
+# The r1 sweep recorded exactly the first 50 entries of this dict in
+# iteration order — a hard cap — leaving 27 registry entries with no driver
+# row.  We therefore order the dict so never-driver-verified entries (and any
+# entry added after r1) run FIRST; r1-green entries whose compile paths
+# changed this round come next; the remainder (r1-green, code untouched) fill
+# the tail.  Combined r1+r2 driver rows then cover every entry.
+_R1_DRIVER_GREEN = frozenset({
+    "measure_scan_filter", "measure_groupby_sum", "measure_groupby_mean",
+    "measure_groupby_min", "measure_groupby_max", "measure_groupby_count",
+    "measure_agg_all", "measure_groupby_no_agg", "measure_top_desc",
+    "measure_bottom_asc", "measure_multigroup_union",
+    "measure_filter_not_null", "stream_scan_paged",
+    "stream_filter_in_orderby_tag", "stream_filter_not_in_range",
+    "stream_criteria_or_tree", "trace_regroup_stats", "property_filter_sort",
+    "property_match_or", "property_match_and", "topn_per_window",
+    "topn_postagg_mean", "topn_multigroup_postagg_max",
+    "part_never_ordered_antijoin", "events_sessionization",
+    "dedup_near_dup_clusters", "measure_downsample_5m",
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",
+    "tpch_q4_order_priority", "tpch_q10_returned_items",
+    "tpch_q14_promo_effect", "tpch_q18_large_volume", "rollup_events_daily",
+    "measure_count_distinct", "tpch_q8_market_share",
+    "tpch_q7_volume_shipping", "bydbql_measure_group_agg",
+    "bydbql_measure_scan_where", "bydbql_show_top",
+    "bydbql_stream_orderby_tag", "bydbql_property_match",
+    "bydbql_trace_stats", "bydbql_select_top", "bydbql_stream_select_top",
+    "bydbql_family_qualified_agg", "measure_index_mode_scan",
+    "measure_orderby_field_desc",
+})
+
+# r1-green entries whose compiler / operator code is being changed in round 2
+# (topn condition validation, trace two-phase regroup) — keep them inside the
+# driver's verified window so the changes stay gated.
+_R2_TOUCHED = (
+    "topn_per_window", "topn_postagg_mean", "topn_multigroup_postagg_max",
+    "trace_regroup_stats", "bydbql_trace_stats", "bydbql_show_top",
+)
+
+
+def _sweep_order(d: Dict[str, "object"]) -> list:
+    fresh = [k for k in d if k not in _R1_DRIVER_GREEN]
+    touched = [k for k in _R2_TOUCHED if k in d]
+    rest = [k for k in d if k in _R1_DRIVER_GREEN and k not in _R2_TOUCHED]
+    return fresh + touched + rest
+
+
 def queries() -> Dict[str, QueryFn]:
-    return dict(_QUERIES)
+    return {k: _QUERIES[k] for k in _sweep_order(_QUERIES)}
 
 
 def oracle_sql() -> Dict[str, str]:
-    return dict(_ORACLES)
+    return {k: _ORACLES[k] for k in _sweep_order(_ORACLES)}
 
 
 # --------------------------------------------------------------------------
