@@ -114,11 +114,26 @@ def compile_topn(
 
     df = union_groups(parts)
     if q.conditions:
+        from ..model import BinaryOp
+        from ..operators.criteria import compile_condition
+
         tagmap = {t.name: t.analyzer for t in ref.tags}
         for c in q.conditions:
-            from ..operators.criteria import compile_condition
-
-            df = df.where(compile_condition(c, tagmap)) if c.tag in df.columns else df
+            # Reference analyze-time rules (topn_plan_localscan.go:137,149):
+            # conditions may only reference the materialization's groupBy /
+            # entity tags, and entity tags support EQ only. Anything else is
+            # an error, never a silently-dropped predicate.
+            if c.tag not in df.columns:
+                raise QueryAnalyzeError(
+                    f"topn condition on {c.tag!r}: only groupBy tag name is "
+                    f"supported (available: {sorted(set(df.columns) - {'window_start', field})})"
+                )
+            if c.tag in ref.entity and c.op is not BinaryOp.EQ:
+                raise QueryAnalyzeError(
+                    f"tag {c.tag!r} belongs to the entity and only supports "
+                    f"EQ operation in conditions (got {c.op.name})"
+                )
+            df = df.where(compile_condition(c, tagmap))
     if q.agg is None:
         return df.orderBy(
             F.col("window_start").asc(),

@@ -6,11 +6,20 @@ messages (``trace/v1/query.proto:31-57``). The regroup is the reference's
 only join-like operation; on Spark it is ``groupBy(trace_id)`` +
 ``collect_list`` over spans sorted within each trace.
 
-Scale note: the per-trace span list is assembled with
-``sort_array(collect_list(struct(ts, span_id, ...)))`` — a declarative
-aggregate with map-side partial combine, shuffling only grouped lists. Spans
-of one trace co-locate after the shuffle regardless of input partitioning;
-with storage bucketed by trace_id the shuffle disappears.
+Ordering: the reference retrieves spans ordered by an int64 secondary-index
+(sidx) key — time by default, or any indexed int tag such as duration
+(``banyand/internal/sidx/``, ``trace_plan_local.go:77-120``) — and a trace
+is emitted at the position of its first-encountered span.  On Spark that
+means the trace's effective sort key is MIN(tag) for ASC and MAX(tag) for
+DESC over its spans ("slowest traces first" = order by the slowest span).
+
+Scale: the regroup is TWO-PHASE so full span payloads are never shuffled
+for losing traces.  Phase 1 ranks trace ids only — groupBy(trace_id) over
+(key, ts) aggregates (map-side partial combine, a few bytes per trace) and
+takes the top ``offset+limit`` ids.  Phase 2 broadcast-semi-joins the winner
+ids back to the span scan and collects span lists for just those traces.
+At 100 TB phase 1 shuffles O(#traces) tiny rows; the payload
+``collect_list`` touches only ``limit`` traces' spans.
 """
 
 from __future__ import annotations
@@ -40,6 +49,34 @@ def _tagmap(schema: TraceSchema) -> Dict[str, Optional[str]]:
     return out
 
 
+def _order_key(ref: TraceSchema, q: TraceQuery):
+    """Per-trace sort-key aggregate implementing sidx ordering.
+
+    Returns (agg_expr, descending).  Time ordering uses MIN(ts) (trace start)
+    in both directions — the reference's default key is the span's timestamp
+    and UIs sort traces by start time.  Tag ordering uses MIN/MAX per
+    direction per the sidx first-encounter semantics above.
+    """
+    order = q.order_by
+    desc = bool(order and order.sort is Sort.DESC)
+    if order is None or order.tag is None:
+        return F.min(F.col(ref.ts_column)), desc
+    tspec = ref.tag(order.tag)
+    if tspec is None:
+        raise QueryAnalyzeError(
+            f"trace order-by tag {order.tag!r} is not an indexed tag of "
+            f"{ref.name!r} (available: {[t.name for t in ref.tags]})"
+        )
+    if tspec.type not in ("INT", "FLOAT"):
+        # sidx keys are int64 (banyand/internal/sidx); numeric tags only.
+        raise QueryAnalyzeError(
+            f"trace order-by tag {order.tag!r} must be numeric "
+            f"(sidx int64 key), got {tspec.type}"
+        )
+    col = F.col(order.tag)
+    return (F.max(col) if desc else F.min(col)), desc
+
+
 def compile_trace(spark: SparkSession, catalog: Catalog, q: TraceQuery) -> DataFrame:
     schemas: List[TraceSchema] = catalog.get_many(q.groups, "trace", q.name)
     ref = schemas[0]
@@ -61,12 +98,34 @@ def compile_trace(spark: SparkSession, catalog: Catalog, q: TraceQuery) -> DataF
         parts.append(df)
     df = union_groups(parts)
 
-    tid = F.col(ref.trace_id_column)
+    tid_col = ref.trace_id_column
+    key_agg, desc = _order_key(ref, q)
+    limit = q.limit if q.limit is not None else DEFAULT_LIMIT
+
+    # Phase 1: rank trace ids on the tiny (trace_id, key) aggregate.
+    # orderBy+limit lowers to TakeOrderedAndProject — no full sort.
+    keys = df.groupBy(F.col(tid_col).alias("trace_id")).agg(
+        key_agg.alias("_order_key")
+    )
+    kcol = F.col("_order_key").desc() if desc else F.col("_order_key").asc()
+    # offset pages the ranked trace list (trace_plan_local.go pages traces,
+    # not spans); orderBy+offset+limit lowers to TakeOrderedAndProject.
+    winners = limit_offset(
+        keys.orderBy(kcol, F.col("trace_id").asc()), limit, q.offset
+    )
+
+    # Phase 2: collect span payloads for winner traces only.
     span_payload = [ref.ts_column, ref.span_id_column] + [t.name for t in ref.tags]
     if ref.span_column:
         span_payload.append(ref.span_column)
+    win = winners.withColumnRenamed("trace_id", "_win_tid")
+    picked = df.join(
+        F.broadcast(win), df[tid_col] == F.col("_win_tid"), "inner"
+    )
     # spans sorted by (ts, span_id) within each trace — sidx ordering analogue
-    grouped = df.groupBy(tid.alias("trace_id")).agg(
+    grouped = picked.groupBy(
+        F.col("_win_tid").alias("trace_id"), F.col("_order_key")
+    ).agg(
         F.sort_array(
             F.collect_list(F.struct(*[F.col(c) for c in span_payload]))
         ).alias("spans"),
@@ -74,13 +133,8 @@ def compile_trace(spark: SparkSession, catalog: Catalog, q: TraceQuery) -> DataF
         F.min(F.col(ref.ts_column)).alias("start_ts"),
         F.max(F.col(ref.ts_column)).alias("end_ts"),
     )
-
-    order = q.order_by
-    if order is not None and order.tag is not None:
-        raise QueryAnalyzeError("trace ordering is by time (start_ts) only")
-    direction = order.sort if order else Sort.ASC
-    kcol = F.col("start_ts").desc() if direction is Sort.DESC else F.col("start_ts").asc()
-    grouped = grouped.orderBy(kcol, F.col("trace_id").asc())
-
-    limit = q.limit if q.limit is not None else DEFAULT_LIMIT
-    return limit_offset(grouped, limit, q.offset)
+    return (
+        grouped.orderBy(kcol, F.col("trace_id").asc())
+        .drop("_order_key")
+        .select("trace_id", "spans", "span_count", "start_ts", "end_ts")
+    )

@@ -369,6 +369,29 @@ register(
 )
 
 
+def _trace_orderby_duration(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowest-traces-first: order by the numeric tag ``value`` DESC — the
+    sidx-key retrieval of ``trace_plan_local.go:77-120`` (trace key =
+    slowest span, two-phase rank-then-collect plan)."""
+    q = TraceQuery(
+        groups=["g1"], name="event_trace", time_range=TR,
+        order_by=OrderBy("value", Sort.DESC), limit=50,
+    )
+    df = compile_trace(spark, default_catalog(sf), q)
+    return df.select("trace_id", "span_count", "start_ts", "end_ts")
+
+
+register(
+    "trace_orderby_duration",
+    _trace_orderby_duration,
+    f"""SELECT user_id AS trace_id, COUNT(*) AS span_count,
+               MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        FROM events
+        WHERE ts >= TIMESTAMP '{T0.replace("T", " ")}' AND ts < TIMESTAMP '{T1.replace("T", " ")}'
+        GROUP BY user_id ORDER BY MAX(value) DESC, trace_id LIMIT 50""",
+)
+
+
 # --------------------------------------------------------------------------
 # Property path (criteria + sort + limit; MATCH full-text)
 # --------------------------------------------------------------------------

@@ -91,13 +91,15 @@ register(
 
 
 def _topn_conditions(spark: SparkSession, sf: str) -> DataFrame:
-    """SHOW TOP with WHERE conditions on the entity tag
-    (processor_topn.go filter path)."""
+    """SHOW TOP with a WHERE condition on the entity tag
+    (processor_topn.go filter path). Entity tags support EQ only
+    (topn_plan_localscan.go:137) — non-EQ raises QueryAnalyzeError,
+    covered by tests/test_golden_cases.py."""
     q = TopNQuery(
         groups=["g1"], name="metrics",
         time_range=TimeRange.of("2024-01-03T00:00:00", "2024-01-08T00:00:00"),
         top_n=3, sort=Sort.DESC, agg=AggFunc.MAX,
-        conditions=(cond("user_id", BinaryOp.GE, 3),),
+        conditions=(cond("user_id", BinaryOp.EQ, 114),),
     )
     return compile_topn(spark, default_catalog(sf), q)
 
@@ -118,7 +120,7 @@ register(
         SELECT user_id, MAX(value) AS value FROM ranked
         WHERE window_start >= TIMESTAMP '2024-01-03 00:00:00'
           AND window_start <  TIMESTAMP '2024-01-08 00:00:00'
-          AND user_id >= 3
+          AND user_id = 114
         GROUP BY user_id ORDER BY value DESC, user_id LIMIT 3""",
 )
 

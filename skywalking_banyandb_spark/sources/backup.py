@@ -76,10 +76,20 @@ def restore(backup_root: str, path: str, time_dir: Optional[str] = None) -> str:
         raise FileNotFoundError(f"backup {tdir!r} not found under {backup_root!r}")
     src = os.path.join(backup_root, tdir)
     tmp = path.rstrip("/") + ".restore-tmp"
+    old = path.rstrip("/") + ".restore-old"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     shutil.copytree(src, tmp)
-    if os.path.exists(path):
-        shutil.rmtree(path)
+    # Swap via rename-aside so a live tree exists at every instant: a crash
+    # after the first rename leaves the restored tree one rename away (tmp),
+    # never a window with no data directory (same pattern as the write
+    # path's _atomic_replace).
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    had_live = os.path.exists(path)
+    if had_live:
+        os.rename(path, old)
     os.rename(tmp, path)
+    if had_live:
+        shutil.rmtree(old)
     return tdir

@@ -64,7 +64,14 @@ def _nano_ts_columns(path: str) -> Tuple[str, ...]:
 def _epoch_nanos(t) -> int:
     import datetime as dt
 
-    return int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) * 1000
+    # Naive datetimes are engine-normalized UTC; aware ones must be
+    # CONVERTED (replace() would overwrite the zone and shift the pushed
+    # time-range bounds by the offset).
+    if t.tzinfo is None:
+        t = t.replace(tzinfo=dt.timezone.utc)
+    else:
+        t = t.astimezone(dt.timezone.utc)
+    return int(t.timestamp() * 1_000_000) * 1000
 
 
 def read_table(

