@@ -7,8 +7,9 @@ Scale design (the point of each variant):
   key, fully partial-aggregated. The only correct choice when "duplicate"
   means byte/token-identical.
 - **n-gram Jaccard**: exact set similarity via shingle explode + self-join.
-  Quadratic in the worst case — the *verification* primitive, not the
-  discovery primitive, at 100 TB.
+  Bare form is quadratic on hot shingles — the *verification* primitive;
+  with ``df_cap_frac`` set, stop-shingles are dropped (broadcast anti-join)
+  and per-key fan-out is bounded, making it usable for discovery too.
 - **MinHash + LSH**: the discovery primitive. Shingle -> k md5-minhashes ->
   band buckets -> candidates only where a band collides (join on band hash,
   linear shuffle), then exact-Jaccard verify on the small candidate set.
@@ -73,18 +74,38 @@ def _shingles_sql(expr: str, n: int) -> str:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 2, threshold: float = 0.5
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, threshold: float = 0.5,
+    df_cap_frac: float | None = None,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard >= threshold, ids ordered a < b.
 
     jaccard = |A∩B| / (|A| + |B| - |A∩B|) computed by exploding distinct
     shingles and joining on the shingle (common-count groupBy) — only pairs
     that share at least one shingle are ever materialized.
+
+    ``df_cap_frac`` bounds the quadratic hot-shingle blowup that makes the
+    bare self-join unusable for corpus-wide discovery: shingles present in
+    more than that fraction of documents ("stop shingles" — every pair of
+    docs sharing 'the cat' meets in one reducer) are dropped from the
+    shingle SETS on both sides of the ratio, so each join key fans out to
+    at most cap² pairs. The hot set is tiny by construction (high-df ⇒
+    few), so removing it is a broadcast anti-join, and the per-key work
+    bound makes the discovery cost candidate-linear. With ``None`` the
+    full-vocabulary semantics are kept (verification primitive).
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(_shingles(F.col(text_col), n)).alias("sh"),
     )
+    if df_cap_frac is not None:
+        cap = int(df_cap_frac * df.count())
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > cap)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     common = (
         sh.alias("x")
@@ -111,13 +132,22 @@ def ngram_jaccard_pairs(
 
 
 def ngram_jaccard_pairs_sql(
-    table: str, id_col: str, text_col: str, n: int = 2, threshold: float = 0.5
+    table: str, id_col: str, text_col: str, n: int = 2, threshold: float = 0.5,
+    df_cap_frac: float | None = None,
 ) -> str:
-    sh = _shingles_sql(text_col, n)
+    sh_expr = _shingles_sql(text_col, n)
+    cap_cte = ""
+    src = "sh0"
+    if df_cap_frac is not None:
+        cap_cte = f""", hot AS (
+  SELECT sh FROM sh0 GROUP BY sh
+  HAVING COUNT(*) > CAST(floor({df_cap_frac} * (SELECT COUNT(*) FROM {table})) AS BIGINT)
+), sh1 AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot))"""
+        src = "sh1"
     return f"""
-WITH sh AS (
-  SELECT {id_col} AS id, unnest({sh}) AS sh FROM {table}
-), sizes AS (
+WITH sh0 AS (
+  SELECT {id_col} AS id, unnest({sh_expr}) AS sh FROM {table}
+){cap_cte}, sh AS (SELECT * FROM {src}), sizes AS (
   SELECT id, COUNT(*) AS sz FROM sh GROUP BY id
 ), common AS (
   SELECT x.id AS a, y.id AS b, COUNT(*) AS common

@@ -10,9 +10,9 @@
   100 TB path: the bucket-prefilter prunes the scan to a fraction before
   exact re-ranking; hyperplanes are derived deterministically from md5 so
   plans are reproducible run-to-run.
-- :func:`embedding_neardup_pairs` — cosine near-duplicate pairs. Brute-force
-  O(n²) block-join here (oracle-checkable); swap the candidate generator to
-  the same LSH buckets at scale.
+- :func:`embedding_neardup_pairs` — cosine near-duplicate pairs. Exact,
+  via a blocked equi-join: O(n²) compute spread over B(B+1)/2 bounded
+  shuffle partitions, never a nested-loop/Cartesian join.
 """
 
 from __future__ import annotations
@@ -231,31 +231,71 @@ def ivf_topk(
 
 
 def embedding_neardup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float
+    df: DataFrame, id_col: str, vec_col: str, threshold: float,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """All pairs (a < b) with cosine >= threshold (brute force).
+    """All pairs (a < b) with cosine >= threshold — EXACT, via a blocked
+    equi-join (no Cartesian / nested-loop join anywhere in the plan).
 
-    Two scale moves, both value-preserving:
-    - per-vector self-dot computed BEFORE the join (n folds, not 3n²; the
-      pair side then runs one fold each) — identical expressions, so the
-      rounded cosine is bit-equal to the naive form;
-    - the left side is repartitioned so the O(n²) pair work spreads over
-      the cluster instead of inheriting the (often single-partition)
-      file layout.
+    Exact all-pairs similarity is inherently O(n²) *compute*; the scale
+    problem with the naive form is O(n²) in ONE nested-loop task. Block
+    decomposition fixes the distribution: every vector gets a block id
+    (hash % B) and each unordered block pair (p ≤ q) becomes one equi-join
+    key, so the n² work spreads over B(B+1)/2 independent shuffle
+    partitions, each bounded at (n/B)² — the standard blocked-matrix
+    similarity join. Shuffle volume is (B+1)·n rows (each row joins B+1
+    block pairs), traded against even task sizing; B is derived from the
+    cluster's parallelism and does NOT affect the result.
+
+    Value-preserving details: per-vector self-dot is computed before
+    replication (n folds, not 3n²), and the pair cosine uses the identical
+    fold expression as :func:`cosine`, so the rounded value is bit-equal
+    to the naive form. For the *approximate* near-dup regime (high
+    threshold, huge corpus) use :func:`minhash_lsh_pairs`-style candidate
+    discovery instead; this operator is the exact primitive.
     """
+    if n_blocks is None:
+        # ~2 tasks per core across the B(B+1)/2 block pairs
+        par = df.sparkSession.sparkContext.defaultParallelism
+        n_blocks = max(2, math.isqrt(4 * max(par, 1)))
+    B = int(n_blocks)
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-    ).withColumn("_n", _dot(F.col("_v"), F.col("_v")))
-    left = base.select(F.col("_id").alias("a"), F.col("_v").alias("va"),
-                       F.col("_n").alias("na")).repartition(32, "a")
-    right = base.select(F.col("_id").alias("b"), F.col("_v").alias("vb"),
-                        F.col("_n").alias("nb"))
-    pairs = left.join(right, F.col("a") < F.col("b"))
+    ).withColumn("_n", _dot(F.col("_v"), F.col("_v"))).withColumn(
+        "_blk", F.pmod(F.hash(F.col("_id")), F.lit(B))
+    )
+    ks = F.sequence(F.lit(0), F.lit(B - 1))
+    # row in block b participates as LEFT of keys (b, q≥b), RIGHT of (p≤b, b)
+    left = base.withColumn(
+        "_kq", F.explode(F.filter(ks, lambda q: q >= F.col("_blk")))
+    ).select(
+        F.col("_id").alias("a"), F.col("_v").alias("va"),
+        F.col("_n").alias("na"),
+        F.col("_blk").alias("_kp"), F.col("_kq"),
+    )
+    right = base.withColumn(
+        "_kp", F.explode(F.filter(ks, lambda p: p <= F.col("_blk")))
+    ).select(
+        F.col("_id").alias("b"), F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"),
+        F.col("_kp"), F.col("_blk").alias("_kq"),
+    )
+    pairs = left.join(right, ["_kp", "_kq"]).where(
+        # same-block key carries both orientations: keep each pair once
+        (F.col("_kp") != F.col("_kq")) | (F.col("a") < F.col("b"))
+    )
     cos = F.round(
         _dot(F.col("va"), F.col("vb")) / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6
     )
-    return pairs.select("a", "b", cos.alias("cos")).where(F.col("cos") >= threshold)
+    return (
+        pairs.select(
+            F.least(F.col("a"), F.col("b")).alias("a"),
+            F.greatest(F.col("a"), F.col("b")).alias("b"),
+            cos.alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
 
 
 def embedding_neardup_pairs_sql(table: str, id_col: str, vec_col: str, threshold: float) -> str:

@@ -78,13 +78,20 @@ register(
 
 
 def _dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    return dd.ngram_jaccard_pairs(_docs(spark, sf), "doc_id", "text", n=2, threshold=0.12)
+    # df_cap_frac makes this a DISCOVERY entry: stop-shingles (>8% of docs)
+    # are excluded from the sets, bounding the self-join's per-key fan-out
+    return dd.ngram_jaccard_pairs(
+        _docs(spark, sf), "doc_id", "text", n=2, threshold=0.12,
+        df_cap_frac=0.08,
+    )
 
 
 register(
     "dedup_ngram_jaccard",
     _dedup_jaccard,
-    dd.ngram_jaccard_pairs_sql("documents", "doc_id", "text", n=2, threshold=0.12),
+    dd.ngram_jaccard_pairs_sql(
+        "documents", "doc_id", "text", n=2, threshold=0.12, df_cap_frac=0.08
+    ),
 )
 
 

@@ -162,3 +162,16 @@ def test_trace_two_phase_regroup(spark):
     # the payload collect_list aggregates AFTER the winner join — i.e. the
     # ObjectHashAggregate for collect_list sits above the broadcast join
     assert "ObjectHashAggregate" in plan or "SortAggregate" in plan, plan
+
+
+def test_embedding_neardup_no_nested_loop(spark):
+    """Exact near-dup pairs must decompose into a blocked EQUI-join —
+    CartesianProduct / BroadcastNestedLoopJoin are scale-killers
+    (VERDICT r1 fix: all-pairs `a < b` join was a nested loop)."""
+    from skywalking_banyandb_spark import registry
+
+    plan = _plan(registry.queries()["dedup_embedding_cosine"](spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the block-pair key is an equi join
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan

@@ -55,3 +55,26 @@ def test_salted_plan_has_two_shuffle_levels(spark, skewed):
     # phase-1 hashes on (key, salt), phase-2 on key alone
     assert "_salt" in plan
     assert plan.count("Exchange") >= 2
+
+
+def test_ngram_jaccard_df_cap_bounds_hot_shingles(spark):
+    """A stop-shingle shared by EVERY doc must not fan out quadratically:
+    with df_cap_frac set, it is excluded from the sets, so docs whose only
+    overlap is the hot shingle never pair. Bare form pairs all of them."""
+    from skywalking_banyandb_spark.functions.dedup import ngram_jaccard_pairs
+
+    # 40 docs all containing 'common token'; only docs 0,1 share real text
+    rows = [(i, f"common token unique{i} word{i}") for i in range(2, 40)]
+    rows += [(0, "common token alpha beta gamma"),
+             (1, "common token alpha beta gamma")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    bare = ngram_jaccard_pairs(df, "doc_id", "text", n=1, threshold=0.1)
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=1, threshold=0.1, df_cap_frac=0.5)
+    n_bare = bare.count()
+    got = {(r.a, r.b) for r in capped.collect()}
+    # every doc shares {common, token} -> bare pairs all 40C2 at j>=0.1
+    assert n_bare == 40 * 39 // 2, n_bare
+    # capped: only the genuinely-similar pair survives
+    assert got == {(0, 1)}, got
