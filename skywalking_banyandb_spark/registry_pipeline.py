@@ -143,22 +143,28 @@ register(
 
 def _ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # approximate path: no SQL oracle (rows-only check) — recall is validated
-    # against the brute-force baseline in tests/test_pipeline.py
+    # against the brute-force baseline in tests/test_semantics.py.
+    # Probes the PERSISTED signature index (sources/ann_index.py): the
+    # Hamming-ball bucket predicate is partition pruning on the stored
+    # (tbl, sig)-partitioned table, not a per-query full-scan fold.
+    from .sources.ann_index import lsh_probe_topk
+
     q = _query_vec(spark, sf)
-    d = _emb(spark, sf).where(F.col("vec_id") != 0)
-    return sim.lsh_topk(d, "vec_id", "embedding", q, 10)
+    return lsh_probe_topk(spark, sf, q, 10, exclude_id=0)
 
 
 register("ann_lsh_topk", _ann_lsh, None)
 
 
 def _ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    # IVF scale path: centroid index + nprobe cell probing, exact re-rank
-    # inside probed cells only (rows-only check; recall vs brute force in
-    # tests/test_semantics.py)
+    # IVF scale path probing the PERSISTED index: centroids trained once at
+    # write time (k-means never runs inside the query); the nprobe nearest
+    # cluster_id partitions are pruned at the scan, exact re-rank inside
+    # (rows-only check; recall vs brute force in tests/test_semantics.py)
+    from .sources.ann_index import ivf_probe_topk
+
     q = _query_vec(spark, sf)
-    d = _emb(spark, sf).where(F.col("vec_id") != 0)
-    return sim.ivf_topk(d, "vec_id", "embedding", q, 10, k_clusters=8, nprobe=4)
+    return ivf_probe_topk(spark, sf, q, 10, k_clusters=8, nprobe=4, exclude_id=0)
 
 
 register("ann_ivf_topk", _ann_ivf, None)

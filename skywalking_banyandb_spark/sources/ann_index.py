@@ -1,0 +1,260 @@
+"""Persisted ANN indexes — write-time signatures/assignments, probe-time
+partition pruning.
+
+VERDICT r1: the in-query LSH/IVF paths (``functions/similarity.py``)
+recompute their index per query — ``lsh_topk`` folds n_tables×n_planes dot
+products over EVERY row per query, and ``ivf_topk(centroids=None)`` runs
+k-means inside the query. At 100 TB a probe must be *pruning, not
+scanning*: the index is built once at write time and stored as a parquet
+table PARTITIONED BY its bucket key, so a probe's bucket predicate becomes
+``PartitionFilters`` — only nprobe/k (IVF) or L·(b+1)/L·2^b (SRP) of the
+data is ever read.
+
+Two index kinds:
+
+- **SRP-LSH** (sign-random-projection, Charikar 2002): L tables × b
+  hyperplanes; index rows are (table, sig, id, vec) partitioned by
+  (table, sig). A top-k probe reads, per table, the partitions whose
+  signature is within ``probe_hamming`` of the query's signature, unions
+  candidates, and exact-reranks. Candidate semantics are identical to
+  ``lsh_topk`` (same deterministic md5 hyperplanes) — the stored form just
+  moves the signature fold from query time to write time.
+- **IVF** (inverted-file): k-means centroids trained once
+  (``ivf_build``), assignments stored partitioned by ``cluster_id``;
+  centroids live next to the table as JSON (k×dim floats — driver-small).
+  A probe ranks centroids against the query driver-side, reads the
+  ``nprobe`` nearest partitions, exact-reranks inside them.
+
+Index location: ``$SPARK_GRAFT_INDEX_DIR`` (default
+``/tmp/banyandb_spark_ann_index``), keyed by source dir + parameters.
+Builds are atomic (write to ``.tmp``, rename into place) and idempotent —
+an existing index is reused; callers representing write paths invalidate
+by deleting the directory.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+from itertools import combinations
+from typing import List, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.similarity import (
+    _hyperplanes,
+    cosine,
+    ivf_assign,
+    ivf_build,
+    srp_signature,
+)
+from .parquet import read_table
+
+_DEFAULT_ROOT = "/tmp/banyandb_spark_ann_index"
+
+
+def _index_root() -> str:
+    return os.environ.get("SPARK_GRAFT_INDEX_DIR", _DEFAULT_ROOT)
+
+
+def _index_dir(sf_dir: str, kind: str, params: str) -> str:
+    key = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_index_root(), key, f"{kind}_{params}")
+
+
+def _publish(tmp: str, final: str) -> None:
+    """Atomic, idempotent publish: rename .tmp into place; lose the race
+    gracefully (another builder already published an identical index —
+    builds are deterministic, so any winner is correct)."""
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isdir(final):
+            raise
+
+
+# --------------------------------------------------------------------------
+# SRP-LSH signature index
+# --------------------------------------------------------------------------
+
+def srp_index_path(sf_dir: str, n_tables: int, n_planes: int) -> str:
+    return _index_dir(sf_dir, "srp", f"L{n_tables}_b{n_planes}")
+
+
+def build_srp_index(
+    spark: SparkSession,
+    sf_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+    n_planes: int = 6,
+    dim: int = 64,
+) -> str:
+    """Write-time signature table: one row per (table, vector), partitioned
+    by (table, sig). One scan computes all L signatures (pure Catalyst),
+    explodes to L rows/vector, and the partitioned write clusters each
+    bucket — the posting-list layout of an LSH index."""
+    final = srp_index_path(sf_dir, n_tables, n_planes)
+    if os.path.isdir(final):
+        return final
+    df = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    sigs = F.array(*[
+        F.struct(
+            F.lit(t).alias("tbl"),
+            srp_signature(F.col(vec_col), _hyperplanes(dim, n_planes, seed=t))
+            .alias("sig"),
+        )
+        for t in range(n_tables)
+    ])
+    rows = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.explode(sigs).alias("ts"),
+    ).select("id", "vec", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig"))
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    rows.write.mode("overwrite").partitionBy("tbl", "sig").parquet(tmp)
+    _publish(tmp, final)
+    return final
+
+
+def _query_sig(query: Sequence[float], planes: List[List[float]]) -> int:
+    sig = 0
+    for i, plane in enumerate(planes):
+        if sum(c * q for c, q in zip(plane, query)) >= 0:
+            sig |= 1 << i
+    return sig
+
+
+def _hamming_ball(sig: int, n_planes: int, radius: int) -> List[int]:
+    out = []
+    for r in range(radius + 1):
+        for bits in combinations(range(n_planes), r):
+            s = sig
+            for b in bits:
+                s ^= 1 << b
+            out.append(s)
+    return out
+
+
+def lsh_probe_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 4,
+    n_planes: int = 6,
+    probe_hamming: int = 1,
+    exclude_id=None,
+) -> DataFrame:
+    """Probe the stored SRP index: per table, read only the partitions whose
+    signature lies in the Hamming ball around the query signature
+    (partition pruning — L·(1+b) of L·2^b partitions), dedup candidate
+    ids, exact cosine re-rank. Same candidates as ``lsh_topk``."""
+    path = build_srp_index(
+        spark, sf_dir, id_col, vec_col, n_tables, n_planes, dim=len(query)
+    )
+    idx = spark.read.parquet(path)
+    pred = None
+    for t in range(n_tables):
+        qsig = _query_sig(query, _hyperplanes(len(query), n_planes, seed=t))
+        ball = _hamming_ball(qsig, n_planes, probe_hamming)
+        p = (F.col("tbl") == t) & F.col("sig").isin(ball)
+        pred = p if pred is None else (pred | p)
+    if exclude_id is not None:
+        pred = pred & (F.col("id") != exclude_id)
+    cand = (
+        idx.where(pred)
+        .groupBy("id")
+        .agg(F.first("vec").alias("vec"))
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        cand.select(
+            F.col("id").alias(id_col), cosine(F.col("vec"), qlit).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF centroid + assignment index
+# --------------------------------------------------------------------------
+
+def ivf_index_path(sf_dir: str, k_clusters: int) -> str:
+    return _index_dir(sf_dir, "ivf", f"k{k_clusters}")
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_clusters: int = 8,
+) -> str:
+    """Write-time IVF: train centroids once, store the assignment table
+    partitioned by ``cluster_id`` (the probe's pruning key) and the
+    centroids as JSON beside it."""
+    final = ivf_index_path(sf_dir, k_clusters)
+    if os.path.isdir(final):
+        return final
+    df = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    centroids = ivf_build(df, id_col, vec_col, k_clusters)
+    assigned = ivf_assign(df, vec_col, centroids).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        "cluster_id",
+    )
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
+    with open(os.path.join(tmp, "_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    _publish(tmp, final)
+    return final
+
+
+def ivf_probe_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_clusters: int = 8,
+    nprobe: int = 4,
+    exclude_id=None,
+) -> DataFrame:
+    """Probe the stored IVF index: rank centroids driver-side (k×dim
+    floats), read only the ``nprobe`` nearest cluster partitions
+    (PartitionFilters), exact cosine re-rank inside them. Same semantics
+    as ``ivf_topk`` with pre-built centroids."""
+    path = build_ivf_index(spark, sf_dir, id_col, vec_col, k_clusters)
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = json.load(f)
+    qn = math.sqrt(sum(x * x for x in query)) or 1e-12
+    sims = []
+    for ci, c in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in c)) or 1e-12
+        sims.append((sum(a * b for a, b in zip(c, query)) / (cn * qn), ci))
+    probe = [ci for _, ci in sorted(sims, reverse=True)[:nprobe]]
+    idx = spark.read.parquet(path).where(F.col("cluster_id").isin(probe))
+    if exclude_id is not None:
+        idx = idx.where(F.col("id") != exclude_id)
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        idx.select(
+            F.col("id").alias(id_col), cosine(F.col("vec"), qlit).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

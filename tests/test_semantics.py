@@ -205,3 +205,67 @@ def test_catalog_json_roundtrip(spark, tmp_path):
     assert a == b and len(a) > 0
     s = back.get("g1", "measure", "metrics_staged")
     assert s.stages[0].name == "hot" and s.default_stages == ("hot",)
+
+
+# --- persisted ANN indexes (sources/ann_index.py) --------------------------
+
+def _qv(spark):
+    from skywalking_banyandb_spark.sources.parquet import read_table
+    from pyspark.sql import functions as F
+
+    row = (read_table(spark, f"{SF_SMALL}/embeddings.parquet")
+           .where(F.col("vec_id") == 0).select("embedding").head())
+    return [float(x) for x in row[0]]
+
+
+def test_lsh_stored_index_matches_in_query(spark, monkeypatch, tmp_path):
+    """The persisted SRP index returns EXACTLY the in-query lsh_topk result
+    (same hyperplanes, same Hamming-ball candidates), and the probe is
+    partition pruning, not a scan: PartitionFilters carries the sig
+    predicate."""
+    from pyspark.sql import functions as F
+
+    from skywalking_banyandb_spark.sources.ann_index import lsh_probe_topk
+    from skywalking_banyandb_spark.sources.parquet import read_table
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    q = _qv(spark)
+    stored = lsh_probe_topk(spark, SF_SMALL, q, 10, exclude_id=0)
+    got = [(r.vec_id, r.score) for r in stored.collect()]
+
+    d = read_table(spark, f"{SF_SMALL}/embeddings.parquet").where(
+        F.col("vec_id") != 0)
+    want = [(r.vec_id, r.score)
+            for r in lsh_topk(d, "vec_id", "embedding", q, 10).collect()]
+    assert got == want
+
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "sig" in plan, plan
+
+
+def test_ivf_stored_index_probe_prunes_partitions(spark, monkeypatch, tmp_path):
+    """The persisted IVF index never trains inside the query, probes only
+    nprobe cluster partitions (PartitionFilters on cluster_id), and keeps
+    recall vs brute force."""
+    from skywalking_banyandb_spark.sources.ann_index import ivf_probe_topk
+    from skywalking_banyandb_spark.sources.parquet import read_table
+    from pyspark.sql import functions as F
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    q = _qv(spark)
+    stored = ivf_probe_topk(spark, SF_SMALL, q, 10, k_clusters=8, nprobe=4,
+                            exclude_id=0)
+    got = {r.vec_id for r in stored.collect()}
+
+    d = read_table(spark, f"{SF_SMALL}/embeddings.parquet").where(
+        F.col("vec_id") != 0)
+    exact = {r.vec_id
+             for r in brute_force_topk(d, "vec_id", "embedding", q, 10).collect()}
+    assert len(got & exact) >= 5, (got, exact)
+
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan, plan
+    # probe reads only the nprobe partitions; build artifacts cached on disk
+    import os
+    idx = [p for p in os.listdir(str(tmp_path))][0]
+    assert idx
