@@ -84,10 +84,15 @@ def compile_condition(
         return col <= F.lit(c.value)
     if op is BinaryOp.GE:
         return col >= F.lit(c.value)
-    if op is BinaryOp.IN:
-        return col.isin(*_as_list(c.value))
-    if op is BinaryOp.NOT_IN:
-        return ~col.isin(*_as_list(c.value))
+    if op in (BinaryOp.IN, BinaryOp.NOT_IN):
+        # scalar operand is an analyze-time error (golden gen_err_in_scalar)
+        if not isinstance(c.value, (list, tuple)):
+            raise QueryAnalyzeError(
+                f"{op.name} requires an array operand, got {c.value!r}"
+            )
+        if op is BinaryOp.IN:
+            return col.isin(*list(c.value))
+        return ~col.isin(*list(c.value))
     if op is BinaryOp.HAVING:
         # array tag contains ALL listed values (tag_filter.go havingTag)
         wanted = F.array(*[F.lit(v) for v in _as_list(c.value)])

@@ -59,5 +59,7 @@ def limit_offset(df: DataFrame, limit: Optional[int], offset: int) -> DataFrame:
     if offset:
         df = df.offset(offset)
     if limit is not None:
-        df = df.limit(limit)
+        # the reference's "unlimited" sentinel is 0xffffffff (uint32 max,
+        # stream all_max_limit golden case); Spark's limit is a Java int
+        df = df.limit(min(limit, 2**31 - 1))
     return df

@@ -190,6 +190,20 @@ def compile_measure(spark: SparkSession, catalog: Catalog, q: MeasureQuery) -> D
             )
         if q.top is not None:
             df = top_n(df, q.top.field_name, q.top.number, q.top.sort, tiebreak=list(q.group_by))
+        elif q.order_by is not None and q.order_by.tag is not None:
+            # ordered group output (gen_feat_*_group_order_* golden cases):
+            # the order tag must be one of the group keys
+            if q.order_by.tag not in q.group_by:
+                raise QueryAnalyzeError(
+                    f"order-by tag {q.order_by.tag!r} must be a group-by tag"
+                )
+            kcol = (
+                F.col(q.order_by.tag).desc()
+                if q.order_by.sort is Sort.DESC
+                else F.col(q.order_by.tag).asc()
+            )
+            rest = [F.col(g).asc() for g in q.group_by if g != q.order_by.tag]
+            df = df.orderBy(kcol, *rest)
     else:
         # raw data-point query: project ts + tags + fields
         proj = list(q.tag_projection) + list(q.field_projection)

@@ -299,3 +299,109 @@ register(
         SELECT ts, user_id, NULL AS props, value FROM d
         ORDER BY ts, user_id LIMIT 100000""",
 )
+
+
+# --------------------------------------------------------------------------
+# Request boundary (request_loader.py): protobuf-JSON/YAML QueryRequest ->
+# typed model -> compiler, end-to-end through the driver contract
+# (banyand/liaison/grpc entry-point parity; golden input.yaml replay shape)
+# --------------------------------------------------------------------------
+
+def _request_yaml_measure(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's complex_and_or.yaml request shape, served from the
+    protobuf-YAML boundary instead of the programmatic API."""
+    from .request_loader import load_measure_request
+
+    q = load_measure_request(f"""
+name: "metrics"
+groups: ["g1"]
+timeRange:
+  begin: "{T0}Z"
+  end: "{T1}Z"
+tagProjection:
+  tagFamilies:
+  - name: "default"
+    tags: ["user_id", "event_type"]
+fieldProjection:
+  names: ["value"]
+criteria:
+  le:
+    op: "LOGICAL_OP_OR"
+    left:
+      le:
+        op: "LOGICAL_OP_AND"
+        left:
+          condition:
+            name: "user_id"
+            op: "BINARY_OP_LE"
+            value:
+              int:
+                value: 40
+        right:
+          condition:
+            name: "event_type"
+            op: "BINARY_OP_EQ"
+            value:
+              str:
+                value: "click"
+    right:
+      condition:
+        name: "event_type"
+        op: "BINARY_OP_EQ"
+        value:
+          str:
+            value: "error"
+orderBy:
+  sort: "SORT_DESC"
+limit: 500
+""")
+    return compile_measure(spark, default_catalog(sf), q)
+
+
+register(
+    "request_yaml_measure",
+    _request_yaml_measure,
+    f"""SELECT ts, user_id, event_type, value FROM {DEDUP}
+        WHERE (user_id <= 40 AND event_type = 'click') OR event_type = 'error'
+        ORDER BY ts DESC, user_id ASC LIMIT 500""",
+)
+
+
+def _request_yaml_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream QueryRequest via the boundary: numeric-enum form + tag order."""
+    from .request_loader import load_stream_request
+
+    q = load_stream_request(f"""
+name: "event_log"
+groups: ["g1"]
+timeRange:
+  begin: "{T0}Z"
+  end: "{T1}Z"
+projection:
+  tagFamilies:
+  - name: "searchable"
+    tags: ["user_id", "event_type", "value"]
+criteria:
+  condition:
+    name: "event_type"
+    op: 9
+    value:
+      strArray:
+        value: ["view", "purchase"]
+orderBy:
+  sort: 1
+  indexRuleName: "user_id"
+limit: 250
+offset: 10
+""")
+    return compile_stream(spark, default_catalog(sf), q)
+
+
+register(
+    "request_yaml_stream",
+    _request_yaml_stream,
+    f"""SELECT ts, event_id, user_id, event_type, value FROM events
+        WHERE ts >= TIMESTAMP '{T0.replace("T", " ")}' AND ts < TIMESTAMP '{T1.replace("T", " ")}'
+          AND event_type IN ('view', 'purchase')
+        ORDER BY user_id DESC, event_id ASC LIMIT 250 OFFSET 10""",
+)

@@ -1,0 +1,301 @@
+"""Request boundary: protobuf-JSON/YAML QueryRequest -> typed query model.
+
+The reference's entry points are protobuf services
+(``banyand/liaison/grpc/server.go:602`` + grpc-gateway HTTP); its golden
+test corpus feeds them YAML-serialized QueryRequests
+(``test/cases/*/data/input/*.yaml``, loaded by e.g.
+``test/cases/measure/data/data.go`` with protojson/prototext semantics).
+This module is the same boundary for the Spark engine: it accepts those
+request documents (dict / YAML / JSON text) and produces the typed query
+model that the plan compilers consume — which is what lets reference golden
+cases be replayed against this engine.
+
+Enum fields follow protobuf JSON rules: either the enum NAME
+(``"BINARY_OP_EQ"``, ``"SORT_DESC"``) or its NUMBER (``1``) — numbers per
+``api/proto/banyandb/model/v1/query.proto:54-65,104-106`` and
+``common.proto:75-80``. Unknown fields are rejected (the proto parser would
+too), so a typo'd request fails loudly instead of silently dropping a
+clause.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+from typing import Any, Dict, List, Optional, Sequence
+
+from .errors import QueryAnalyzeError
+from .model import (
+    AggFunc,
+    AggregationSpec,
+    BinaryOp,
+    Criteria,
+    LogicalOp,
+    MeasureQuery,
+    OrderBy,
+    PropertyQuery,
+    Sort,
+    StreamQuery,
+    TimeRange,
+    TopNQuery,
+    TopSpec,
+    TraceQuery,
+    cond,
+)
+
+_BINARY_OPS = {
+    1: BinaryOp.EQ, 2: BinaryOp.NE, 3: BinaryOp.LT, 4: BinaryOp.GT,
+    5: BinaryOp.LE, 6: BinaryOp.GE, 7: BinaryOp.HAVING,
+    8: BinaryOp.NOT_HAVING, 9: BinaryOp.IN, 10: BinaryOp.NOT_IN,
+    11: BinaryOp.MATCH,
+}
+_LOGICAL_OPS = {1: LogicalOp.AND, 2: LogicalOp.OR}
+_SORTS = {1: Sort.DESC, 2: Sort.ASC}
+_AGG_FUNCS = {
+    1: AggFunc.MEAN, 2: AggFunc.MAX, 3: AggFunc.MIN, 4: AggFunc.COUNT,
+    5: AggFunc.SUM,
+}
+
+
+def _enum(v: Any, table: Dict[int, Any], prefix: str, what: str):
+    if isinstance(v, int):
+        if v in table:
+            return table[v]
+        raise QueryAnalyzeError(f"invalid {what} enum number {v}")
+    if isinstance(v, str) and v.startswith(prefix):
+        name = v[len(prefix):]
+        for e in table.values():
+            if e.name == name:
+                return e
+    raise QueryAnalyzeError(f"invalid {what} {v!r}")
+
+
+def _sort(v: Any, default: Sort = Sort.ASC) -> Sort:
+    if v in (None, 0, "SORT_UNSPECIFIED"):
+        return default
+    return _enum(v, _SORTS, "SORT_", "sort")
+
+
+def _tag_value(v: Dict[str, Any]):
+    """``model/v1/common.proto`` TagValue oneof in protobuf-JSON form."""
+    if not isinstance(v, dict) or len(v) != 1:
+        raise QueryAnalyzeError(f"invalid tag value {v!r}")
+    (kind, payload), = v.items()
+    if kind == "null":
+        return None
+    inner = payload.get("value") if isinstance(payload, dict) else payload
+    if kind in ("str", "int", "float"):
+        return inner
+    if kind in ("strArray", "intArray", "floatArray"):
+        return list(inner)
+    raise QueryAnalyzeError(f"unsupported tag value kind {kind!r}")
+
+
+def parse_criteria(doc: Optional[Dict[str, Any]]):
+    """Criteria oneof: ``{"le": {...}}`` or ``{"condition": {...}}``."""
+    if doc is None:
+        return None
+    if "le" in doc:
+        le = doc["le"]
+        op = _enum(le.get("op"), _LOGICAL_OPS, "LOGICAL_OP_", "logical op")
+        left = parse_criteria(le.get("left"))
+        right = parse_criteria(le.get("right"))
+        return Criteria(op, left, right)
+    if "condition" in doc:
+        c = doc["condition"]
+        op = _enum(c.get("op"), _BINARY_OPS, "BINARY_OP_", "binary op")
+        match_op = None
+        mo = c.get("matchOption")
+        if mo and mo.get("operator") not in (None, 0, "LOGICAL_OP_UNSPECIFIED"):
+            match_op = _enum(
+                mo["operator"], _LOGICAL_OPS, "LOGICAL_OP_", "match operator"
+            )
+        return cond(c["name"], op, _tag_value(c.get("value", {"null": {}})),
+                    match_operator=match_op)
+    raise QueryAnalyzeError(f"invalid criteria {doc!r}")
+
+
+def _parse_ts(s: str) -> dt.datetime:
+    s = s.replace("Z", "+00:00")
+    t = dt.datetime.fromisoformat(s)
+    if t.tzinfo is not None:
+        t = t.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return t
+
+
+def _time_range(doc: Optional[Dict[str, Any]]) -> TimeRange:
+    if not doc:
+        return TimeRange(None, None)
+    b, e = doc.get("begin"), doc.get("end")
+    return TimeRange(_parse_ts(b) if b else None, _parse_ts(e) if e else None)
+
+
+def _flat_tags(proj: Optional[Dict[str, Any]]) -> List[str]:
+    """tagProjection{tagFamilies[{name,tags}]} -> flat tag names (the engine
+    stores tags flat; family qualification is resolved at bind time)."""
+    if not proj:
+        return []
+    out: List[str] = []
+    for fam in proj.get("tagFamilies", []):
+        out.extend(fam.get("tags", []))
+    return out
+
+
+def _order_by(doc: Optional[Dict[str, Any]]) -> Optional[OrderBy]:
+    if doc is None:
+        return None
+    return OrderBy(
+        tag=doc.get("indexRuleName") or None, sort=_sort(doc.get("sort"))
+    )
+
+
+def _as_dict(doc) -> Dict[str, Any]:
+    if isinstance(doc, dict):
+        return doc
+    text = doc.strip()
+    if text.startswith("{"):
+        return json.loads(text)
+    import yaml
+
+    return yaml.safe_load(text)
+
+
+def _check_fields(doc: Dict[str, Any], allowed: Sequence[str], kind: str):
+    unknown = set(doc) - set(allowed)
+    if unknown:
+        raise QueryAnalyzeError(
+            f"unknown field(s) {sorted(unknown)} in {kind} request"
+        )
+
+
+def load_measure_request(doc) -> MeasureQuery:
+    """``measure/v1/query.proto`` QueryRequest (YAML/JSON/dict)."""
+    d = _as_dict(doc)
+    _check_fields(d, (
+        "name", "groups", "timeRange", "criteria", "tagProjection",
+        "fieldProjection", "groupBy", "agg", "top", "orderBy", "limit",
+        "offset", "trace", "stages",
+    ), "measure")
+    agg = None
+    if "agg" in d:
+        a = d["agg"]
+        agg = AggregationSpec(
+            _enum(a.get("function"), _AGG_FUNCS, "AGGREGATION_FUNCTION_",
+                  "aggregation function"),
+            a["fieldName"],
+        )
+    top = None
+    if "top" in d:
+        t = d["top"]
+        top = TopSpec(
+            number=t.get("number", 100),
+            field_name=t["fieldName"],
+            sort=_sort(t.get("fieldValueSort"), default=Sort.DESC),
+        )
+    group_by: List[str] = []
+    if "groupBy" in d:
+        group_by = _flat_tags(d["groupBy"].get("tagProjection"))
+    return MeasureQuery(
+        groups=list(d.get("groups", [])),
+        name=d["name"],
+        time_range=_time_range(d.get("timeRange")),
+        criteria=parse_criteria(d.get("criteria")),
+        tag_projection=_flat_tags(d.get("tagProjection")),
+        field_projection=list(d.get("fieldProjection", {}).get("names", [])),
+        group_by=group_by,
+        agg=agg,
+        top=top,
+        order_by=_order_by(d.get("orderBy")),
+        limit=d.get("limit"),
+        offset=d.get("offset", 0),
+        stages=tuple(d.get("stages", [])),
+    )
+
+
+def load_stream_request(doc) -> StreamQuery:
+    """``stream/v1/query.proto`` QueryRequest."""
+    d = _as_dict(doc)
+    _check_fields(d, (
+        "name", "groups", "timeRange", "criteria", "projection", "orderBy",
+        "limit", "offset", "trace", "stages",
+    ), "stream")
+    return StreamQuery(
+        groups=list(d.get("groups", [])),
+        name=d["name"],
+        time_range=_time_range(d.get("timeRange")),
+        criteria=parse_criteria(d.get("criteria")),
+        projection=_flat_tags(d.get("projection")),
+        order_by=_order_by(d.get("orderBy")),
+        limit=d.get("limit"),
+        offset=d.get("offset", 0),
+        stages=tuple(d.get("stages", [])),
+    )
+
+
+def load_trace_request(doc) -> TraceQuery:
+    """``trace/v1/query.proto`` QueryRequest."""
+    d = _as_dict(doc)
+    _check_fields(d, (
+        "name", "groups", "timeRange", "criteria", "tagProjection",
+        "traceIds", "orderBy", "limit", "offset", "trace", "stages",
+    ), "trace")
+    return TraceQuery(
+        groups=list(d.get("groups", [])),
+        name=d["name"],
+        time_range=_time_range(d.get("timeRange")),
+        criteria=parse_criteria(d.get("criteria")),
+        projection=_flat_tags(d.get("tagProjection")),
+        trace_ids=tuple(d.get("traceIds", [])),
+        order_by=_order_by(d.get("orderBy")),
+        limit=d.get("limit"),
+        offset=d.get("offset", 0),
+        stages=tuple(d.get("stages", [])),
+    )
+
+
+def load_property_request(doc) -> PropertyQuery:
+    """``property/v1/rpc.proto`` QueryRequest."""
+    d = _as_dict(doc)
+    _check_fields(d, (
+        "name", "groups", "ids", "criteria", "tagProjection", "limit",
+        "offset", "orderBy", "trace",
+    ), "property")
+    groups = d.get("groups", [])
+    return PropertyQuery(
+        group=groups[0] if groups else "",
+        name=d["name"],
+        ids=tuple(d.get("ids", [])),
+        criteria=parse_criteria(d.get("criteria")),
+        projection=list(d.get("tagProjection", [])),
+        order_by=_order_by(d.get("orderBy")),
+        limit=d.get("limit"),
+        offset=d.get("offset", 0),
+    )
+
+
+def load_topn_request(doc) -> TopNQuery:
+    """``measure/v1/topn.proto`` TopNRequest. ``agg`` / ``fieldValueSort``
+    follow protobuf-JSON enum form (name or number)."""
+    d = _as_dict(doc)
+    _check_fields(d, (
+        "name", "groups", "timeRange", "topN", "agg", "fieldValueSort",
+        "conditions", "trace", "stages",
+    ), "topn")
+    agg = None
+    if d.get("agg") not in (None, 0, "AGGREGATION_FUNCTION_UNSPECIFIED"):
+        agg = _enum(d["agg"], _AGG_FUNCS, "AGGREGATION_FUNCTION_",
+                    "aggregation function")
+    conds = []
+    for c in d.get("conditions", []):
+        op = _enum(c.get("op"), _BINARY_OPS, "BINARY_OP_", "binary op")
+        conds.append(cond(c["name"], op, _tag_value(c.get("value", {"null": {}}))))
+    return TopNQuery(
+        groups=list(d.get("groups", [])),
+        name=d["name"],
+        time_range=_time_range(d.get("timeRange")),
+        top_n=d.get("topN", 100),
+        sort=_sort(d.get("fieldValueSort"), default=Sort.DESC),
+        agg=agg,
+        conditions=tuple(conds),
+        stages=tuple(d.get("stages", [])),
+    )
