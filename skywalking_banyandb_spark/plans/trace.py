@@ -115,7 +115,18 @@ def compile_trace(spark: SparkSession, catalog: Catalog, q: TraceQuery) -> DataF
     )
 
     # Phase 2: collect span payloads for winner traces only.
-    span_payload = [ref.ts_column, ref.span_id_column] + [t.name for t in ref.tags]
+    # tagProjection restricts the per-span tags (trace/v1/query.proto);
+    # ts + span id always ride along (the regroup sort key).
+    if q.projection:
+        for name in q.projection:
+            if ref.tag(name) is None:
+                raise QueryAnalyzeError(
+                    f"projection references unknown tag {name!r}"
+                )
+        tag_cols = [t.name for t in ref.tags if t.name in set(q.projection)]
+    else:
+        tag_cols = [t.name for t in ref.tags]
+    span_payload = [ref.ts_column, ref.span_id_column] + tag_cols
     if ref.span_column:
         span_payload.append(ref.span_column)
     win = winners.withColumnRenamed("trace_id", "_win_tid")

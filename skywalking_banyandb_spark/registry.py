@@ -114,6 +114,8 @@ _R1_DRIVER_GREEN = frozenset({
 _R2_TOUCHED = (
     "topn_per_window", "topn_postagg_mean", "topn_multigroup_postagg_max",
     "trace_regroup_stats", "bydbql_trace_stats", "bydbql_show_top",
+    # r2 criteria change: IN/NOT_IN scalar-operand validation
+    "stream_filter_in_orderby_tag", "stream_filter_not_in_range",
 )
 
 

@@ -161,3 +161,20 @@ register(
     f"""SELECT user_id, MAX(value) AS value FROM {DEDUP}
         WHERE event_type <> 'view' GROUP BY user_id""",
 )
+
+
+register(
+    "bydbql_trace_orderby_duration",
+    (lambda text: lambda spark, sf: execute(
+        spark, default_catalog(sf), text, _NOW
+    ).select("trace_id", "span_count", "start_ts", "end_ts"))(
+        "SELECT () FROM TRACE event_trace IN g1 "
+        "TIME BETWEEN '2024-01-03T00:00:00Z' AND '2024-01-27T00:00:00Z' "
+        "ORDER BY value DESC LIMIT 40"
+    ),
+    """SELECT user_id AS trace_id, COUNT(*) AS span_count,
+              MIN(ts) AS start_ts, MAX(ts) AS end_ts
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' AND ts < TIMESTAMP '2024-01-27 00:00:00'
+       GROUP BY user_id ORDER BY MAX(value) DESC, trace_id LIMIT 40""",
+)

@@ -5,6 +5,7 @@ conditions, MATCH on the stream path."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .catalog import default_catalog
 from .functions.analyzers import tokens_sql
@@ -404,4 +405,84 @@ register(
         WHERE ts >= TIMESTAMP '{T0.replace("T", " ")}' AND ts < TIMESTAMP '{T1.replace("T", " ")}'
           AND event_type IN ('view', 'purchase')
         ORDER BY user_id DESC, event_id ASC LIMIT 250 OFFSET 10""",
+)
+
+
+# --------------------------------------------------------------------------
+# Streaming Top-N materialization, driver-visible (VERDICT r1 #8): the
+# entry stages an out-of-order fixture (incl. a far-late re-delivered
+# slice), runs the REAL streaming pipeline (topn_stream.py: watermark +
+# update-mode aggregate + foreachBatch snapshot flush with the
+# isWindowLate drop) with an availableNow trigger, and returns the
+# materialization it produced — oracle-recomputed by DuckDB from the same
+# events table.
+# --------------------------------------------------------------------------
+
+def _topn_streaming_materialized(spark: SparkSession, sf: str) -> DataFrame:
+    import datetime as dt
+    import tempfile
+    import time
+
+    from .sources.parquet import read_table
+    from .streaming.topn_stream import start_topn_materialization
+
+    cat = default_catalog(sf)
+    schema = cat.get("g1", "measure", "metrics")
+    t3 = dt.datetime(2024, 1, 3)
+    t5 = dt.datetime(2024, 1, 5)
+    t6 = dt.datetime(2024, 1, 6)
+
+    work = tempfile.mkdtemp(prefix="topn_stream_entry_")
+    src = f"{work}/src"
+    ev = read_table(spark, f"{sf}/events.parquet")
+    ts = F.col("ts")
+    # batch 0: [Jan 3, Jan 5); batch 1: [Jan 5, Jan 6) PLUS a far-late
+    # re-delivery of the first hour of Jan 3 (idempotently dropped: Spark's
+    # watermark and the flush's isWindowLate guard both reject it, and the
+    # rows are byte-identical to batch 0's so the result is unchanged
+    # either way — that's the restart-resume property under test)
+    b0 = ev.where((ts >= F.lit(t3)) & (ts < F.lit(t5)))
+    late = ev.where((ts >= F.lit(t3)) & (ts < F.lit(t3 + dt.timedelta(hours=1))))
+    b1 = ev.where((ts >= F.lit(t5)) & (ts < F.lit(t6))).unionByName(late)
+    b0.coalesce(1).write.parquet(f"{src}/b0")
+    time.sleep(1.1)  # file-source ordering is by modification time
+    b1.coalesce(1).write.parquet(f"{src}/b1")
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{src}/b0").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = start_topn_materialization(
+        spark, stream, schema, field="value", n=3,
+        output_path=f"{work}/out", checkpoint_path=f"{work}/ckpt",
+        window="1 hour", lateness="10 minutes",
+        sort=Sort.DESC, trigger_once=True,
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{work}/out")
+        .select(
+            F.col("window_start").cast("timestamp").alias("window_start"),
+            "user_id", "value",
+        )
+        .orderBy("window_start", F.col("value").desc(), "user_id")
+    )
+
+
+register(
+    "topn_streaming_materialized",
+    _topn_streaming_materialized,
+    """WITH latest AS (
+          SELECT date_trunc('hour', ts) AS window_start, user_id, value FROM events
+          WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+            AND ts <  TIMESTAMP '2024-01-06 00:00:00'
+          QUALIFY row_number() OVER (
+            PARTITION BY date_trunc('hour', ts), user_id
+            ORDER BY ts DESC, event_id DESC) = 1
+        )
+        SELECT window_start, user_id, value FROM latest
+        QUALIFY row_number() OVER (
+          PARTITION BY window_start ORDER BY value DESC, user_id) <= 3
+        ORDER BY window_start, value DESC, user_id""",
 )

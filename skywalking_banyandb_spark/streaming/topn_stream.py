@@ -96,6 +96,7 @@ def start_topn_materialization(
     lateness: str = "10 minutes",
     sort: Sort = Sort.DESC,
     trigger_once: bool = False,
+    counters_number: int | None = None,
 ):
     """Run the continuous Top-N materialized view into ``output_path``.
 
@@ -103,7 +104,14 @@ def start_topn_materialization(
     mode); foreachBatch re-ranks those windows and overwrites exactly their
     partitions (dynamic partition overwrite) — the analogue of the
     reference's per-window snapshot flush (``pkg/flow/types.go:78-89``).
+
+    ``counters_number`` (``schema.proto:147-150``
+    TopNAggregation.counters_number) sizes the MATERIALIZED ranking width —
+    the stored candidate list a later ``SHOW TOP n`` query ranks from, so
+    it must be >= the largest n queried. Defaults to ``n``.
     """
+    if counters_number is not None:
+        n = max(n, counters_number)
     agg = topn_stream_query(source, schema, field, window, lateness)
 
     late_delta = _parse_interval(lateness)

@@ -889,3 +889,36 @@ def test_property_golden_ids(env):
     sql = ("SELECT doc_id, lang FROM documents WHERE doc_id IN (1, 2, 3) "
            "ORDER BY doc_id ASC LIMIT 100")
     _run_dual(env, df, sql, True)
+
+
+def test_trace_projection_restricts_span_tags(env):
+    """tagProjection limits per-span tags in the regrouped payload
+    (trace/v1/query.proto tag_projection)."""
+    spark, cat, con = env
+    q = load_trace_request(
+        f"""name: "event_trace"\ngroups: ["g1"]\n{TIME_RANGE}
+tagProjection:
+  tagFamilies:
+  - name: "searchable"
+    tags: ["event_type"]
+limit: 5
+"""
+    )
+    df = compile_trace(spark, cat, q)
+    span_fields = [f.name for f in df.schema["spans"].dataType.elementType.fields]
+    assert span_fields == ["ts", "event_id", "event_type", "props"], span_fields
+
+
+def test_trace_projection_unknown_tag_errs(env):
+    spark, cat, con = env
+    q = load_trace_request(
+        f"""name: "event_trace"\ngroups: ["g1"]\n{TIME_RANGE}
+tagProjection:
+  tagFamilies:
+  - name: "searchable"
+    tags: ["nope"]
+limit: 5
+"""
+    )
+    with pytest.raises(QueryAnalyzeError):
+        compile_trace(spark, cat, q)

@@ -181,3 +181,36 @@ def test_in_watermark_late_update_to_previous_window_merges(spark):
         assert ("2024-01-20 12:00:00", 2, 99.0) in out, out
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_counters_number_widens_materialization(spark):
+    """schema.proto:147-150 counters_number: the stored candidate list is
+    wider than the query-time n, so SHOW TOP n<=counters_number ranks from
+    the materialization without rescanning raw data."""
+    import datetime as dt
+
+    cat = default_catalog(SF_SMALL)
+    schema = cat.get("g1", "measure", "metrics")
+    work = tempfile.mkdtemp(prefix="topn_counters_")
+    try:
+        cols = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        t = dt.datetime(2024, 1, 20, 13, 5)
+        rows = spark.createDataFrame(
+            [(i, t, i, "click", float(i), "{}") for i in range(10)], cols)
+        rows.coalesce(1).write.parquet(os.path.join(work, "src", "b0"))
+        stream = (
+            spark.readStream.schema(rows.schema)
+            .parquet(os.path.join(work, "src", "*"))
+        )
+        q = start_topn_materialization(
+            spark, stream, schema, field="value", n=2,
+            output_path=os.path.join(work, "out"),
+            checkpoint_path=os.path.join(work, "ckpt"),
+            window="1 hour", lateness="10 minutes",
+            sort=Sort.DESC, trigger_once=True, counters_number=5,
+        )
+        q.awaitTermination(timeout=300)
+        got = spark.read.parquet(os.path.join(work, "out")).count()
+        assert got == 5, got  # counters_number wins over n
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
