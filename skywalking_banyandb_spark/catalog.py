@@ -320,37 +320,44 @@ def default_catalog(sf_dir: str) -> Catalog:
         )
     )
 
-    cat.register(
-        StreamSchema(
-            group="g1",
-            name="event_log",
-            paths=(ev,),
-            ts_column="ts",
-            element_id_column="event_id",
-            tags=(
-                TagSpec("user_id", "INT"),
-                TagSpec("event_type", "STRING"),
-                TagSpec("value", "FLOAT"),
-                TagSpec("props", "STRING", indexed=False),
-            ),
+    # g1/g2 share the stream schema (the reference's multi-group golden
+    # case ``stream multi_group_unchanged``; element-id dedup runs across
+    # the group union, matching the reference's merged iterator).
+    for grp in ("g1", "g2"):
+        cat.register(
+            StreamSchema(
+                group=grp,
+                name="event_log",
+                paths=(ev,),
+                ts_column="ts",
+                element_id_column="event_id",
+                tags=(
+                    TagSpec("user_id", "INT"),
+                    TagSpec("event_type", "STRING"),
+                    TagSpec("value", "FLOAT"),
+                    TagSpec("props", "STRING", indexed=False),
+                ),
+            )
         )
-    )
 
-    cat.register(
-        TraceSchema(
-            group="g1",
-            name="event_trace",
-            paths=(ev,),
-            ts_column="ts",
-            trace_id_column="user_id",
-            span_id_column="event_id",
-            span_column="props",
-            tags=(
-                TagSpec("event_type", "STRING"),
-                TagSpec("value", "FLOAT"),
-            ),
+    # g1/g2 twin trace groups (multi-group trace golden cases: spans from
+    # every group's iterator merge into the trace)
+    for grp in ("g1", "g2"):
+        cat.register(
+            TraceSchema(
+                group=grp,
+                name="event_trace",
+                paths=(ev,),
+                ts_column="ts",
+                trace_id_column="user_id",
+                span_id_column="event_id",
+                span_column="props",
+                tags=(
+                    TagSpec("event_type", "STRING"),
+                    TagSpec("value", "FLOAT"),
+                ),
+            )
         )
-    )
 
     cat.register(
         PropertySchema(

@@ -72,6 +72,13 @@ def compile_condition(
             f"having condition requires an array tag, {c.tag!r} is {ttype}"
         )
 
+    # ordered comparisons need a concrete operand; a null/empty value is an
+    # analyze-time error (golden stream gen_err_{lt,le,gt,ge}_state feed
+    # ``int: {}`` and the reference rejects the request)
+    if op in (BinaryOp.LT, BinaryOp.GT, BinaryOp.LE, BinaryOp.GE) and c.value is None:
+        raise QueryAnalyzeError(
+            f"{op.name} requires a non-null operand (tag {c.tag!r})"
+        )
     if op is BinaryOp.EQ:
         return col.isNull() if c.value is None else (col == F.lit(c.value))
     if op is BinaryOp.NE:

@@ -44,8 +44,13 @@ def compile_property(spark: SparkSession, catalog: Catalog, q: PropertyQuery) ->
         df = df.where(pred)
 
     proj = list(q.projection) or [t.name for t in schema.tags]
+    # the sort tag may be outside the projection (golden
+    # order_without_projection: want rows carry ONLY the projected tags) —
+    # ride it along for the sort, drop it after paging
+    order_extra = None
     if q.order_by and q.order_by.tag and q.order_by.tag not in proj:
-        proj.append(q.order_by.tag)
+        order_extra = q.order_by.tag
+        proj.append(order_extra)
     keep = [schema.id_column] + [c for c in proj if c != schema.id_column]
     df = df.select(*[F.col(c) for c in keep])
     if q.order_by and q.order_by.tag:
@@ -62,4 +67,5 @@ def compile_property(spark: SparkSession, catalog: Catalog, q: PropertyQuery) ->
     else:
         df = df.orderBy(F.col(schema.id_column).asc())
     limit = q.limit if q.limit is not None else DEFAULT_LIMIT
-    return limit_offset(df, limit, q.offset)
+    df = limit_offset(df, limit, q.offset)
+    return df.drop(order_extra) if order_extra else df

@@ -486,3 +486,119 @@ register(
           PARTITION BY window_start ORDER BY value DESC, user_id) <= 3
         ORDER BY window_start, value DESC, user_id""",
 )
+
+
+# --------------------------------------------------------------------------
+# Request-boundary entries for the remaining request kinds (trace / topn /
+# property) — the trace one uses the reference's snake_case protojson
+# spelling (its trace inputs are .yml files with order_by/index_rule_name,
+# e.g. test/cases/trace/data/input/all.yml), so the driver gate also covers
+# the snake->camel protojson path.
+# --------------------------------------------------------------------------
+
+def _request_yaml_trace(spark: SparkSession, sf: str) -> DataFrame:
+    from .plans.trace import compile_trace
+    from .request_loader import load_trace_request
+
+    q = load_trace_request(f"""
+name: "event_trace"
+groups: ["g1"]
+time_range:
+  begin: "{T0}Z"
+  end: "{T1}Z"
+criteria:
+  condition:
+    name: "event_type"
+    op: "BINARY_OP_NE"
+    value:
+      str:
+        value: "view"
+order_by:
+  index_rule_name: "value"
+  sort: "SORT_DESC"
+limit: 25
+""")
+    return compile_trace(spark, default_catalog(sf), q).select(
+        "trace_id", "span_count", "start_ts", "end_ts")
+
+
+register(
+    "request_yaml_trace",
+    _request_yaml_trace,
+    f"""SELECT user_id AS trace_id, COUNT(*) AS span_count,
+               MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        FROM events
+        WHERE ts >= TIMESTAMP '{_T0S}' AND ts < TIMESTAMP '{_T1S}'
+          AND event_type <> 'view'
+        GROUP BY user_id ORDER BY MAX(value) DESC, trace_id ASC LIMIT 25""",
+)
+
+
+def _request_yaml_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """TopNRequest in the reference's numeric-enum protojson form
+    (test/cases/topn/data/input/*.yaml use op/agg/sort numbers)."""
+    from .request_loader import load_topn_request
+
+    q = load_topn_request("""
+name: "metrics"
+groups: ["g1"]
+timeRange:
+  begin: "2024-01-03T00:00:00Z"
+  end: "2024-01-08T00:00:00Z"
+topN: 3
+fieldValueSort: 1
+agg: 5
+""")
+    return compile_topn(spark, default_catalog(sf), q)
+
+
+register(
+    "request_yaml_topn",
+    _request_yaml_topn,
+    f"""WITH latest AS (
+          SELECT date_trunc('hour', ts) AS window_start, user_id, value FROM events
+          QUALIFY row_number() OVER (
+            PARTITION BY date_trunc('hour', ts), user_id
+            ORDER BY ts DESC, event_id DESC) = 1
+        ), ranked AS (
+          SELECT window_start, user_id, value FROM latest
+          QUALIFY row_number() OVER (
+            PARTITION BY window_start ORDER BY value DESC, user_id) <= 3
+        )
+        SELECT user_id, {SUM6.format(x='value')} AS value FROM ranked
+        WHERE window_start >= TIMESTAMP '2024-01-03 00:00:00'
+          AND window_start <  TIMESTAMP '2024-01-08 00:00:00'
+        GROUP BY user_id ORDER BY value DESC, user_id LIMIT 3""",
+)
+
+
+def _request_yaml_property(spark: SparkSession, sf: str) -> DataFrame:
+    from .request_loader import load_property_request
+
+    q = load_property_request("""
+name: "documents"
+groups: ["g1"]
+criteria:
+  condition:
+    name: "lang"
+    op: "BINARY_OP_IN"
+    value:
+      str_array:
+        value: ["en", "de"]
+tag_projection: ["lang", "source", "n_chars"]
+order_by:
+  index_rule_name: "n_chars"
+  sort: "SORT_DESC"
+limit: 60
+offset: 3
+""")
+    return compile_property(spark, default_catalog(sf), q)
+
+
+register(
+    "request_yaml_property",
+    _request_yaml_property,
+    """SELECT doc_id, lang, source, n_chars FROM documents
+       WHERE lang IN ('en', 'de')
+       ORDER BY n_chars DESC, doc_id ASC LIMIT 60 OFFSET 3""",
+)

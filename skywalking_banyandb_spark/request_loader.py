@@ -149,15 +149,36 @@ def _order_by(doc: Optional[Dict[str, Any]]) -> Optional[OrderBy]:
     )
 
 
+def _snake_to_camel(key):
+    if not isinstance(key, str) or "_" not in key:
+        return key
+    head, *rest = key.split("_")
+    return head + "".join(p[:1].upper() + p[1:] for p in rest)
+
+
+def _normalize_keys(obj):
+    """protojson accepts BOTH the lowerCamelCase JSON name and the original
+    snake_case proto field name (protobuf JSON spec; the reference corpus
+    mixes them — e.g. ``str_array`` in measure ``in.yaml`` vs ``strArray``
+    in stream ``having.yaml``). Normalize dict KEYS to camelCase; values
+    (tag names, literals) are untouched. The ``null`` TagValue kind has no
+    underscore and passes through."""
+    if isinstance(obj, dict):
+        return {_snake_to_camel(k): _normalize_keys(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_normalize_keys(v) for v in obj]
+    return obj
+
+
 def _as_dict(doc) -> Dict[str, Any]:
     if isinstance(doc, dict):
-        return doc
+        return _normalize_keys(doc)
     text = doc.strip()
     if text.startswith("{"):
-        return json.loads(text)
+        return _normalize_keys(json.loads(text))
     import yaml
 
-    return yaml.safe_load(text)
+    return _normalize_keys(yaml.safe_load(text))
 
 
 def _check_fields(doc: Dict[str, Any], allowed: Sequence[str], kind: str):

@@ -56,14 +56,16 @@ def test_rebind_is_independent(spark):
 
 def test_param_in_show_top_and_arity_check(spark):
     cat = default_catalog(SF_SMALL)
+    # entity conditions are EQ-only (topn_plan_localscan.go:137) — a single
+    # entity's Top-N collapses to one aggregated row
     df = execute_prepared(
         spark, cat,
         "SHOW TOP 3 FROM MEASURE metrics IN g1 "
-        "TIME BETWEEN ? AND ? WHERE user_id >= ? AGGREGATE BY MEAN ORDER BY DESC",
+        "TIME BETWEEN ? AND ? WHERE user_id = ? AGGREGATE BY MEAN ORDER BY DESC",
         [dt.datetime(2024, 1, 3), dt.datetime(2024, 1, 8), 2],
         NOW,
     )
-    assert len(df.collect()) == 3
+    assert len(df.collect()) == 1
     with pytest.raises(QueryAnalyzeError):
         prepare("SELECT * FROM MEASURE metrics IN g1 WHERE user_id = ?").bind()
 

@@ -1,0 +1,252 @@
+"""Front-end differential: the SAME golden case expressed as the reference's
+YAML QueryRequest (protojson boundary) AND as its paired ``.ql`` BydbQL text
+must produce identical results.
+
+The reference corpus ships both forms per case
+(``test/cases/measure/data/input/<case>.yaml`` + ``<case>.ql``, loaded by
+``test/cases/measure/measure.go`` / ``pkg/bydbql``); equality of the two
+paths is exactly what its conformance suite asserts. Here both forms compile
+through this engine (request_loader -> plans vs bydbql parse -> transform ->
+plans), so any divergence between the two front ends surfaces as a row diff.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from skywalking_banyandb_spark.bydbql.transformer import execute
+from skywalking_banyandb_spark.catalog import default_catalog
+from skywalking_banyandb_spark.plans.measure import compile_measure
+from skywalking_banyandb_spark.plans.property import compile_property
+from skywalking_banyandb_spark.plans.stream import compile_stream
+from skywalking_banyandb_spark.plans.trace import compile_trace
+from skywalking_banyandb_spark.request_loader import (
+    load_measure_request,
+    load_property_request,
+    load_stream_request,
+    load_trace_request,
+)
+
+from conftest import SF_SMALL
+from test_golden_corpus import _M_PROJ, _S_PROJ, TIME_RANGE
+from test_golden_corpus2 import _leaf
+
+_NOW = dt.datetime(2024, 2, 1)
+_TB = ("TIME BETWEEN '2024-01-03T00:00:00Z' AND '2024-01-27T00:00:00Z'")
+
+
+@pytest.fixture(scope="module")
+def cat():
+    return default_catalog(SF_SMALL)
+
+
+def _rows(df, cols):
+    return sorted(
+        tuple((v is None, str(v)) for v in (r[c] for c in cols))
+        for r in df.collect()
+    )
+
+
+def _assert_same(yaml_df, ql_df):
+    common = sorted(set(yaml_df.columns) & set(ql_df.columns))
+    assert common, (yaml_df.columns, ql_df.columns)
+    a, b = _rows(yaml_df, common), _rows(ql_df, common)
+    assert a == b, f"cols={common}\nyaml={a[:4]}\nql={b[:4]}"
+
+
+# (case, yaml request, ql text) — measure
+MEASURE_PAIRS = {
+    "all": (
+        f'name: "metrics"\ngroups: ["g1"]\n{TIME_RANGE}{_M_PROJ}',
+        f"SELECT user_id, event_type, value FROM MEASURE metrics IN g1 {_TB}",
+    ),
+    "entity": (
+        f'name: "metrics"\ngroups: ["g1"]\n{TIME_RANGE}{_M_PROJ}'
+        "criteria:" + _leaf("user_id", "EQ", "int", 3),
+        f"SELECT user_id, event_type, value FROM MEASURE metrics IN g1 {_TB} "
+        "WHERE user_id = 3",
+    ),
+    "entity_in": (
+        f'name: "metrics"\ngroups: ["g1"]\n{TIME_RANGE}{_M_PROJ}'
+        "criteria:" + _leaf("user_id", "IN", "intArray", [1, 4, 7]),
+        f"SELECT user_id, event_type, value FROM MEASURE metrics IN g1 {_TB} "
+        "WHERE user_id IN (1, 4, 7)",
+    ),
+    "not_in_set": (
+        f'name: "metrics"\ngroups: ["g1"]\n{TIME_RANGE}{_M_PROJ}'
+        "criteria:" + _leaf("event_type", "NOT_IN", "strArray", ["click", "error"]),
+        f"SELECT user_id, event_type, value FROM MEASURE metrics IN g1 {_TB} "
+        "WHERE event_type NOT IN ('click', 'error')",
+    ),
+    "complex_and_or": (
+        f"""name: "metrics"\ngroups: ["g1"]\n{TIME_RANGE}{_M_PROJ}criteria:
+  le:
+    op: "LOGICAL_OP_OR"
+    left:
+      le:
+        op: "LOGICAL_OP_AND"
+        left:{_leaf("user_id", "EQ", "int", 1)}
+        right:{_leaf("event_type", "EQ", "str", "click")}
+    right:{_leaf("event_type", "EQ", "str", "error")}
+""",
+        f"SELECT user_id, event_type, value FROM MEASURE metrics IN g1 {_TB} "
+        "WHERE (user_id = 1 AND event_type = 'click') OR event_type = 'error'",
+    ),
+    "group_max": (
+        f"""name: "metrics"\ngroups: ["g1"]\n{TIME_RANGE}groupBy:
+  tagProjection:
+    tagFamilies:
+    - name: "default"
+      tags: ["event_type"]
+  fieldName: "value"
+agg:
+  function: "AGGREGATION_FUNCTION_MAX"
+  fieldName: "value"
+limit: 1000
+""",
+        f"SELECT event_type, MAX(value) FROM MEASURE metrics IN g1 {_TB} "
+        "GROUP BY event_type LIMIT 1000",
+    ),
+    "group_mean": (
+        f"""name: "metrics"\ngroups: ["g1"]\n{TIME_RANGE}groupBy:
+  tagProjection:
+    tagFamilies:
+    - name: "default"
+      tags: ["event_type"]
+  fieldName: "value"
+agg:
+  function: "AGGREGATION_FUNCTION_MEAN"
+  fieldName: "value"
+limit: 1000
+""",
+        f"SELECT event_type, MEAN(value) FROM MEASURE metrics IN g1 {_TB} "
+        "GROUP BY event_type LIMIT 1000",
+    ),
+    "order_tag_desc": (
+        f"""name: "metrics"\ngroups: ["g1"]\n{TIME_RANGE}{_M_PROJ}orderBy:
+  sort: "SORT_DESC"
+  indexRuleName: "user_id"
+""",
+        f"SELECT user_id, event_type, value FROM MEASURE metrics IN g1 {_TB} "
+        "ORDER BY user_id DESC",
+    ),
+    "limit_offset": (
+        f'name: "metrics"\ngroups: ["g1"]\n{TIME_RANGE}{_M_PROJ}limit: 7\noffset: 11\n',
+        f"SELECT user_id, event_type, value FROM MEASURE metrics IN g1 {_TB} "
+        "LIMIT 7 OFFSET 11",
+    ),
+    "top": (
+        f"""name: "metrics"\ngroups: ["g1"]\n{TIME_RANGE}groupBy:
+  tagProjection:
+    tagFamilies:
+    - name: "default"
+      tags: ["user_id"]
+  fieldName: "value"
+agg:
+  function: "AGGREGATION_FUNCTION_MEAN"
+  fieldName: "value"
+top:
+  number: 2
+  fieldName: "value"
+  fieldValueSort: "SORT_DESC"
+limit: 1000
+""",
+        f"SELECT TOP 2 value DESC, user_id, MEAN(value) "
+        f"FROM MEASURE metrics IN g1 {_TB} GROUP BY user_id LIMIT 1000",
+    ),
+}
+
+
+@pytest.mark.parametrize("case", sorted(MEASURE_PAIRS))
+def test_measure_yaml_ql_agree(spark, cat, case):
+    yaml_text, ql = MEASURE_PAIRS[case]
+    ydf = compile_measure(spark, cat, load_measure_request(yaml_text))
+    qdf = execute(spark, cat, ql, _NOW)
+    _assert_same(ydf, qdf)
+
+
+STREAM_PAIRS = {
+    "filter": (
+        f'name: "event_log"\ngroups: ["g1"]\n{TIME_RANGE}{_S_PROJ}'
+        "criteria:" + _leaf("event_type", "EQ", "str", "error") + "\nlimit: 300\n",
+        f"SELECT user_id, event_type, value FROM STREAM event_log IN g1 {_TB} "
+        "WHERE event_type = 'error' LIMIT 300",
+    ),
+    "sort_desc": (
+        f"""name: "event_log"\ngroups: ["g1"]\n{TIME_RANGE}{_S_PROJ}orderBy:
+  sort: "SORT_DESC"
+  indexRuleName: "value"
+limit: 50
+""",
+        f"SELECT user_id, event_type, value FROM STREAM event_log IN g1 {_TB} "
+        "ORDER BY value DESC LIMIT 50",
+    ),
+    "offset": (
+        f'name: "event_log"\ngroups: ["g1"]\n{TIME_RANGE}{_S_PROJ}limit: 25\noffset: 40\n',
+        f"SELECT user_id, event_type, value FROM STREAM event_log IN g1 {_TB} "
+        "LIMIT 25 OFFSET 40",
+    ),
+}
+
+
+@pytest.mark.parametrize("case", sorted(STREAM_PAIRS))
+def test_stream_yaml_ql_agree(spark, cat, case):
+    yaml_text, ql = STREAM_PAIRS[case]
+    ydf = compile_stream(spark, cat, load_stream_request(yaml_text))
+    qdf = execute(spark, cat, ql, _NOW)
+    _assert_same(ydf, qdf)
+
+
+TRACE_PAIRS = {
+    "all": (
+        f'name: "event_trace"\ngroups: ["g1"]\n{TIME_RANGE}limit: 30\n',
+        f"SELECT () FROM TRACE event_trace IN g1 {_TB} LIMIT 30",
+    ),
+    "order_duration_desc": (
+        f"""name: "event_trace"\ngroups: ["g1"]\n{TIME_RANGE}orderBy:
+  sort: "SORT_DESC"
+  indexRuleName: "value"
+limit: 30
+""",
+        f"SELECT () FROM TRACE event_trace IN g1 {_TB} "
+        "ORDER BY value DESC LIMIT 30",
+    ),
+    "filter": (
+        f'name: "event_trace"\ngroups: ["g1"]\n{TIME_RANGE}'
+        "criteria:" + _leaf("event_type", "EQ", "str", "purchase") + "\nlimit: 30\n",
+        f"SELECT () FROM TRACE event_trace IN g1 {_TB} "
+        "WHERE event_type = 'purchase' LIMIT 30",
+    ),
+}
+
+
+@pytest.mark.parametrize("case", sorted(TRACE_PAIRS))
+def test_trace_yaml_ql_agree(spark, cat, case):
+    yaml_text, ql = TRACE_PAIRS[case]
+    ydf = compile_trace(spark, cat, load_trace_request(yaml_text)).select(
+        "trace_id", "span_count", "start_ts", "end_ts")
+    qdf = execute(spark, cat, ql, _NOW)
+    _assert_same(ydf, qdf)
+
+
+def test_property_yaml_ql_agree(spark, cat):
+    yaml_text = """name: "documents"
+groups: ["g1"]
+criteria:
+  condition:
+    name: "lang"
+    op: "BINARY_OP_EQ"
+    value:
+      str:
+        value: "en"
+tagProjection: ["lang", "n_chars"]
+limit: 40
+offset: 5
+"""
+    ql = ("SELECT lang, n_chars FROM PROPERTY documents IN g1 "
+          "WHERE lang = 'en' LIMIT 40 OFFSET 5")
+    ydf = compile_property(spark, cat, load_property_request(yaml_text))
+    qdf = execute(spark, cat, ql, _NOW)
+    _assert_same(ydf, qdf)
