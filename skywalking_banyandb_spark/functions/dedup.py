@@ -296,3 +296,56 @@ verified AS (
 SELECT verified.a, verified.b, verified.jaccard
 FROM verified JOIN cand ON cand.a = verified.a AND cand.b = verified.b
 """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — flag corpus documents that share n-gram
+# shingles with a (small) benchmark/eval set, the standard pre-training
+# hygiene step. Scale design: the benchmark shingle set is tiny relative to
+# the corpus, so it BROADCASTS; the corpus side is one shingle explode +
+# broadcast semi-join + per-doc count (single shuffle on doc id). No
+# corpus x corpus join ever forms.
+# ---------------------------------------------------------------------------
+
+def decontamination_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Corpus docs sharing >= ``min_overlap`` distinct n-gram shingles with
+    ``benchmark`` (same id/text columns). Returns (id, n_overlap)."""
+    bench_sh = (
+        benchmark.select(F.explode(_shingles(F.col(text_col), n)).alias("sh"))
+        .distinct()
+    )
+    corpus_sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    hits = corpus_sh.join(F.broadcast(bench_sh), "sh")
+    return (
+        hits.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+        .select(F.col("id").alias(id_col), "n_overlap")
+    )
+
+
+def decontamination_flags_sql(
+    table: str, bench_where: str, id_col: str, text_col: str,
+    n: int = 3, min_overlap: int = 1,
+) -> str:
+    sh = _shingles_sql(text_col, n)
+    return f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({sh}) AS sh FROM {table} WHERE {bench_where}
+), corpus AS (
+  SELECT {id_col} AS id, unnest({sh}) AS sh FROM {table}
+)
+SELECT id AS {id_col}, COUNT(*) AS n_overlap
+FROM corpus JOIN bench USING (sh)
+GROUP BY id HAVING COUNT(*) >= {min_overlap}
+"""

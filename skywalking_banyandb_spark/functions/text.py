@@ -177,3 +177,34 @@ def simhash16_sql(table: str, id_col: str, text_col: str) -> str:
         f"  ) GROUP BY {id_col}"
         f")"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — training pipelines redact emails / IPs / long digit runs
+# before the corpus ships. Pure Catalyst regexp_replace chain (JVM-side, no
+# UDF); the patterns are deliberately in the common subset of Java regex
+# (Spark) and RE2 (DuckDB) so the oracle twin is exact.
+# ---------------------------------------------------------------------------
+
+_PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\d{7,}", "<NUM>"),
+)
+
+
+def pii_scrub(col: Column) -> Column:
+    """Redact PII-shaped spans, applied in declaration order (email before
+    IP before digit-run, so an IP inside an email is never double-hit)."""
+    out = col
+    for pat, repl in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_scrub_sql(expr: str) -> str:
+    out = expr
+    for pat, repl in _PII_PATTERNS:
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{repl}', 'g')"
+    return out

@@ -116,6 +116,9 @@ _R2_TOUCHED = (
     "trace_regroup_stats", "bydbql_trace_stats", "bydbql_show_top",
     # r2 criteria change: IN/NOT_IN scalar-operand validation
     "stream_filter_in_orderby_tag", "stream_filter_not_in_range",
+    # r2 property-plan change: order tag no longer leaks into the output
+    "property_filter_sort", "property_ids_select", "property_orderby_offset",
+    "property_match_or", "property_match_and", "bydbql_property_match",
 )
 
 

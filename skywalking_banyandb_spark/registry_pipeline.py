@@ -358,3 +358,61 @@ register(
                   AS l2_norm
        FROM embeddings ORDER BY l2_norm DESC, vec_id LIMIT 20""",
 )
+
+
+# -- PII scrubbing ----------------------------------------------------------
+
+def _pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Redacted-corpus fingerprints. The synthetic docs carry no PII, so a
+    deterministic PII suffix (email + IP + long id, derived from doc_id) is
+    APPENDED identically on both sides before scrubbing — md5 of the
+    scrubbed text then hash-matches the oracle iff every replacement span
+    and application order agree exactly."""
+    d = _docs(spark, sf)
+    augmented = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(" ref 900"), (F.col("doc_id") + 1234567).cast("string"),
+    )
+    scrubbed = tx.pii_scrub(augmented)
+    return d.select(
+        F.col("doc_id"),
+        F.md5(scrubbed).alias("scrubbed_fp"),
+        (scrubbed != augmented).alias("had_pii"),
+    ).orderBy("doc_id")
+
+
+_PII_AUG = ("text || ' contact user' || CAST(doc_id AS VARCHAR) "
+            "|| '@example.com at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) "
+            "|| ' ref 900' || CAST(doc_id + 1234567 AS VARCHAR)")
+
+register(
+    "pii_scrub",
+    _pii_scrub,
+    f"""SELECT doc_id, md5({tx.pii_scrub_sql(_PII_AUG)}) AS scrubbed_fp,
+               {tx.pii_scrub_sql(_PII_AUG)} <> ({_PII_AUG}) AS had_pii
+        FROM documents ORDER BY doc_id""",
+)
+
+
+# -- benchmark decontamination ---------------------------------------------
+
+def _decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Docs sharing 3-gram shingles with a deterministic 'benchmark' slice
+    (doc_id % 97 == 0). Benchmark shingles broadcast; corpus side is one
+    explode + broadcast semi-join + per-doc count — a single shuffle."""
+    d = _docs(spark, sf)
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    return dd.decontamination_flags(
+        d, bench, "doc_id", "text", n=3, min_overlap=1
+    ).orderBy("doc_id")
+
+
+register(
+    "decontamination_overlap",
+    _decontamination,
+    dd.decontamination_flags_sql(
+        "documents", "doc_id % 97 = 0", "doc_id", "text", n=3, min_overlap=1
+    ) + " ORDER BY doc_id",
+)

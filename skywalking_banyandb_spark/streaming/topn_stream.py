@@ -97,6 +97,7 @@ def start_topn_materialization(
     sort: Sort = Sort.DESC,
     trigger_once: bool = False,
     counters_number: int | None = None,
+    sharding_keys: tuple[str, ...] = (),
 ):
     """Run the continuous Top-N materialized view into ``output_path``.
 
@@ -109,7 +110,19 @@ def start_topn_materialization(
     TopNAggregation.counters_number) sizes the MATERIALIZED ranking width —
     the stored candidate list a later ``SHOW TOP n`` query ranks from, so
     it must be >= the largest n queried. Defaults to ``n``.
+
+    ``sharding_keys`` (TopNAggregation.group_by_tag_names used as the flow
+    sharding key, ``pkg/flow/streaming/topn.go``): the reference routes
+    events to parallel TopN workers by these tags. Spark's analogue is the
+    shuffle partitioning of the streaming groupBy — the state store is
+    already hash-partitioned by the FULL group key (window x entity), a
+    strict refinement of any tag subset, so per-shard exactness is free.
+    The keys are validated against the schema and otherwise carry no
+    physical effect; a pre-``repartition`` would only ADD a shuffle.
     """
+    for k in sharding_keys:
+        if schema.tag(k) is None and k not in schema.entity:
+            raise ValueError(f"sharding key {k!r} is not a tag of {schema.name!r}")
     if counters_number is not None:
         n = max(n, counters_number)
     agg = topn_stream_query(source, schema, field, window, lateness)

@@ -175,3 +175,14 @@ def test_embedding_neardup_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     # the block-pair key is an equi join
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    """The benchmark shingle set broadcasts; the corpus side never joins
+    corpus x corpus (no SortMergeJoin / nested loop on the shingle key)."""
+    from skywalking_banyandb_spark.registry_pipeline import _decontamination
+
+    plan = _plan(_decontamination(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

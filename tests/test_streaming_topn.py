@@ -214,3 +214,19 @@ def test_counters_number_widens_materialization(spark):
         assert got == 5, got  # counters_number wins over n
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_sharding_keys_validated():
+    """TopNAggregation sharding keys must be schema tags; Spark's state
+    store is already partitioned by the full group key, so the knob is
+    validation-only (see start_topn_materialization docstring)."""
+    import pytest as _pytest
+
+    cat = default_catalog(SF_SMALL)
+    schema = cat.get("g1", "measure", "metrics")
+    with _pytest.raises(ValueError):
+        start_topn_materialization(
+            None, None, schema, field="value", n=2,
+            output_path="/tmp/x", checkpoint_path="/tmp/y",
+            sharding_keys=("no_such_tag",),
+        )
