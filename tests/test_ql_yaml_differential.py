@@ -26,6 +26,7 @@ from skywalking_banyandb_spark.request_loader import (
     load_measure_request,
     load_property_request,
     load_stream_request,
+    load_topn_request,
     load_trace_request,
 )
 
@@ -248,5 +249,87 @@ offset: 5
     ql = ("SELECT lang, n_chars FROM PROPERTY documents IN g1 "
           "WHERE lang = 'en' LIMIT 40 OFFSET 5")
     ydf = compile_property(spark, cat, load_property_request(yaml_text))
+    qdf = execute(spark, cat, ql, _NOW)
+    _assert_same(ydf, qdf)
+
+
+# Additional parser-path pairs: SHOW TOP vs TopNRequest, remaining agg
+# functions, float comparisons, trace criteria trees.
+
+def test_show_top_vs_topn_yaml(spark, cat):
+    """SHOW TOP (dquery.go SHOW TOP -> TopNRequest) must equal the
+    protojson TopNRequest form."""
+    from skywalking_banyandb_spark.plans.topn import compile_topn
+
+    yaml_text = """name: "metrics"
+groups: ["g1"]
+timeRange:
+  begin: "2024-01-03T00:00:00Z"
+  end: "2024-01-08T00:00:00Z"
+topN: 5
+fieldValueSort: 1
+agg: 5
+"""
+    ql = ("SHOW TOP 5 FROM MEASURE metrics IN g1 "
+          "TIME BETWEEN '2024-01-03T00:00:00Z' AND '2024-01-08T00:00:00Z' "
+          "AGGREGATE BY SUM ORDER BY DESC")
+    ydf = compile_topn(spark, cat, load_topn_request(yaml_text))
+    qdf = execute(spark, cat, ql, _NOW)
+    _assert_same(ydf, qdf)
+
+
+GROUP_AGG_PAIRS = {
+    "group_min": ("AGGREGATION_FUNCTION_MIN", "MIN"),
+    "group_sum": ("AGGREGATION_FUNCTION_SUM", "SUM"),
+    "group_count": ("AGGREGATION_FUNCTION_COUNT", "COUNT"),
+}
+
+
+@pytest.mark.parametrize("case", sorted(GROUP_AGG_PAIRS))
+def test_group_agg_yaml_ql_agree(spark, cat, case):
+    enum_name, fn = GROUP_AGG_PAIRS[case]
+    yaml_text = f"""name: "metrics"\ngroups: ["g1"]\n{TIME_RANGE}groupBy:
+  tagProjection:
+    tagFamilies:
+    - name: "default"
+      tags: ["user_id"]
+  fieldName: "value"
+agg:
+  function: "{enum_name}"
+  fieldName: "value"
+limit: 1000
+"""
+    ql = (f"SELECT user_id, {fn}(value) FROM MEASURE metrics IN g1 {_TB} "
+          "GROUP BY user_id LIMIT 1000")
+    ydf = compile_measure(spark, cat, load_measure_request(yaml_text))
+    qdf = execute(spark, cat, ql, _NOW)
+    _assert_same(ydf, qdf)
+
+
+def test_measure_float_compare_yaml_ql_agree(spark, cat):
+    yaml_text = (
+        f'name: "metrics"\ngroups: ["g1"]\n{TIME_RANGE}{_M_PROJ}'
+        "criteria:" + _leaf("value", "GE", "float", 200.5) + "\nlimit: 5000\n")
+    ql = (f"SELECT user_id, event_type, value FROM MEASURE metrics IN g1 {_TB} "
+          "WHERE value >= 200.5 LIMIT 5000")
+    ydf = compile_measure(spark, cat, load_measure_request(yaml_text))
+    qdf = execute(spark, cat, ql, _NOW)
+    _assert_same(ydf, qdf)
+
+
+def test_trace_and_tree_yaml_ql_agree(spark, cat):
+    yaml_text = (
+        f'name: "event_trace"\ngroups: ["g1"]\n{TIME_RANGE}'
+        + f"""criteria:
+  le:
+    op: "LOGICAL_OP_AND"
+    left:{_leaf("event_type", "EQ", "str", "click")}
+    right:{_leaf("value", "GE", "float", 50.0)}
+"""
+        + "limit: 30\n")
+    ql = (f"SELECT () FROM TRACE event_trace IN g1 {_TB} "
+          "WHERE event_type = 'click' AND value >= 50.0 LIMIT 30")
+    ydf = compile_trace(spark, cat, load_trace_request(yaml_text)).select(
+        "trace_id", "span_count", "start_ts", "end_ts")
     qdf = execute(spark, cat, ql, _NOW)
     _assert_same(ydf, qdf)
