@@ -95,13 +95,18 @@ def _dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     a graph library isn't warranted."""
     docs = read_table(spark, f"{sf}/documents.parquet")
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.12)
+    # the pair graph is the expensive part (shingle join) — materialize it
+    # ONCE and reuse across iterations; each label frontier is
+    # localCheckpoint'ed so the lineage (and with it, recompute cost per
+    # convergence check) stays O(1) per round instead of O(rounds)
     edges = (
         pairs.select("a", "b")
         .unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .persist()
     )
     labels = docs.select(
         F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
-    )
+    ).localCheckpoint()
     for _ in range(8):  # diameter bound for this corpus; loop is driver-side
         neigh = (
             edges.join(labels, edges["b"] == labels["node"])
@@ -113,12 +118,14 @@ def _dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias("changed"),
             )
+            .localCheckpoint()
         )
-        if new.where(new["label"] != labels["label"]).isEmpty():
-            labels = new
+        labels = new.select("node", "label")
+        if new.where(F.col("changed")).isEmpty():
             break
-        labels = new
+    edges.unpersist()
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
