@@ -47,7 +47,7 @@ class _Param:
         return f"?{self.index}"
 
 
-_PARAM_MARK = "\x00param:"
+from .parser import PARAM_MARK as _PARAM_MARK
 
 
 def _pre_substitute(text: str) -> Tuple[str, int]:
@@ -91,7 +91,16 @@ def _bind_value(v: Any, params: Sequence[Any]) -> Any:
     if idx is not None:
         return params[idx]
     if isinstance(v, list):
-        return [_bind_value(x, params) for x in v]
+        # an array bound into a list position (``id IN (?)``, the measure
+        # params_bind golden case) splices rather than nests
+        out = []
+        for x in v:
+            b = _bind_value(x, params)
+            if _is_param(x) is not None and isinstance(b, (list, tuple)):
+                out.extend(b)
+            else:
+                out.append(b)
+        return out
     return v
 
 
@@ -130,16 +139,28 @@ class Prepared:
             raise QueryAnalyzeError(
                 f"statement expects {self.n_params} parameters, got {len(params)}"
             )
+        def count(v):
+            # LIMIT ? / OFFSET ? / TOP ? positions (params_bind golden .ql)
+            idx = _is_param(v)
+            return int(params[idx]) if idx is not None else v
+
         s = self.ast
         if isinstance(s, SelectStmt):
+            top = s.top
+            if top is not None and _is_param(top.number) is not None:
+                top = replace(top, number=count(top.number))
             return replace(
                 s,
                 where=_bind_criteria(s.where, params),
                 time=_bind_time(s.time, params),
+                limit=count(s.limit),
+                offset=count(s.offset),
+                top=top,
             )
         assert isinstance(s, ShowTopStmt)
         return replace(
             s,
+            number=count(s.number),
             where=tuple(_bind_criteria(c, params) for c in s.where),
             time=_bind_time(s.time, params),
         )

@@ -56,6 +56,11 @@ _TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
+# Positional-parameter marker: the binder pre-substitutes each ``?`` with a
+# string literal carrying this prefix, so markers flow through the lexer
+# like ordinary strings and are resolved by position at bind() time.
+PARAM_MARK = "\x00param:"
+
 KEYWORDS = {
     "SELECT", "SHOW", "TOP", "FROM", "IN", "ON", "STAGES", "TIME", "WHERE",
     "GROUP", "ORDER", "BY", "ASC", "DESC", "WITH", "QUERY_TRACE", "LIMIT",
@@ -229,6 +234,16 @@ class _Parser:
             return t.text
         raise BydbQLSyntaxError(f"expected number at {t.pos}, got {t.text!r}")
 
+    def expect_count(self):
+        """A count position (LIMIT / OFFSET / TOP n): a number, or a bound
+        parameter marker (``LIMIT ?`` / ``SHOW TOP ?`` — the reference's
+        params_bind golden cases bind these positions)."""
+        t = self.peek()
+        if t.kind == "STRING" and t.text.startswith(PARAM_MARK):
+            self.next()
+            return t.text
+        return int(self.expect_number())
+
     # -- grammar ------------------------------------------------------------
     def statement(self) -> Statement:
         if self.accept_kw("SELECT"):
@@ -262,8 +277,8 @@ class _Parser:
             group_by = tuple(names)
         order_by = self.order_clause() if self.accept_kw("ORDER") else None
         query_trace = self.with_clause()
-        limit = int(self.expect_number()) if self.accept_kw("LIMIT") else None
-        offset = int(self.expect_number()) if self.accept_kw("OFFSET") else None
+        limit = self.expect_count() if self.accept_kw("LIMIT") else None
+        offset = self.expect_count() if self.accept_kw("OFFSET") else None
         return SelectStmt(
             resource=resource, name=name, groups=groups, stages=stages,
             projection=projection, top=top, time=time, where=where,
@@ -273,7 +288,7 @@ class _Parser:
 
     def show_top_stmt(self) -> ShowTopStmt:
         self.expect_kw("TOP")
-        number = int(self.expect_number())
+        number = self.expect_count()
         self.expect_kw("FROM")
         self.expect_kw("MEASURE")
         name = self.expect_ident()
@@ -312,7 +327,7 @@ class _Parser:
                 self.next(); self.next()
                 return "()", None
         if self.accept_kw("TOP"):
-            number = int(self.expect_number())
+            number = self.expect_count()
             fname = self.expect_ident()
             sort = Sort.DESC
             if self.accept_kw("ASC"):

@@ -150,6 +150,13 @@ class StreamSchema:
     tags: Tuple[TagSpec, ...]
     stages: Tuple["StageSpec", ...] = ()
     default_stages: Tuple[str, ...] = ()
+    # Entity (series-key) tags. When declared, the series index restricts
+    # conditions on them to EQ/IN — every comparison and negated membership
+    # is an analyze-time error (``test/cases/stream/cmd/generate/
+    # layer1_leaf.go:137-151`` isEntityUnsupportedOp; the gen_err_*_state /
+    # gen_err_*_service_id golden cases). An empty tuple leaves all ops
+    # unrestricted (documented relaxation for the synthetic event_log).
+    entity: Tuple[str, ...] = ()
 
     kind: str = "stream"
 
@@ -270,7 +277,10 @@ def default_catalog(sf_dir: str) -> Catalog:
 
     measure_tags = (
         TagSpec("user_id", "INT"),
-        TagSpec("event_type", "STRING"),
+        # analyzed (MATCH-able) index rule on the string tag; the standard
+        # analyzer leaves single-token values whole, so EQ-style semantics
+        # are unchanged for every other op
+        TagSpec("event_type", "STRING", analyzer="standard"),
         TagSpec("props", "STRING", indexed=False),
     )
     for grp in ("g1", "g2"):
@@ -333,9 +343,10 @@ def default_catalog(sf_dir: str) -> Catalog:
                 element_id_column="event_id",
                 tags=(
                     TagSpec("user_id", "INT"),
-                    TagSpec("event_type", "STRING"),
+                    TagSpec("event_type", "STRING", analyzer="standard"),
                     TagSpec("value", "FLOAT"),
-                    TagSpec("props", "STRING", indexed=False),
+                    TagSpec("props", "STRING", indexed=False,
+                            analyzer="standard"),
                 ),
             )
         )

@@ -37,6 +37,15 @@ def _as_list(value: Any) -> Sequence[Any]:
     return [value]
 
 
+def qcol(name: str) -> Column:
+    """Column reference that tolerates dotted tag names (SkyWalking tags
+    like ``http.method`` / ``db.instance`` are legal BanyanDB tag names;
+    unquoted, Catalyst would parse the dot as struct-field access)."""
+    if "." in name:
+        return F.col("`" + name + "`")
+    return F.col(name)
+
+
 def compile_condition(
     c: Condition,
     schema_tags: Dict[str, Optional[str]],
@@ -47,7 +56,7 @@ def compile_condition(
     BanyanDB type for op/type validation."""
     if c.tag not in schema_tags:
         raise QueryAnalyzeError(f"filter references unknown tag {c.tag!r}")
-    col = F.col(c.tag)
+    col = qcol(c.tag)
     op = c.op
     ttype = (tag_types or {}).get(c.tag)
 
@@ -108,7 +117,16 @@ def compile_condition(
         wanted = F.array(*[F.lit(v) for v in _as_list(c.value)])
         return F.size(F.array_except(wanted, col)) > 0
     if op is BinaryOp.MATCH:
-        analyzer = c.match_analyzer or schema_tags.get(c.tag) or "standard"
+        # MATCH requires an analyzed index: the tag's declared analyzer or a
+        # condition-level override. A MATCH against a non-analyzed tag is an
+        # analyze-time error (golden gen_err_match_trace_id /
+        # gen_err_match_sw; pkg/index/inverted analyzer resolution).
+        analyzer = c.match_analyzer or schema_tags.get(c.tag)
+        if analyzer is None:
+            raise QueryAnalyzeError(
+                f"match condition requires an analyzed tag; {c.tag!r} has "
+                f"no analyzer and the condition declares none"
+            )
         toks = tokens(col, analyzer)
         terms: list[str] = []
         for v in _as_list(c.value):
@@ -121,6 +139,19 @@ def compile_condition(
             out = (out & p) if c.match_operator is LogicalOp.AND else (out | p)
         return out
     raise QueryAnalyzeError(f"unsupported op {op}")
+
+
+def conditions_of(node: Optional[CriteriaNode]):
+    """Yield every leaf Condition in the criteria tree (for analyze-time
+    validation passes, e.g. the entity-tag op restriction)."""
+    if node is None:
+        return
+    if isinstance(node, Condition):
+        yield node
+        return
+    if isinstance(node, Criteria):
+        yield from conditions_of(node.left)
+        yield from conditions_of(node.right)
 
 
 def criteria_tags(node: Optional[CriteriaNode]) -> set:

@@ -19,7 +19,8 @@ from ..catalog import Catalog, StreamSchema
 from ..errors import QueryAnalyzeError
 from ..model import Sort, StreamQuery, DEFAULT_LIMIT
 from ..sources.parquet import read_table
-from ..operators.criteria import compile_criteria, types_of
+from ..model import BinaryOp
+from ..operators.criteria import compile_criteria, conditions_of, qcol, types_of
 from ..operators.dedup import distinct_element
 from ..operators.merge import union_groups
 from ..operators.topk import limit_offset
@@ -42,6 +43,15 @@ def compile_stream(spark: SparkSession, catalog: Catalog, q: StreamQuery) -> Dat
     for name in q.projection:
         if name not in tagmap:
             raise QueryAnalyzeError(f"projection references unknown tag {name!r}")
+    # Entity tags ride the series index, which only answers EQ/IN
+    # (layer1_leaf.go:137-151 isEntityUnsupportedOp -> gen_err_* WantErr).
+    if ref.entity:
+        for c in conditions_of(q.criteria):
+            if c.tag in ref.entity and c.op not in (BinaryOp.EQ, BinaryOp.IN):
+                raise QueryAnalyzeError(
+                    f"operation {c.op.name} is unsupported on entity tag "
+                    f"{c.tag!r} (only EQ and IN hit the series index)"
+                )
     pred = compile_criteria(q.criteria, tagmap, types_of(ref))
 
     from ..catalog import resolve_stage_paths
@@ -62,14 +72,14 @@ def compile_stream(spark: SparkSession, catalog: Catalog, q: StreamQuery) -> Dat
     keep = [ref.ts_column, ref.element_id_column] + [
         c for c in proj if c not in (ref.ts_column, ref.element_id_column)
     ]
-    df = df.select(*[F.col(c) for c in keep])
+    df = df.select(*[qcol(c) for c in keep])
 
     order = q.order_by
     key = ref.ts_column if (order is None or order.tag is None) else order.tag
     if key not in df.columns:
         raise QueryAnalyzeError(f"order by unknown tag {key!r}")
     direction = order.sort if order else Sort.ASC
-    kcol = F.col(key).desc() if direction is Sort.DESC else F.col(key).asc()
+    kcol = qcol(key).desc() if direction is Sort.DESC else qcol(key).asc()
     # element id is unique -> total order for stable pagination
     df = df.orderBy(kcol, F.col(ref.element_id_column).asc())
 

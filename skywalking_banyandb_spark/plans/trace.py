@@ -33,7 +33,7 @@ from ..catalog import Catalog, TraceSchema
 from ..errors import QueryAnalyzeError
 from ..model import Sort, TraceQuery, DEFAULT_LIMIT
 from ..sources.parquet import read_table
-from ..operators.criteria import compile_criteria, types_of
+from ..operators.criteria import compile_criteria, qcol, types_of
 from ..operators.merge import union_groups
 from ..operators.topk import limit_offset
 
@@ -118,8 +118,12 @@ def compile_trace(spark: SparkSession, catalog: Catalog, q: TraceQuery) -> DataF
     # tagProjection restricts the per-span tags (trace/v1/query.proto);
     # ts + span id always ride along (the regroup sort key).
     if q.projection:
+        # trace_id / span_id / ts are intrinsic columns and legal projection
+        # names (``trace/v1/query.proto`` tag_projection lists them flat —
+        # e.g. the zipkin golden cases project trace_id + span_id).
+        intrinsic = {ref.ts_column, ref.trace_id_column, ref.span_id_column}
         for name in q.projection:
-            if ref.tag(name) is None:
+            if ref.tag(name) is None and name not in intrinsic:
                 raise QueryAnalyzeError(
                     f"projection references unknown tag {name!r}"
                 )
@@ -138,7 +142,7 @@ def compile_trace(spark: SparkSession, catalog: Catalog, q: TraceQuery) -> DataF
         F.col("_win_tid").alias("trace_id"), F.col("_order_key")
     ).agg(
         F.sort_array(
-            F.collect_list(F.struct(*[F.col(c) for c in span_payload]))
+            F.collect_list(F.struct(*[qcol(c) for c in span_payload]))
         ).alias("spans"),
         F.count(F.lit(1)).alias("span_count"),
         F.min(F.col(ref.ts_column)).alias("start_ts"),

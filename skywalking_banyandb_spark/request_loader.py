@@ -130,11 +130,17 @@ def _time_range(doc: Optional[Dict[str, Any]]) -> TimeRange:
     return TimeRange(_parse_ts(b) if b else None, _parse_ts(e) if e else None)
 
 
-def _flat_tags(proj: Optional[Dict[str, Any]]) -> List[str]:
+def _flat_tags(proj) -> List[str]:
     """tagProjection{tagFamilies[{name,tags}]} -> flat tag names (the engine
-    stores tags flat; family qualification is resolved at bind time)."""
+    stores tags flat; family qualification is resolved at bind time).
+
+    The trace/property protos declare ``repeated string tag_projection``
+    (``trace/v1/query.proto:96``) — a flat name list — so a plain list is
+    accepted as-is."""
     if not proj:
         return []
+    if isinstance(proj, list):
+        return list(proj)
     out: List[str] = []
     for fam in proj.get("tagFamilies", []):
         out.extend(fam.get("tags", []))
@@ -144,8 +150,11 @@ def _flat_tags(proj: Optional[Dict[str, Any]]) -> List[str]:
 def _order_by(doc: Optional[Dict[str, Any]]) -> Optional[OrderBy]:
     if doc is None:
         return None
+    # measures/streams/traces order by an index rule; the property RPC
+    # orders by a plain tag name (``query_with_order.yaml`` tag_name).
     return OrderBy(
-        tag=doc.get("indexRuleName") or None, sort=_sort(doc.get("sort"))
+        tag=doc.get("indexRuleName") or doc.get("tagName") or None,
+        sort=_sort(doc.get("sort")),
     )
 
 

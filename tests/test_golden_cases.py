@@ -165,7 +165,7 @@ def test_op_type_legality_errors(spark):
         ts_column="ts",
         tags=(
             TagSpec("user_id", "INT"),
-            TagSpec("event_type", "STRING"),
+            TagSpec("event_type", "STRING", analyzer="standard"),
             TagSpec("labels", "STRING_ARRAY", indexed=False),
         ),
         fields=(FieldSpec("value", "FLOAT"),),
@@ -195,6 +195,11 @@ def test_op_type_legality_errors(spark):
 
     compile_measure(spark, cat, legal(cond("user_id", BinaryOp.IN, [1, 2])))
     compile_measure(spark, cat, legal(cond("event_type", BinaryOp.MATCH, ["click"])))
+    # MATCH against a NON-analyzed string tag is an analyze-time error
+    # (golden gen_err_match_trace_id / gen_err_match_sw: the tag has no
+    # analyzed index rule)
+    with pytest.raises(QueryAnalyzeError, match="analyzed"):
+        compile_measure(spark, cat, q(cond("labels", BinaryOp.MATCH, ["x"])))
 
 
 def test_invalid_logical_expression_errors(spark):
