@@ -45,7 +45,10 @@ def _sessionize(spark: SparkSession, sf: str) -> DataFrame:
     the same partitioning (no second shuffle)."""
     ev = read_table(spark, f"{sf}/events.parquet")
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(by_user))
+    # unix_micros only accepts TIMESTAMP (LTZ); parquet without a zone loads
+    # as TIMESTAMP_NTZ, so cast first — gaps are shift-invariant either way.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(by_user))
     new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     sess = (
         ev.withColumn("new_sess", new_sess)

@@ -146,7 +146,7 @@ def stateful_topn(
     prepared = (
         stream.withWatermark(ts_col, lateness)
         .withColumn("window_start", F.window(F.col(ts_col), window)["start"])
-        .withColumn("_ts_micros", F.unix_micros(F.col(ts_col)))
+        .withColumn("_ts_micros", F.unix_micros(F.col(ts_col).cast("timestamp")))
         .withColumn(
             "_version",
             F.col(ver_col).cast("long") if ver_col else F.lit(0).cast("long"),
