@@ -306,3 +306,110 @@ SELECT x.id AS a, y.id AS b, {cos} AS cos
 FROM e x JOIN e y ON x.id < y.id
 WHERE {cos} >= {threshold}
 """
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle twins for the probe-style ANN paths (VERDICT r2: the two
+# ANN entries were the only registry rows without an oracle). Everything the
+# probes decide on is deterministic and engine-portable: SRP hyperplanes are
+# md5-derived constants (embedded below as literals), and every ordering
+# decision — centroid assignment, probe selection, final rank — uses the
+# same rounded-6dp cosine with an id tie-break on both engines.
+# --------------------------------------------------------------------------
+
+def _sql_double_array(xs: Sequence[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in xs) + "]::DOUBLE[]"
+
+
+def round6(x: float) -> float:
+    """Driver-side twin of ``F.round(col, 6)`` / DuckDB ``round(x, 6)``:
+    HALF_UP on the shortest decimal rendering of the double (Spark rounds
+    the ``BigDecimal.valueOf(double)`` = ``Double.toString`` form, which
+    ``repr`` mirrors)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def lsh_probe_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int,
+    n_tables: int = 4,
+    n_planes: int = 6,
+    probe_hamming: int = 1,
+    dim: int = 64,
+) -> str:
+    """Exact DuckDB recomputation of the SRP-LSH probe
+    (``sources/ann_index.lsh_probe_topk``): rebuild every (table, vector)
+    signature from the literal hyperplanes, take vectors whose signature is
+    within the Hamming ball of the query's in ANY table, exact-rerank by
+    the shared rounded cosine."""
+    rows = ",\n    ".join(
+        f"({t}, {i}, {_sql_double_array(plane)})"
+        for t in range(n_tables)
+        for i, plane in enumerate(_hyperplanes(dim, n_planes, seed=t))
+    )
+    cos = cosine_sql(f"e.{vec_col}", "q.qv")
+    return f"""
+WITH planes(tbl, i, plane) AS (VALUES
+    {rows}),
+sigs AS (
+  SELECT e.{id_col} AS vid, p.tbl AS tbl,
+         CAST(SUM(CASE WHEN list_dot_product(CAST(e.{vec_col} AS DOUBLE[]), p.plane) >= 0
+                       THEN (1::BIGINT << p.i) ELSE 0 END) AS BIGINT) AS sig
+  FROM {table} e, planes p
+  GROUP BY e.{id_col}, p.tbl),
+qs AS (SELECT tbl, sig FROM sigs WHERE vid = {query_id}),
+cand AS (
+  SELECT DISTINCT s.vid FROM sigs s JOIN qs ON s.tbl = qs.tbl
+  WHERE bit_count(xor(s.sig, qs.sig)) <= {probe_hamming} AND s.vid <> {query_id}),
+q AS (SELECT {vec_col} AS qv FROM {table} WHERE {id_col} = {query_id})
+SELECT e.{id_col} AS {id_col}, {cos} AS score
+FROM {table} e JOIN cand ON e.{id_col} = cand.vid, q
+ORDER BY score DESC, {id_col} ASC LIMIT {k}
+"""
+
+
+def ivf_sampled_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int,
+    k_clusters: int = 8,
+    nprobe: int = 4,
+) -> str:
+    """Exact DuckDB recomputation of the sampled-centroid IVF probe
+    (``sources/ann_index.ivf_sampled_probe_topk``): centroids are the
+    ``k_clusters`` vectors with the lexicographically smallest
+    ``md5(id)`` (a deterministic uniform sample — the same way large-scale
+    IVF trains on a sample of the corpus), assignment/probe/rank all order
+    by the shared rounded cosine with id tie-breaks."""
+    cosc = cosine_sql("e." + vec_col, "c.cv")
+    cosp = cosine_sql("cent.cv", "q.qv")
+    cosf = cosine_sql("e." + vec_col, "q.qv")
+    return f"""
+WITH cent AS (
+  SELECT {id_col} AS cid, CAST({vec_col} AS DOUBLE[]) AS cv FROM {table}
+  ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col} LIMIT {k_clusters}),
+q AS (SELECT {vec_col} AS qv FROM {table} WHERE {id_col} = {query_id}),
+probe AS (
+  SELECT cid FROM cent, q
+  ORDER BY {cosp} DESC, cid ASC LIMIT {nprobe}),
+assign AS (
+  SELECT vid, cid FROM (
+    SELECT e.{id_col} AS vid, c.cid AS cid,
+           row_number() OVER (PARTITION BY e.{id_col}
+             ORDER BY {cosc} DESC, c.cid ASC) AS rn
+    FROM {table} e, cent c) WHERE rn = 1),
+cand AS (
+  SELECT vid FROM assign
+  WHERE cid IN (SELECT cid FROM probe) AND vid <> {query_id})
+SELECT e.{id_col} AS {id_col}, {cosf} AS score
+FROM {table} e JOIN cand ON e.{id_col} = cand.vid, q
+ORDER BY score DESC, {id_col} ASC LIMIT {k}
+"""

@@ -108,25 +108,59 @@ _R1_DRIVER_GREEN = frozenset({
     "measure_orderby_field_desc",
 })
 
-# r1-green entries whose compiler / operator code is being changed in round 2
-# (topn condition validation, trace two-phase regroup) — keep them inside the
-# driver's verified window so the changes stay gated.
-_R2_TOUCHED = (
-    "topn_per_window", "topn_postagg_mean", "topn_multigroup_postagg_max",
-    "trace_regroup_stats", "bydbql_trace_stats", "bydbql_show_top",
-    # r2 criteria change: IN/NOT_IN scalar-operand validation
-    "stream_filter_in_orderby_tag", "stream_filter_not_in_range",
-    # r2 property-plan change: order tag no longer leaks into the output
-    "property_filter_sort", "property_ids_select", "property_orderby_offset",
-    "property_match_or", "property_match_and", "bydbql_property_match",
+# Entries the round-2 driver sweep recorded (CORRECTNESS_r02.json): the 37
+# non-r1 entries plus the 13 _R2_TOUCHED r1-green ones. 47/50 green; the
+# three non-green (topn_streaming_materialized NTZ-watermark crash, the two
+# oracle-less ann_* entries) are exactly what round 3 changes.
+_R2_DRIVER_SEEN = frozenset({
+    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk",
+    "bydbql_property_match", "bydbql_show_top",
+    "bydbql_trace_orderby_duration", "bydbql_trace_stats",
+    "corpus_clean_pipeline", "criteria_having_array",
+    "criteria_not_having_array", "decontamination_overlap",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "documents_stratified_sample",
+    "documents_train_split", "embedding_l2_norms", "json_extract_agg",
+    "measure_groupby_mean_salted", "measure_multigroup_schema_merge",
+    "measure_scan_filter", "multimodal_features", "pii_scrub",
+    "property_filter_sort", "property_ids_select", "property_match_and",
+    "property_match_keyword", "property_match_or", "property_match_url_and",
+    "property_orderby_offset", "request_yaml_measure",
+    "request_yaml_property", "request_yaml_stream", "request_yaml_topn",
+    "request_yaml_trace", "stream_filter_in_orderby_tag",
+    "stream_filter_not_in_range", "stream_match_props", "text_simhash",
+    "text_stats", "topn_entity_conditions", "topn_multigroup_postagg_max",
+    "topn_per_window", "topn_postagg_mean", "topn_streaming_materialized",
+    "trace_by_ids", "trace_orderby_duration", "trace_regroup_stats",
+    "vocab_top_tokens",
+})
+
+# Entries whose compile/operator path changes in round 3 — kept at the front
+# of the driver's 50-entry verified window so the changes stay gated:
+# - topn_streaming_materialized: r2 crash (NTZ watermark) fixed, must re-run;
+# - ann_lsh_topk / ann_ivf_topk: newly oracle-paired (were rows-only);
+# - events_sessionization: r2 changed its compile path (NTZ cast in
+#   _sessionize) but it sat outside the r2 window (ADVICE r2) — re-verify.
+_R3_TOUCHED = (
+    "topn_streaming_materialized", "ann_lsh_topk", "ann_ivf_topk",
+    "events_sessionization",
 )
 
 
 def _sweep_order(d: Dict[str, "object"]) -> list:
-    fresh = [k for k in d if k not in _R1_DRIVER_GREEN]
-    touched = [k for k in _R2_TOUCHED if k in d]
-    rest = [k for k in d if k in _R1_DRIVER_GREEN and k not in _R2_TOUCHED]
-    return fresh + touched + rest
+    """Driver sweeps record the FIRST 50 entries only, so order by need:
+    never-driver-seen entries (new this round), then entries whose code
+    changed this round, then the ones whose last green row is oldest (r1),
+    then the rest (r2-verified, untouched)."""
+    seen = _R1_DRIVER_GREEN | _R2_DRIVER_SEEN
+    fresh = [k for k in d if k not in seen]
+    touched = [k for k in _R3_TOUCHED if k in d and k not in fresh]
+    r1_only = [k for k in d
+               if k in _R1_DRIVER_GREEN and k not in _R2_DRIVER_SEEN
+               and k not in touched]
+    rest = [k for k in d
+            if k in _R2_DRIVER_SEEN and k not in touched and k not in fresh]
+    return fresh + touched + r1_only + rest
 
 
 def queries() -> Dict[str, QueryFn]:

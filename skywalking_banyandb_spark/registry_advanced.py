@@ -46,7 +46,9 @@ def _sessionize(spark: SparkSession, sf: str) -> DataFrame:
     ev = read_table(spark, f"{sf}/events.parquet")
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # unix_micros only accepts TIMESTAMP (LTZ); parquet without a zone loads
-    # as TIMESTAMP_NTZ, so cast first — gaps are shift-invariant either way.
+    # as TIMESTAMP_NTZ, so cast first. Gap invariance under the cast holds
+    # only for fixed-offset session timezones (a DST transition would
+    # stretch/shrink wall-clock gaps); session.py pins UTC, so it holds.
     ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = ts_us - F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(by_user))
     new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)

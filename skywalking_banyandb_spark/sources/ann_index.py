@@ -258,3 +258,109 @@ def ivf_probe_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# Sampled-centroid IVF — the oracle-checkable variant
+# --------------------------------------------------------------------------
+
+def ivf_sampled_index_path(sf_dir: str, k_clusters: int) -> str:
+    return _index_dir(sf_dir, "ivfs", f"k{k_clusters}")
+
+
+def build_ivf_sampled_index(
+    spark: SparkSession,
+    sf_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_clusters: int = 8,
+) -> str:
+    """Write-time IVF with *deterministic sampled* centroids: the
+    ``k_clusters`` vectors with the smallest ``md5(id)`` hex (a uniform
+    hash-sample of the corpus — the same reason FAISS trains on a sample;
+    Lloyd refinement stays available via :func:`build_ivf_index`).
+
+    Unlike the Lloyd path, every decision here is engine-portable, so the
+    whole probe has an exact DuckDB twin
+    (``functions/similarity.ivf_sampled_topk_sql``). Assignment is pure
+    Catalyst — an ``array_max`` over (rounded cosine, -centroid_id)
+    structs, i.e. argmax with the smallest-id tie-break — one map-only
+    scan, no UDF, no shuffle; the partitioned write clusters by
+    ``cluster_id`` which is the probe's pruning key."""
+    from ..functions.similarity import cosine
+
+    final = ivf_sampled_index_path(sf_dir, k_clusters)
+    if os.path.isdir(final):
+        return final
+    df = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    cent_rows = (
+        df.select(F.col(id_col).alias("cid"),
+                  F.col(vec_col).cast("array<double>").alias("cv"))
+        .orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))
+        .limit(k_clusters)
+        .collect()
+    )
+    centroids = [(int(r.cid), [float(x) for x in r.cv]) for r in cent_rows]
+    best = F.array_max(F.array(*[
+        F.struct(
+            cosine(F.col(vec_col), F.array(*[F.lit(c) for c in cv])).alias("s"),
+            F.lit(-cid).alias("nc"),
+        )
+        for cid, cv in centroids
+    ]))
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        (-best["nc"]).alias("cluster_id"),
+    )
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
+    with open(os.path.join(tmp, "_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    _publish(tmp, final)
+    return final
+
+
+def ivf_sampled_probe_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_clusters: int = 8,
+    nprobe: int = 4,
+    exclude_id=None,
+) -> DataFrame:
+    """Probe the sampled-centroid IVF index: rank centroids driver-side by
+    the SAME rounded cosine the engines use (``round6``), read only the
+    ``nprobe`` nearest ``cluster_id`` partitions (PartitionFilters), exact
+    cosine re-rank inside them."""
+    from ..functions.similarity import round6
+
+    path = build_ivf_sampled_index(spark, sf_dir, id_col, vec_col, k_clusters)
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = json.load(f)
+    qn = math.sqrt(sum(x * x for x in query)) or 1e-12
+    ranked = sorted(
+        (
+            -round6(sum(a * b for a, b in zip(cv, query))
+                    / ((math.sqrt(sum(x * x for x in cv)) or 1e-12) * qn)),
+            cid,
+        )
+        for cid, cv in centroids
+    )
+    probe = [cid for _, cid in ranked[:nprobe]]
+    idx = spark.read.parquet(path).where(F.col("cluster_id").isin(probe))
+    if exclude_id is not None:
+        idx = idx.where(F.col("id") != exclude_id)
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        idx.select(
+            F.col("id").alias(id_col), cosine(F.col("vec"), qlit).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -85,9 +85,11 @@ def streaming_exact_dedup(
     from pyspark.sql import functions as F
 
     from ..functions.text import fingerprint
+    from .topn_stream import ensure_event_time
 
     return (
-        source.withColumn("fp", fingerprint(F.col(text_col)))
+        ensure_event_time(source, ts_col)
+        .withColumn("fp", fingerprint(F.col(text_col)))
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["fp"])
         .drop("fp")

@@ -143,8 +143,10 @@ def stateful_topn(
             }
         )
 
+    from .topn_stream import ensure_event_time
+
     prepared = (
-        stream.withWatermark(ts_col, lateness)
+        ensure_event_time(stream, ts_col).withWatermark(ts_col, lateness)
         .withColumn("window_start", F.window(F.col(ts_col), window)["start"])
         .withColumn("_ts_micros", F.unix_micros(F.col(ts_col).cast("timestamp")))
         .withColumn(

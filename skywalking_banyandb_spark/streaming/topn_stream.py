@@ -57,6 +57,17 @@ def _parse_interval(text: str):
     return dt.timedelta(seconds=int(n) * _INTERVAL_UNITS[unit.lower()])
 
 
+def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (LTZ); parquet event-time columns often
+    load as TIMESTAMP_NTZ, which ``withWatermark`` rejects
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The engine session pins
+    ``spark.sql.session.timeZone=UTC`` (session.py), which makes the
+    NTZ->LTZ cast shift-invariant, so casting here changes the type only."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def topn_stream_query(
     events: DataFrame,
     schema: MeasureSchema,
@@ -69,6 +80,7 @@ def topn_stream_query(
     ``events`` is a streaming DataFrame with the measure's columns. Returns
     a streaming aggregate suitable for ``foreachBatch`` ranking.
     """
+    events = ensure_event_time(events, schema.ts_column)
     ts = F.col(schema.ts_column)
     order_key = F.struct(
         ts, *([F.col(schema.version_column)] if schema.version_column else [])

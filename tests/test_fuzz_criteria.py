@@ -80,7 +80,11 @@ def fuzz_env(spark):
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{SF_SMALL}/events.parquet'"
     )
-    return df, con
+    yield df, con
+    # unpersist at teardown: the CacheManager substitutes InMemoryTableScan
+    # into ANY later plan over the same parquet relation session-wide, which
+    # erases PushedFilters/ReadSchema and breaks test_plan_quality's gates
+    df.unpersist()
 
 
 @settings(max_examples=40, deadline=None,

@@ -1,0 +1,572 @@
+"""Golden-corpus replay, part 3 — closes the remaining named gaps vs the
+reference conformance corpus (VERDICT r1 #7 / r2 follow-up).
+
+Same translation as parts 1-2 (``test_golden_corpus.py`` docstring): each
+case name IS a reference input file
+``test/cases/{measure,stream,trace,topn,property}/data/input/<case>.yaml``,
+mechanically mapped onto the synthetic catalog (measure ``metrics``:
+``entity_id/service_id -> user_id/event_type``, ``latency/duration/value ->
+value``; stream ``sw -> event_log``; trace ``sw -> event_trace``
+(trace_id=user_id, duration=value, state=event_type); property
+``ui_menu -> documents`` (menu_name -> lang/source, update_time ->
+n_chars)).  Requests replay through ``request_loader`` and dual-execute
+against DuckDB.
+
+Deliberately NOT replayed (documented divergences / different harness):
+- ``write_mixed`` (all kinds): write-path cases — covered by
+  ``tests/test_write_path.py`` round-trips.
+- measure ``entity_replicated``: replica groups return a SINGLE copy in the
+  reference (replication is HA, not fan-out); the synthetic catalog's twin
+  groups model *multi-group union* instead (``multi_group_unchanged``) —
+  replica selection has no Spark-side analogue (a path is read once).
+- stream/trace ``multi_group_new_tag`` / ``multi_group_tag_type``:
+  heterogeneous-schema union is proven on measures
+  (``measure_multigroup_schema_merge``); the stream twin groups share one
+  physical file, so a per-group missing tag would be erased by element-id
+  dedup (the twin rows are byte-identical).
+- stream/trace ``having*`` / ``gen_leaf_(not_)having_extended_tags``:
+  array-tag HAVING needs an ARRAY-typed physical column the synthetic
+  events table lacks; the operator itself is driver-verified on the
+  documents token arrays (``criteria_having_array`` / ``_not_having``).
+- topn ``not_in`` (resource ``not_in_svc2_svc4``): the NOT_IN lives in the
+  TopNAggregation *declaration* criteria, not the query; declaration-time
+  criteria routing is covered by ``tests/test_streaming_topn.py`` +
+  ``bydbql_show_top``.  The query-side twin (conditions EQ) is ``eq`` below.
+
+``params_bind`` cases: the reference sends the same request through the
+prepared-statement API with bound parameters; the wire shape after binding
+is identical to the plain request, so the replay IS the bound form
+(BydbQL-side parameter binding is separately tested in
+``tests/test_bydbql.py``).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from skywalking_banyandb_spark.catalog import default_catalog
+from skywalking_banyandb_spark.errors import QueryAnalyzeError
+from skywalking_banyandb_spark.plans.measure import compile_measure
+from skywalking_banyandb_spark.plans.property import compile_property
+from skywalking_banyandb_spark.plans.stream import compile_stream
+from skywalking_banyandb_spark.plans.topn import compile_topn
+from skywalking_banyandb_spark.plans.trace import compile_trace
+from skywalking_banyandb_spark.request_loader import (
+    load_measure_request,
+    load_property_request,
+    load_stream_request,
+    load_topn_request,
+    load_trace_request,
+)
+
+from conftest import SF_SMALL
+from test_golden_corpus import (
+    _run_dual,
+    measure_oracle,
+    T0,
+    T1,
+    TIME_RANGE,
+)
+from test_golden_corpus2 import (
+    _leaf,
+    _m,
+    _s,
+    _t,
+    _topn_oracle2,
+    _TOPN_TR,
+    stream_oracle,
+    trace_oracle,
+)
+
+T0S, T1S = T0.replace("T", " "), T1.replace("T", " ")
+
+
+@pytest.fixture(scope="module")
+def env(spark):
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'"
+        )
+    return spark, default_catalog(SF_SMALL), con
+
+
+# ---------------------------------------------------------------------------
+# Measure
+# ---------------------------------------------------------------------------
+
+_GROUP_UID = """groupBy:
+  tagProjection:
+    tagFamilies:
+    - name: "default"
+      tags: ["user_id"]
+  fieldName: "value"
+"""
+
+MEASURE_CASES3 = {
+    # all_latency.yaml: storage-only family tag + multi-field projection
+    # (service_latency_minute total+value -> props tag + value field)
+    "all_latency": f"""name: "metrics"\ngroups: ["g1"]\n{TIME_RANGE}
+tagProjection:
+  tagFamilies:
+  - name: "storage_only"
+    tags: ["props"]
+fieldProjection:
+  names: ["value"]
+""",
+    # top_entity_svc.yaml: criteria EQ + groupBy entity + MEAN + top 2 DESC
+    "top_entity_svc": _m(
+        "criteria:" + _leaf("event_type", "EQ", "str", "click") + "\n",
+        extra=_GROUP_UID + """agg:
+  function: "AGGREGATION_FUNCTION_MEAN"
+  fieldName: "value"
+top:
+  number: 2
+  fieldName: "value"
+  fieldValueSort: "SORT_DESC"
+"""),
+    # bottom_entity_svc.yaml: same, SORT_ASC (bottom)
+    "bottom_entity_svc": _m(
+        "criteria:" + _leaf("event_type", "EQ", "str", "click") + "\n",
+        extra=_GROUP_UID + """agg:
+  function: "AGGREGATION_FUNCTION_MEAN"
+  fieldName: "value"
+top:
+  number: 2
+  fieldName: "value"
+  fieldValueSort: "SORT_ASC"
+"""),
+    # entity_service.yaml (index_mode group): AND of entity EQ + tag EQ
+    "entity_service": f"""name: "metrics_idx"\ngroups: ["g1"]\n{TIME_RANGE}
+tagProjection:
+  tagFamilies:
+  - name: "default"
+    tags: ["user_id", "event_type"]
+criteria:
+  le:
+    op: "LOGICAL_OP_AND"
+    right:{_leaf("user_id", "EQ", "int", 7)}
+    left:{_leaf("event_type", "EQ", "str", "click")}
+""",
+    # params_bind.yaml (index_mode): IN over the id tag, bound-params form
+    "params_bind": f"""name: "metrics_idx"\ngroups: ["g1"]\n{TIME_RANGE}
+tagProjection:
+  tagFamilies:
+  - name: "default"
+    tags: ["user_id", "event_type"]
+criteria:
+  condition:
+    name: "user_id"
+    op: "BINARY_OP_IN"
+    value:
+      intArray:
+        value: [1, 2]
+""",
+    # index_mode_filter_hidden_tag.yaml: filter tag absent from projection
+    # (hidden tag never reaches the output; Catalyst still prunes the scan)
+    "index_mode_filter_hidden_tag": f"""name: "metrics_idx"\ngroups: ["g1"]\n{TIME_RANGE}
+tagProjection:
+  tagFamilies:
+  - name: "default"
+    tags: ["user_id"]
+criteria:""" + _leaf("event_type", "EQ", "str", "view") + "\n",
+}
+
+
+@pytest.mark.parametrize("case", sorted(MEASURE_CASES3))
+def test_measure_golden_case3(env, case):
+    spark, cat, con = env
+    q = load_measure_request(MEASURE_CASES3[case])
+    df = compile_measure(spark, cat, q)
+    sql, ordered = measure_oracle(q)
+    _run_dual(env, df, sql, ordered)
+
+
+# ---------------------------------------------------------------------------
+# Stream
+# ---------------------------------------------------------------------------
+
+_DATA_PROJ = """projection:
+  tagFamilies:
+  - name: "searchable"
+    tags: ["user_id", "event_type"]
+  - name: "data"
+    tags: ["props"]
+"""
+
+STREAM_CASES3 = {
+    # global_index.yaml: point EQ on the global-index tag (trace_id -> the
+    # synthetic user_id) + data-family payload projection
+    "global_index": (
+        f'name: "event_log"\ngroups: ["g1"]\n{TIME_RANGE}{_DATA_PROJ}'
+        "criteria:" + _leaf("user_id", "EQ", "int", 1) + "\nlimit: 120\n"),
+    # global_indices.yaml: IN over the global-index tag, one operand
+    # matching nothing ("unknown")
+    "global_indices": (
+        f'name: "event_log"\ngroups: ["g1"]\n{TIME_RANGE}{_DATA_PROJ}'
+        "criteria:" + _leaf("user_id", "IN", "intArray", [1, 3, 5, 99999])
+        + "\nlimit: 200\n"),
+    # all_with_http_method.yaml: projection spanning extra searchable tags
+    "all_with_http_method": (
+        f'name: "event_log"\ngroups: ["g1"]\n{TIME_RANGE}'
+        + """projection:
+  tagFamilies:
+  - name: "searchable"
+    tags: ["user_id", "event_type", "value"]
+  - name: "data"
+    tags: ["props"]
+limit: 150
+"""),
+    # multi_group_sort_duration.yaml: g1+g2 merged iterators, sidx order by
+    # duration; element-id dedup collapses the byte-identical twins, so the
+    # oracle is the single-group result (same as multi_group_unchanged)
+    "multi_group_sort_duration": (
+        _s(extra='orderBy:\n  sort: "SORT_DESC"\n  indexRuleName: "value"\n'
+           'limit: 60\n', groups='["g1", "g2"]')),
+}
+
+# duplicated_*.yaml: the reference writes every element TWICE and asserts
+# the query returns each once (element-id dedup,
+# stream/data/input/duplicated_*.yaml).  The synthetic twin groups g1+g2
+# serve the same byte-identical-duplicate stream; dedup must collapse them,
+# so every oracle below is the SINGLE-group result.
+_DUP = '["g1", "g2"]'
+STREAM_CASES3.update({
+    "duplicated_all": _s(extra="limit: 150\n", groups=_DUP),
+    "duplicated_entity_filter": _s(
+        "criteria:" + _leaf("user_id", "EQ", "int", 3) + "\n",
+        extra="limit: 150\n", groups=_DUP),
+    "duplicated_index_filter": _s(
+        "criteria:" + _leaf("event_type", "EQ", "str", "error") + "\n",
+        extra="limit: 150\n", groups=_DUP),
+    "duplicated_order_by_filter": _s(
+        "criteria:" + _leaf("event_type", "EQ", "str", "view") + "\n",
+        extra='orderBy:\n  sort: "SORT_DESC"\nlimit: 80\n', groups=_DUP),
+    "duplicated_order_by_index": _s(
+        extra='orderBy:\n  sort: "SORT_ASC"\n  indexRuleName: "value"\n'
+        'limit: 80\n', groups=_DUP),
+})
+
+
+@pytest.mark.parametrize("case", sorted(STREAM_CASES3))
+def test_stream_golden_case3(env, case):
+    spark, cat, con = env
+    q = load_stream_request(STREAM_CASES3[case])
+    df = compile_stream(spark, cat, q)
+    _run_dual(env, df, stream_oracle(q), True)
+
+
+# ---------------------------------------------------------------------------
+# Trace
+# ---------------------------------------------------------------------------
+
+_TS_ASC = "start_ts ASC"
+_ORD_DUR_ASC = 'orderBy:\n  sort: "SORT_ASC"\n  indexRuleName: "value"\n'
+_ORD_DUR_DESC = 'orderBy:\n  sort: "SORT_DESC"\n  indexRuleName: "value"\n'
+_ORD_TS_ASC = 'orderBy:\n  sort: "SORT_ASC"\n'
+_ORD_TS_DESC = 'orderBy:\n  sort: "SORT_DESC"\n'
+
+TRACE_CASES3 = {
+    # gen_feat_* numbered combos (order x filter x paging x projection);
+    # proj_explicit restricts span tags, which the stats projection below
+    # never reads — the ranked trace set is what each case checks
+    "gen_feat_order_duration_asc_limit2_offset1_proj_explicit_1": (
+        _t(extra=_ORD_DUR_ASC + "limit: 2\noffset: 1\n"), "MIN(value) ASC"),
+    "gen_feat_order_duration_asc_limit5_proj_explicit_6": (
+        _t(extra=_ORD_DUR_ASC + "limit: 5\n"), "MIN(value) ASC"),
+    "gen_feat_order_duration_desc_filter_service_eq_limit2_7": (
+        _t("criteria:" + _leaf("event_type", "EQ", "str", "click") + "\n",
+           extra=_ORD_DUR_DESC + "limit: 2\n"), "MAX(value) DESC"),
+    "gen_feat_order_duration_desc_proj_explicit_3": (
+        _t(extra=_ORD_DUR_DESC + "limit: 30\n"), "MAX(value) DESC"),
+    "gen_feat_order_timestamp_asc_filter_state_eq_limit5_offset1_proj_explicit_8": (
+        _t("criteria:" + _leaf("event_type", "EQ", "str", "error") + "\n",
+           extra=_ORD_TS_ASC + "limit: 5\noffset: 1\n"), _TS_ASC),
+    "gen_feat_order_timestamp_desc_filter_duration_range_limit2_9": (
+        _t(f"""criteria:
+  le:
+    op: "LOGICAL_OP_AND"
+    left:{_leaf("value", "GE", "float", 50.0)}
+    right:{_leaf("value", "LE", "float", 150.0)}
+""", extra=_ORD_TS_DESC + "limit: 2\n"), "start_ts DESC"),
+    "gen_feat_traceid_0": (
+        _t(extra="traceIds: [4]\nlimit: 30\n"), _TS_ASC),
+    "gen_feat_traceid_limit2_5": (
+        _t(extra="traceIds: [1, 3, 5, 7]\nlimit: 2\n"), _TS_ASC),
+    "gen_feat_traceid_limit5_offset3_proj_explicit_2": (
+        _t(extra="traceIds: [1, 2, 3, 4, 5, 6, 7, 8, 9]\nlimit: 5\noffset: 3\n"),
+        _TS_ASC),
+    "gen_feat_traceid_proj_explicit_4": (
+        _t(extra="traceIds: [2, 6]\nlimit: 30\n"), _TS_ASC),
+    # gen_leaf_*: single-condition leaves on the trace-id / state tags
+    # (trace_id -> user_id is the synthetic trace id column)
+    "gen_leaf_eq_trace_id": (
+        _t("criteria:" + _leaf("user_id", "EQ", "int", 5) + "\n"), _TS_ASC),
+    "gen_leaf_ne_trace_id": (
+        _t("criteria:" + _leaf("user_id", "NE", "int", 5) + "\n"), _TS_ASC),
+    "gen_leaf_in_trace_id": (
+        _t("criteria:" + _leaf("user_id", "IN", "intArray", [2, 4, 99999]) + "\n"),
+        _TS_ASC),
+    "gen_leaf_not_in_trace_id": (
+        _t("criteria:" + _leaf("user_id", "NOT_IN", "intArray", [1, 2, 3]) + "\n"),
+        _TS_ASC),
+    "gen_leaf_ne_service_id": (
+        _t("criteria:" + _leaf("event_type", "NE", "str", "click") + "\n"),
+        _TS_ASC),
+    "gen_leaf_not_in_service_id": (
+        _t("criteria:" + _leaf("event_type", "NOT_IN", "strArray",
+                               ["click", "view"]) + "\n"), _TS_ASC),
+    "gen_leaf_gt_state": (
+        _t("criteria:" + _leaf("event_type", "GT", "str", "signup") + "\n"),
+        _TS_ASC),
+    "gen_leaf_le_state": (
+        _t("criteria:" + _leaf("event_type", "LE", "str", "error") + "\n"),
+        _TS_ASC),
+    "gen_leaf_lt_state": (
+        _t("criteria:" + _leaf("event_type", "LT", "str", "error") + "\n"),
+        _TS_ASC),
+    # eq_* service/instance/endpoint shapes (all map to the event_type tag)
+    "eq_service_order_timestamp_desc": (
+        _t("criteria:" + _leaf("event_type", "EQ", "str", "purchase") + "\n",
+           extra=_ORD_TS_DESC + "limit: 30\n"), "start_ts DESC"),
+    "eq_service_instance_order_time_asc": (
+        _t("criteria:" + _leaf("event_type", "EQ", "str", "signup") + "\n",
+           extra=_ORD_TS_ASC + "limit: 30\n"), _TS_ASC),
+    "eq_service_instance_and_endpoint_order_timestamp_asc": (
+        _t(f"""criteria:
+  le:
+    op: "LOGICAL_OP_AND"
+    left:{_leaf("event_type", "EQ", "str", "view")}
+    right:{_leaf("value", "GT", "float", 10.0)}
+""", extra=_ORD_TS_ASC + "limit: 30\n"), _TS_ASC),
+    # duration_range_and_ipv4_order_timestamp.yaml: range + EQ, time order
+    "duration_range_and_ipv4_order_timestamp": (
+        _t(f"""criteria:
+  le:
+    op: "LOGICAL_OP_AND"
+    left:
+      le:
+        op: "LOGICAL_OP_AND"
+        left:{_leaf("value", "GE", "float", 10.0)}
+        right:{_leaf("value", "LE", "float", 500.0)}
+    right:{_leaf("event_type", "EQ", "str", "click")}
+""", extra=_ORD_TS_ASC + "limit: 30\n"), _TS_ASC),
+    # params_bind.yaml (trace): bound trace-ids form
+    "params_bind": (_t(extra="traceIds: [3, 9]\nlimit: 30\n"), _TS_ASC),
+    # multi_group_sort_duration.yaml: g1+g2 span iterators merge into the
+    # trace (2x span_count), ranked by the sidx duration key
+    "multi_group_sort_duration": (
+        _t(extra=_ORD_DUR_ASC + "limit: 30\n", groups='["g1", "g2"]'),
+        "MIN(value) ASC", 2),
+}
+
+
+@pytest.mark.parametrize("case", sorted(TRACE_CASES3))
+def test_trace_golden_case3(env, case):
+    spark, cat, con = env
+    spec = TRACE_CASES3[case]
+    yaml_text, order_sql = spec[0], spec[1]
+    mult = spec[2] if len(spec) > 2 else 1
+    q = load_trace_request(yaml_text)
+    df = compile_trace(spark, cat, q).select(
+        "trace_id", "span_count", "start_ts", "end_ts")
+    _run_dual(env, df, trace_oracle(q, order_sql, mult), True)
+
+
+# gen_leaf_eq_service_id_null.yaml: EQ against a NULL operand -> isNull
+# (model/v1/common.proto null tag value); no span has a NULL state here
+def test_trace_gen_leaf_eq_service_id_null(env):
+    spark, cat, con = env
+    q = load_trace_request(_t("""criteria:
+  condition:
+    name: "event_type"
+    op: "BINARY_OP_EQ"
+    value:
+      "null": null
+"""))
+    assert compile_trace(spark, cat, q).count() == 0
+
+
+# eq_trace_id.yaml / eq_trace_id_and_service_unknown.yaml
+def test_trace_eq_trace_id(env):
+    spark, cat, con = env
+    q = load_trace_request(
+        _t("criteria:" + _leaf("user_id", "EQ", "int", 8) + "\n"))
+    df = compile_trace(spark, cat, q).select(
+        "trace_id", "span_count", "start_ts", "end_ts")
+    _run_dual(env, df, trace_oracle(q, _TS_ASC), True)
+
+
+def test_trace_eq_trace_id_and_service_unknown(env):
+    """Known trace id AND a service matching nothing -> WantEmpty."""
+    spark, cat, con = env
+    q = load_trace_request(_t(f"""criteria:
+  le:
+    op: "LOGICAL_OP_AND"
+    left:{_leaf("user_id", "EQ", "int", 8)}
+    right:{_leaf("event_type", "EQ", "str", "no_such_service")}
+"""))
+    assert compile_trace(spark, cat, q).count() == 0
+
+
+# gen_err_match_sw.yaml: MATCH against a tag with no analyzer is illegal
+# (pkg/index/inverted analyzer resolution; trace event_type declares none)
+def test_trace_gen_err_match_sw(env):
+    spark, cat, con = env
+    q = load_trace_request(_t("""criteria:
+  condition:
+    name: "event_type"
+    op: "BINARY_OP_MATCH"
+    value:
+      str:
+        value: "click"
+"""))
+    with pytest.raises(QueryAnalyzeError):
+        compile_trace(spark, cat, q)
+
+
+# project_non_existent_tag.yaml (trace spelling of the shared WantErr)
+def test_trace_project_non_existent_tag(env):
+    spark, cat, con = env
+    q = load_trace_request(f"""name: "event_trace"\ngroups: ["g1"]\n{TIME_RANGE}
+tagProjection:
+  tagFamilies:
+  - name: "searchable"
+    tags: ["no_such_tag"]
+limit: 5
+""")
+    with pytest.raises(QueryAnalyzeError):
+        compile_trace(spark, cat, q)
+
+
+# ---------------------------------------------------------------------------
+# TopN (numeric protobuf-JSON enum form, as the reference corpus ships)
+# ---------------------------------------------------------------------------
+
+TOPN_CASES3 = {
+    # aggr_version_merged.yaml: agg=2 (MAX) over version-merged points —
+    # duplicate writes collapse via version dedup BEFORE windowing, which
+    # the materialization base applies (operators/dedup.latest_version)
+    "aggr_version_merged": (
+        f'name: "metrics"\ngroups: ["g1"]\n{_TOPN_TR}topN: 3\n'
+        "fieldValueSort: 1\nagg: 2\n",
+        _topn_oracle2(3, "DESC", "DESC", "MAX(value)")),
+    # condition_aggr_desc.yaml: entity condition (op 1 = EQ) + MAX agg
+    "condition_aggr_desc": (
+        f"""name: "metrics"\ngroups: ["g1"]\n{_TOPN_TR}topN: 1
+fieldValueSort: 1
+agg: 2
+conditions:
+- name: user_id
+  op: 1
+  value:
+    int:
+      value: 5
+""",
+        _topn_oracle2(1, "DESC", "DESC", "MAX(value)",
+                      extra_where=" AND user_id = 5")),
+    # eq.yaml (resource eq_svc1): query-side EQ condition twin
+    "eq": (
+        f"""name: "metrics"\ngroups: ["g1"]\n{_TOPN_TR}topN: 2
+fieldValueSort: 1
+agg: 2
+conditions:
+- name: user_id
+  op: 1
+  value:
+    int:
+      value: 1
+""",
+        _topn_oracle2(2, "DESC", "DESC", "MAX(value)",
+                      extra_where=" AND user_id = 1")),
+    # float_count_aggr_desc.yaml: agg=4 (COUNT) over a float field
+    "float_count_aggr_desc": (
+        f'name: "metrics"\ngroups: ["g1"]\n{_TOPN_TR}topN: 3\n'
+        "fieldValueSort: 1\nagg: 4\n",
+        _topn_oracle2(3, "DESC", "DESC", "COUNT(value)")),
+    # params_bind.yaml (topn): bound form of condition_aggr_desc
+    "params_bind": (
+        f"""name: "metrics"\ngroups: ["g1"]\n{_TOPN_TR}topN: 1
+fieldValueSort: 1
+agg: 2
+conditions:
+- name: user_id
+  op: 1
+  value:
+    int:
+      value: 5
+""",
+        _topn_oracle2(1, "DESC", "DESC", "MAX(value)",
+                      extra_where=" AND user_id = 5")),
+}
+
+
+@pytest.mark.parametrize("case", sorted(TOPN_CASES3))
+def test_topn_golden_case3(env, case):
+    spark, cat, con = env
+    yaml_text, sql = TOPN_CASES3[case]
+    q = load_topn_request(yaml_text)
+    df = compile_topn(spark, cat, q)
+    _run_dual(env, df, sql, True)
+
+
+# ---------------------------------------------------------------------------
+# Property (ui_menu -> documents; update_time -> n_chars)
+# ---------------------------------------------------------------------------
+
+_P_PROJ = 'tagProjection: ["lang", "source", "n_chars"]\n'
+
+
+def _prop_sql(where: str = "", order: str = "doc_id ASC",
+              limit: int = 100, offset: int = 0) -> str:
+    return (f"SELECT doc_id, lang, source, n_chars FROM documents{where} "
+            f"ORDER BY {order} LIMIT {limit} OFFSET {offset}")
+
+
+PROPERTY_CASES3 = {
+    # order_by_asc.yaml / order_by_desc.yaml: full scan ordered by a tag
+    # (snake_case order_by/tag_name spelling, as the reference file uses)
+    "order_by_asc": (
+        f'name: "documents"\ngroups: ["g1"]\n{_P_PROJ}'
+        'order_by:\n  tag_name: "n_chars"\n  sort: SORT_ASC\nlimit: 60\n',
+        _prop_sql(order="n_chars ASC, doc_id ASC", limit=60)),
+    "order_by_desc": (
+        f'name: "documents"\ngroups: ["g1"]\n{_P_PROJ}'
+        'order_by:\n  tag_name: "n_chars"\n  sort: SORT_DESC\nlimit: 60\n',
+        _prop_sql(order="n_chars DESC, doc_id ASC", limit=60)),
+    "order_by_with_limit": (
+        f'name: "documents"\ngroups: ["g1"]\n{_P_PROJ}limit: 1\n'
+        'order_by:\n  tag_name: "n_chars"\n  sort: SORT_DESC\n',
+        _prop_sql(order="n_chars DESC, doc_id ASC", limit=1)),
+    # query_by_criteria.yaml: EQ on a string tag
+    "query_by_criteria": (
+        f'name: "documents"\ngroups: ["g1"]\n{_P_PROJ}'
+        + "criteria:" + _leaf("source", "EQ", "str", "web") + "\n",
+        _prop_sql(where=" WHERE source = 'web'")),
+    # query_by_ids.yaml: explicit id retrieval
+    "query_by_ids": (
+        f'name: "documents"\ngroups: ["g1"]\nids: [2]\n{_P_PROJ}',
+        _prop_sql(where=" WHERE doc_id IN (2)")),
+    # query_with_order.yaml: criteria + tag order
+    "query_with_order": (
+        f'name: "documents"\ngroups: ["g1"]\n{_P_PROJ}'
+        + "criteria:" + _leaf("lang", "EQ", "str", "en") + "\n"
+        + 'order_by:\n  tag_name: "n_chars"\n  sort: SORT_ASC\n',
+        _prop_sql(where=" WHERE lang = 'en'",
+                  order="n_chars ASC, doc_id ASC")),
+    # params_bind.yaml (property): bound form of query_by_criteria
+    "params_bind": (
+        f'name: "documents"\ngroups: ["g1"]\n{_P_PROJ}'
+        + "criteria:" + _leaf("lang", "EQ", "str", "de") + "\n",
+        _prop_sql(where=" WHERE lang = 'de'")),
+}
+
+
+@pytest.mark.parametrize("case", sorted(PROPERTY_CASES3))
+def test_property_golden_case3(env, case):
+    spark, cat, con = env
+    yaml_text, sql = PROPERTY_CASES3[case]
+    q = load_property_request(yaml_text)
+    df = compile_property(spark, cat, q)
+    _run_dual(env, df, sql, True)

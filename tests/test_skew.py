@@ -23,7 +23,9 @@ def skewed(spark):
     )
     hot = ev.where(F.col("user_id") == 1)
     df = ev.unionByName(hot.crossJoin(spark.range(49).select(F.lit(1).alias("_x"))).drop("_x"))
-    return df.cache()
+    df = df.cache()
+    yield df
+    df.unpersist()  # keep the session CacheManager clean for later modules
 
 
 def _direct(df, func):
