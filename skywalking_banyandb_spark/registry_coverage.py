@@ -602,3 +602,95 @@ register(
        WHERE lang IN ('en', 'de')
        ORDER BY n_chars DESC, doc_id ASC LIMIT 60 OFFSET 3""",
 )
+
+
+# --------------------------------------------------------------------------
+# Stateful exact-heap streaming Top-N, driver-visible: the
+# applyInPandasWithState port of the reference's flow state machine
+# (pkg/flow/streaming/topn.go:51-305 — in-place entity replacement, LRU
+# bound, per-update emission) had only pytest proof (VERDICT r1 row 47).
+# Same staged out-of-order fixture as topn_streaming_materialized: batch 1
+# carries a far-late re-delivery of batch 0's first hour, which the
+# watermark drops before it reaches the state function; re-emitted rows
+# (if any) are byte-identical, so the dropDuplicates on read is exact.
+# --------------------------------------------------------------------------
+
+def _topn_stateful_heap(spark: SparkSession, sf: str) -> DataFrame:
+    import datetime as dt
+    import tempfile
+    import time
+
+    from .sources.parquet import read_table
+    from .streaming.stateful_topn import stateful_topn
+
+    cat = default_catalog(sf)
+    schema = cat.get("g1", "measure", "metrics")
+    t3 = dt.datetime(2024, 1, 3)
+    t5 = dt.datetime(2024, 1, 5)
+    t6 = dt.datetime(2024, 1, 6)
+
+    work = tempfile.mkdtemp(prefix="topn_stateful_entry_")
+    src = f"{work}/src"
+    ev = read_table(spark, f"{sf}/events.parquet")
+    ts = F.col("ts")
+    b0 = ev.where((ts >= F.lit(t3)) & (ts < F.lit(t5)))
+    late = ev.where((ts >= F.lit(t3)) & (ts < F.lit(t3 + dt.timedelta(hours=1))))
+    b1 = ev.where((ts >= F.lit(t5)) & (ts < F.lit(t6))).unionByName(late)
+    b0.coalesce(1).write.parquet(f"{src}/b0")
+    time.sleep(1.1)  # file-source ordering is by modification time
+    b1.coalesce(1).write.parquet(f"{src}/b1")
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{src}/b0").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    emissions = stateful_topn(
+        stream, schema, field="value", n=3,
+        window="1 hour", lateness="10 minutes", sort=Sort.DESC,
+    )
+    # parquet sinks reject update mode; foreachBatch appends each batch's
+    # emissions (re-emitted rows are byte-identical -> dropDuplicates below)
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.take(1):
+            batch.coalesce(1).write.mode("append").parquet(f"{work}/out")
+
+    q = (
+        emissions.writeStream.outputMode("update")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .foreachBatch(_sink)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{work}/out")
+        .dropDuplicates(["window_start", "rank"])
+        .select(
+            F.col("window_start").cast("timestamp").alias("window_start"),
+            "user_id", "value", "rank",
+        )
+        .orderBy("window_start", "rank")
+    )
+
+
+register(
+    "topn_stateful_heap",
+    _topn_stateful_heap,
+    """WITH latest AS (
+          SELECT date_trunc('hour', ts) AS window_start, user_id, value FROM events
+          WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+            AND ts <  TIMESTAMP '2024-01-06 00:00:00'
+          QUALIFY row_number() OVER (
+            PARTITION BY date_trunc('hour', ts), user_id
+            ORDER BY ts DESC, event_id DESC) = 1
+        )
+        SELECT window_start, user_id, value,
+               CAST(row_number() OVER (
+                 PARTITION BY window_start ORDER BY value DESC, user_id)
+                 AS BIGINT) AS rank
+        FROM latest
+        QUALIFY row_number() OVER (
+          PARTITION BY window_start ORDER BY value DESC, user_id) <= 3
+        ORDER BY window_start, rank""",
+)

@@ -129,7 +129,15 @@ def stateful_topn(
         # schedule purge at window_end + lateness (event-time, ms epoch;
         # window_start is session-tz-naive UTC in this engine)
         purge_at = pd.Timestamp(key[0]).tz_localize("UTC") + purge_delta
-        state.setTimeoutTimestamp(int(purge_at.timestamp() * 1000))
+        purge_ms = int(purge_at.timestamp() * 1000)
+        # Far-late re-delivery can reach the function AFTER the watermark
+        # passed the window's purge point (Spark would reject the timeout);
+        # that is exactly the reference's isWindowLate drop
+        # (sliding_window.go:237-243): discard state, emit nothing.
+        if purge_ms <= state.getCurrentWatermarkMs():
+            state.remove()
+            return
+        state.setTimeoutTimestamp(purge_ms)
         ranked = sorted(
             heap.items(), key=lambda kv: (-kv[1][2] if desc else kv[1][2], kv[0])
         )[:n]

@@ -87,3 +87,64 @@ def test_multigroup_schema_merge_null_fill(spark):
     assert u.columns == ["id", "tag_a", "tag_b"]
     assert rows[0].tag_a == "x" and rows[0].tag_b is None
     assert rows[1].tag_a is None and rows[1].tag_b == 7.5
+
+
+def test_stateful_topn_far_late_redelivery_dropped(spark):
+    """A far-late re-delivery (window_end + lateness already behind the
+    watermark) must be DROPPED, not crash the timeout registration and not
+    change the materialized result — reference isWindowLate
+    (sliding_window.go:237-243)."""
+    import datetime as dt
+    import time
+
+    cat = default_catalog(SF_SMALL)
+    schema = cat.get("g1", "measure", "metrics")
+    work = tempfile.mkdtemp(prefix="stateful_topn_late_")
+    t3, t4 = dt.datetime(2024, 1, 3), dt.datetime(2024, 1, 4)
+    try:
+        ev = read_table(spark, f"{SF_SMALL}/events.parquet")
+        ts = F.col("ts")
+        src = os.path.join(work, "src")
+        b0 = ev.where((ts >= F.lit(t3)) & (ts < F.lit(t4)))
+        late = ev.where(
+            (ts >= F.lit(t3)) & (ts < F.lit(t3 + dt.timedelta(hours=1))))
+        b1 = (ev.where((ts >= F.lit(t4)) & (ts < F.lit(t4 + dt.timedelta(hours=6))))
+              .unionByName(late))
+        b0.coalesce(1).write.parquet(os.path.join(src, "b0"))
+        time.sleep(1.1)
+        b1.coalesce(1).write.parquet(os.path.join(src, "b1"))
+        stream = (
+            spark.readStream.schema(b0.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src + "/*")
+        )
+        out = stateful_topn(
+            stream, schema, "value", 3, window="1 hour",
+            lateness="10 minutes", sort=Sort.DESC,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stateful_topn_late_sink")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+        got = {
+            (str(r.window_start), r.user_id, r.value)
+            for r in spark.sql(
+                "SELECT * FROM stateful_topn_late_sink").collect()
+        }
+        end = t4 + dt.timedelta(hours=6)
+        want = {
+            (str(r.window_start), r.user_id, r.value)
+            for r in materialize_topn(
+                spark, schema, "value", 3, "1 hour", Sort.DESC
+            ).where(
+                (F.col("window_start") >= F.lit(t3))
+                & (F.col("window_start") < F.lit(end))
+            ).collect()
+        }
+        assert len(got) > 0 and got == want
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
