@@ -512,7 +512,10 @@ def test_topn_golden_case3(env, case):
 
 
 # ---------------------------------------------------------------------------
-# Property (ui_menu -> documents; update_time -> n_chars)
+# Property (ui_menu -> documents; update_time -> n_chars).
+# Part 2 replays the order_by_* cases in camelCase protojson
+# (orderBy/indexRuleName); the reference's property input files use the
+# snake_case order_by/tag_name spelling — these replays take that path.
 # ---------------------------------------------------------------------------
 
 _P_PROJ = 'tagProjection: ["lang", "source", "n_chars"]\n'

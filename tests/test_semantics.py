@@ -269,3 +269,39 @@ def test_ivf_stored_index_probe_prunes_partitions(spark, monkeypatch, tmp_path):
     import os
     idx = [p for p in os.listdir(str(tmp_path))][0]
     assert idx
+
+
+def test_ivf_sampled_probe_prunes_and_recalls(spark, monkeypatch, tmp_path):
+    """The deterministic sampled-centroid IVF (the oracle-paired registry
+    variant): probe is PartitionFilters on cluster_id, recall vs brute
+    force holds, and the index is built once (second probe reuses it)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from skywalking_banyandb_spark.sources.ann_index import (
+        ivf_sampled_probe_topk,
+    )
+    from skywalking_banyandb_spark.sources.parquet import read_table
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    q = _qv(spark)
+    stored = ivf_sampled_probe_topk(
+        spark, SF_SMALL, q, 10, k_clusters=8, nprobe=4, exclude_id=0)
+    got = {r.vec_id for r in stored.collect()}
+
+    d = read_table(spark, f"{SF_SMALL}/embeddings.parquet").where(
+        F.col("vec_id") != 0)
+    exact = {r.vec_id
+             for r in brute_force_topk(d, "vec_id", "embedding", q, 10).collect()}
+    assert len(got & exact) >= 5, (got, exact)
+
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan, plan
+    # deterministic + idempotent: the second probe hits the same stored
+    # index and returns identical rows
+    again = ivf_sampled_probe_topk(
+        spark, SF_SMALL, q, 10, k_clusters=8, nprobe=4, exclude_id=0)
+    assert [(r.vec_id, r.score) for r in again.collect()] == sorted(
+        [(r.vec_id, r.score) for r in stored.collect()],
+        key=lambda t: (-t[1], t[0]))
