@@ -37,6 +37,16 @@ class TagSpec:
 
     ``analyzer`` marks a full-text indexed tag (MATCH-able) —
     ``schema.proto:158-191`` IndexRule.analyzer.
+
+    ``expr`` declares a DERIVED tag: a Spark-SQL expression over the
+    resource's physical columns, materialized at scan time. This is the
+    read-time analogue of the reference's write-time index materialization
+    (e.g. an analyzed token array backing an array-typed tag like the
+    conformance corpus's ``extended_tags``); at 100 TB the same expression
+    becomes a generated column written at ingest. Derived tags are
+    filterable/projectable like any tag but are excluded from the DEFAULT
+    projection (they only appear when explicitly asked for, like index
+    content in the reference).
     """
 
     name: str
@@ -44,6 +54,7 @@ class TagSpec:
     family: str = "default"
     indexed: bool = True
     analyzer: Optional[str] = None  # standard | simple | keyword | url
+    expr: Optional[str] = None      # Spark-SQL expression for derived tags
 
 
 @dataclass(frozen=True)
@@ -65,6 +76,20 @@ class StageSpec:
 
     name: str
     paths: Tuple[str, ...]
+
+
+def materialize_derived(df, schema):
+    """Materialize derived tags (``TagSpec.expr``) onto a freshly-scanned
+    DataFrame — the read-time analogue of the reference's write-time index
+    materialization. Runs right after the scan so criteria, projection and
+    ordering all see the tag like a physical column; Catalyst still prunes
+    the underlying reads to the expression's inputs."""
+    from pyspark.sql import functions as F
+
+    for t in getattr(schema, "tags", ()) or ():
+        if t.expr is not None and t.name not in df.columns:
+            df = df.withColumn(t.name, F.expr(t.expr))
+    return df
 
 
 def resolve_stage_paths(schema, stages: Sequence[str]) -> Tuple[str, ...]:
@@ -347,6 +372,16 @@ def default_catalog(sf_dir: str) -> Catalog:
                     TagSpec("value", "FLOAT"),
                     TagSpec("props", "STRING", indexed=False,
                             analyzer="standard"),
+                    # derived ARRAY tag — the conformance corpus's
+                    # ``extended_tags`` analogue (stream ``having*`` golden
+                    # cases). Same token expression as the standard
+                    # analyzer (functions/analyzers.tokens); at 100 TB this
+                    # is a generated column written at ingest.
+                    TagSpec(
+                        "props_tokens", "STRING_ARRAY",
+                        expr=("filter(split(lower(props), '[^a-z0-9]+'), "
+                              "x -> x != '')"),
+                    ),
                 ),
             )
         )

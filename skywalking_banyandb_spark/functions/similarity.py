@@ -348,11 +348,7 @@ def lsh_probe_topk_sql(
     signature from the literal hyperplanes, take vectors whose signature is
     within the Hamming ball of the query's in ANY table, exact-rerank by
     the shared rounded cosine."""
-    rows = ",\n    ".join(
-        f"({t}, {i}, {_sql_double_array(plane)})"
-        for t in range(n_tables)
-        for i, plane in enumerate(_hyperplanes(dim, n_planes, seed=t))
-    )
+    rows = _planes_values_sql(n_tables, n_planes, dim)
     cos = cosine_sql(f"e.{vec_col}", "q.qv")
     return f"""
 WITH planes(tbl, i, plane) AS (VALUES
@@ -412,4 +408,103 @@ cand AS (
 SELECT e.{id_col} AS {id_col}, {cosf} AS score
 FROM {table} e JOIN cand ON e.{id_col} = cand.vid, q
 ORDER BY score DESC, {id_col} ASC LIMIT {k}
+"""
+
+
+
+def _planes_values_sql(n_tables: int, n_planes: int, dim: int) -> str:
+    """VALUES rows (tbl, i, plane DOUBLE[]) of the md5-derived hyperplanes."""
+    return ",\n    ".join(
+        f"({t}, {i}, {_sql_double_array(plane)})"
+        for t in range(n_tables)
+        for i, plane in enumerate(_hyperplanes(dim, n_planes, seed=t))
+    )
+
+
+def embedding_neardup_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_tables: int = 4,
+    n_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """APPROXIMATE near-duplicate pairs via SRP-LSH bucketing — the scale
+    path beside the exact :func:`embedding_neardup_pairs` (VERDICT r1 #5):
+    candidate pairs share an (table, signature) bucket under the same
+    md5-derived hyperplanes as :func:`lsh_topk`; only candidates get the
+    exact rounded-cosine verification (the ``minhash_lsh_pairs``
+    structure applied to embeddings).
+
+    Scale shape: one scan computes all L signatures (pure Catalyst),
+    explodes to L rows/vector, one shuffle on the bucket key; the self
+    equi-join meets only within-bucket rows, never a nested loop. Pairs
+    above threshold that share no bucket are missed — the standard LSH
+    recall trade; raise ``n_tables`` (or lower ``n_planes``) for recall,
+    flip for cost."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    sigs = F.array(*[
+        F.struct(
+            F.lit(t).alias("tbl"),
+            srp_signature(F.col("_v"), _hyperplanes(dim, n_planes, seed=t))
+            .alias("sig"),
+        )
+        for t in range(n_tables)
+    ])
+    rows = base.select(
+        "_id", "_v", F.explode(sigs).alias("ts")
+    ).select(
+        "_id", "_v",
+        F.col("ts.tbl").alias("_tbl"), F.col("ts.sig").alias("_sig"),
+    )
+    left = rows.select("_tbl", "_sig", F.col("_id").alias("a"),
+                       F.col("_v").alias("va"))
+    right = rows.select("_tbl", "_sig", F.col("_id").alias("b"),
+                        F.col("_v").alias("vb"))
+    pairs = (
+        left.join(right, ["_tbl", "_sig"])
+        .where(F.col("a") < F.col("b"))
+        # a pair may collide in several tables: verify once
+        .dropDuplicates(["a", "b"])
+    )
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("a", "b", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def embedding_neardup_lsh_pairs_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_tables: int = 4,
+    n_planes: int = 6,
+    dim: int = 64,
+) -> str:
+    """Exact DuckDB twin of :func:`embedding_neardup_lsh_pairs`."""
+    cos = cosine_sql("ea." + vec_col, "eb." + vec_col)
+    return f"""
+WITH planes(tbl, i, plane) AS (VALUES
+    {_planes_values_sql(n_tables, n_planes, dim)}),
+sigs AS (
+  SELECT e.{id_col} AS vid, p.tbl AS tbl,
+         CAST(SUM(CASE WHEN list_dot_product(CAST(e.{vec_col} AS DOUBLE[]), p.plane) >= 0
+                       THEN (1::BIGINT << p.i) ELSE 0 END) AS BIGINT) AS sig
+  FROM {table} e, planes p
+  GROUP BY e.{id_col}, p.tbl),
+cand AS (
+  SELECT DISTINCT s1.vid AS a, s2.vid AS b
+  FROM sigs s1 JOIN sigs s2
+    ON s1.tbl = s2.tbl AND s1.sig = s2.sig AND s1.vid < s2.vid)
+SELECT cand.a AS a, cand.b AS b, {cos} AS cos
+FROM cand
+JOIN {table} ea ON ea.{id_col} = cand.a
+JOIN {table} eb ON eb.{id_col} = cand.b
+WHERE {cos} >= {threshold}
 """

@@ -69,8 +69,10 @@ def _needed_columns(schema: MeasureSchema, q: MeasureQuery) -> List[str]:
     if q.tag_projection or q.field_projection:
         need |= set(q.tag_projection) | set(q.field_projection)
     elif not (q.agg or q.group_by):
-        # raw query with default '*' projection: all tags + fields
-        need |= {t.name for t in schema.tags} | {f.name for f in schema.fields}
+        # raw query with default '*' projection: all PHYSICAL tags + fields
+        # (derived tags appear only when explicitly projected)
+        need |= ({t.name for t in schema.tags if t.expr is None}
+                 | {f.name for f in schema.fields})
     if q.order_by and q.order_by.tag:
         need.add(q.order_by.tag)
     if q.top is not None:
@@ -101,6 +103,9 @@ def _scan_one(spark: SparkSession, schema: MeasureSchema, q: MeasureQuery) -> Da
             *resolve_stage_paths(schema, q.stages),
             time_range=(schema.ts_column, q.time_range.begin, q.time_range.end),
         )
+    from ..catalog import materialize_derived
+
+    df = materialize_derived(df, schema)
     # restrict to columns this group's schema DECLARES: a physical file may
     # carry more columns than the schema (shared files, schema evolution),
     # and undeclared ones must come back NULL-filled by the multi-group
@@ -208,7 +213,8 @@ def compile_measure(spark: SparkSession, catalog: Catalog, q: MeasureQuery) -> D
         # raw data-point query: project ts + tags + fields
         proj = list(q.tag_projection) + list(q.field_projection)
         if not proj:
-            proj = [t.name for t in ref.tags] + [f.name for f in ref.fields]
+            proj = ([t.name for t in ref.tags if t.expr is None]
+                    + [f.name for f in ref.fields])
         if q.top is not None and q.top.field_name not in proj:
             # SELECT-form TOP projects its ranking field
             proj.append(q.top.field_name)

@@ -37,13 +37,15 @@ def compile_property(spark: SparkSession, catalog: Catalog, q: PropertyQuery) ->
             raise QueryAnalyzeError(f"projection references unknown tag {name!r}")
     pred = compile_criteria(q.criteria, tagmap, types_of(schema))
 
-    df = read_table(spark, *schema.paths)
+    from ..catalog import materialize_derived
+
+    df = materialize_derived(read_table(spark, *schema.paths), schema)
     if q.ids:
         df = df.where(F.col(schema.id_column).isin(*list(q.ids)))
     if pred is not None:
         df = df.where(pred)
 
-    proj = list(q.projection) or [t.name for t in schema.tags]
+    proj = list(q.projection) or [t.name for t in schema.tags if t.expr is None]
     # the sort tag may be outside the projection (golden
     # order_without_projection: want rows carry ONLY the projected tags) —
     # ride it along for the sort, drop it after paging

@@ -56,19 +56,24 @@ def compile_stream(spark: SparkSession, catalog: Catalog, q: StreamQuery) -> Dat
 
     from ..catalog import resolve_stage_paths
 
+    from ..catalog import materialize_derived
+
     parts = []
     for s in schemas:
         df = read_table(
             spark, *resolve_stage_paths(s, q.stages),
             time_range=(s.ts_column, q.time_range.begin, q.time_range.end),
         )
+        df = materialize_derived(df, s)
         if pred is not None:
             df = df.where(pred)
         parts.append(df)
     df = union_groups(parts)
     df = distinct_element(df, ref.element_id_column)
 
-    proj = list(q.projection) or [t.name for t in ref.tags]
+    # default projection = the physical tags; derived tags appear only when
+    # explicitly projected (like index content in the reference)
+    proj = list(q.projection) or [t.name for t in ref.tags if t.expr is None]
     keep = [ref.ts_column, ref.element_id_column] + [
         c for c in proj if c not in (ref.ts_column, ref.element_id_column)
     ]

@@ -91,6 +91,9 @@ def compile_trace(spark: SparkSession, catalog: Catalog, q: TraceQuery) -> DataF
             spark, *resolve_stage_paths(s, q.stages),
             time_range=(s.ts_column, q.time_range.begin, q.time_range.end),
         )
+        from ..catalog import materialize_derived
+
+        df = materialize_derived(df, s)
         if pred is not None:
             df = df.where(pred)
         if q.trace_ids:

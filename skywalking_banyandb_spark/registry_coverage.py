@@ -694,3 +694,38 @@ register(
           PARTITION BY window_start ORDER BY value DESC, user_id) <= 3
         ORDER BY window_start, rank""",
 )
+
+
+# --------------------------------------------------------------------------
+# Derived array tag (TagSpec.expr) through the stream request path — the
+# conformance corpus's extended_tags HAVING shape (stream having.yaml /
+# hybrid_index.yaml). The token array is materialized at scan time from
+# the SAME expression the standard analyzer uses; at 100 TB it becomes a
+# generated column written at ingest, so the filter rides data skipping.
+# --------------------------------------------------------------------------
+
+def _stream_having_derived(spark: SparkSession, sf: str) -> DataFrame:
+    q = StreamQuery(
+        groups=["g1"], name="event_log", time_range=TR,
+        criteria=and_(
+            cond("props_tokens", BinaryOp.HAVING, ["k", "69"]),
+            cond("user_id", BinaryOp.EQ, 5),
+        ),
+        projection=["user_id", "props_tokens", "props"],
+        limit=200,
+    )
+    return compile_stream(spark, default_catalog(sf), q)
+
+
+_PTOKS = ("list_filter(string_split_regex(lower(props), '[^a-z0-9]+'), "
+          "x -> x <> '')")
+
+register(
+    "stream_having_derived_tag",
+    _stream_having_derived,
+    f"""SELECT ts, event_id, user_id, {_PTOKS} AS props_tokens, props
+        FROM events
+        WHERE ts >= TIMESTAMP '{_T0S}' AND ts < TIMESTAMP '{_T1S}'
+          AND list_has_all({_PTOKS}, ['k', '69']) AND user_id = 5
+        ORDER BY ts ASC, event_id ASC LIMIT 200""",
+)

@@ -117,6 +117,21 @@ register(
 )
 
 
+def _emb_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    # approximate scale path (VERDICT r1 #5): SRP-bucket candidates +
+    # exact verify — the minhash_lsh_pairs structure on embeddings; the
+    # exact blocked equi-join stays available as dedup_embedding_cosine
+    return sim.embedding_neardup_lsh_pairs(
+        _emb(spark, sf), "vec_id", "embedding", 0.45)
+
+
+register(
+    "dedup_embedding_lsh",
+    _emb_neardup_lsh,
+    sim.embedding_neardup_lsh_pairs_sql("embeddings", "vec_id", "embedding", 0.45),
+)
+
+
 # -- similarity search ------------------------------------------------------
 
 # Deterministic query vector: embedding of vec_id = 0 (exists at every sf).

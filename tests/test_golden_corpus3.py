@@ -24,10 +24,11 @@ Deliberately NOT replayed (documented divergences / different harness):
   (``measure_multigroup_schema_merge``); the stream twin groups share one
   physical file, so a per-group missing tag would be erased by element-id
   dedup (the twin rows are byte-identical).
-- stream/trace ``having*`` / ``gen_leaf_(not_)having_extended_tags``:
-  array-tag HAVING needs an ARRAY-typed physical column the synthetic
-  events table lacks; the operator itself is driver-verified on the
-  documents token arrays (``criteria_having_array`` / ``_not_having``).
+- trace ``having_query_tag{,_cond}``: the trace schema declares no array
+  tag; the stream ``having*`` cases below cover the same operator through
+  the request path via the derived ``props_tokens`` array tag, and the
+  operator is additionally driver-verified on the documents token arrays
+  (``criteria_having_array`` / ``_not_having``).
 - topn ``not_in`` (resource ``not_in_svc2_svc4``): the NOT_IN lives in the
   TopNAggregation *declaration* criteria, not the query; declaration-time
   criteria routing is covered by ``tests/test_streaming_topn.py`` +
@@ -573,3 +574,90 @@ def test_property_golden_case3(env, case):
     q = load_property_request(yaml_text)
     df = compile_property(spark, cat, q)
     _run_dual(env, df, sql, True)
+
+
+# ---------------------------------------------------------------------------
+# Stream HAVING / NOT_HAVING on the derived array tag (props_tokens, the
+# extended_tags analogue — TagSpec.expr materializes the standard-analyzer
+# token array at scan time; reference cases having.yaml,
+# having_non_indexed.yaml, having_non_indexed_arr.yaml, hybrid_index.yaml,
+# gen_leaf_(not_)having_extended_tags.yaml)
+# ---------------------------------------------------------------------------
+
+_TOKS = ("list_filter(string_split_regex(lower(props), '[^a-z0-9]+'), "
+         "x -> x <> '')")
+_HPROJ = """projection:
+  tagFamilies:
+  - name: "searchable"
+    tags: ["user_id", "props_tokens"]
+  - name: "data"
+    tags: ["props"]
+"""
+
+
+def _having_sql(where: str, limit: int = 200) -> str:
+    return (
+        f"SELECT ts, event_id, user_id, {_TOKS} AS props_tokens, props "
+        f"FROM events WHERE ts >= TIMESTAMP '{T0S}' "
+        f"AND ts < TIMESTAMP '{T1S}' AND ({where}) "
+        f"ORDER BY ts ASC, event_id ASC LIMIT {limit}"
+    )
+
+
+def _h(criteria_yaml: str) -> str:
+    return (f'name: "event_log"\ngroups: ["g1"]\n{TIME_RANGE}{_HPROJ}'
+            + criteria_yaml + "limit: 200\n")
+
+
+STREAM_HAVING_CASES = {
+    # having.yaml: contains-ALL over a value list
+    "having": (
+        _h("criteria:" + _leaf("props_tokens", "HAVING", "strArray",
+                               ["k", "69"]) + "\n"),
+        _having_sql(f"list_has_all({_TOKS}, ['k', '69'])")),
+    # having_non_indexed.yaml: scalar operand = contains single value
+    "having_non_indexed": (
+        _h("criteria:" + _leaf("props_tokens", "HAVING", "str", "42") + "\n"),
+        _having_sql(f"list_has_all({_TOKS}, ['42'])")),
+    # having_non_indexed_arr.yaml
+    "having_non_indexed_arr": (
+        _h("criteria:" + _leaf("props_tokens", "HAVING", "strArray",
+                               ["7", "k"]) + "\n"),
+        _having_sql(f"list_has_all({_TOKS}, ['7', 'k'])")),
+    # hybrid_index.yaml: HAVING AND a point tag-index EQ
+    "hybrid_index": (
+        _h(f"""criteria:
+  le:
+    op: "LOGICAL_OP_AND"
+    left:{_leaf("props_tokens", "HAVING", "strArray", ["k", "69"])}
+    right:{_leaf("user_id", "EQ", "int", 5)}
+"""),
+        _having_sql(f"list_has_all({_TOKS}, ['k', '69']) AND user_id = 5")),
+    # gen_leaf_having_extended_tags.yaml / gen_leaf_not_having_extended_tags
+    "gen_leaf_having_extended_tags": (
+        _h("criteria:" + _leaf("props_tokens", "HAVING", "strArray",
+                               ["k"]) + "\n"),
+        _having_sql(f"list_has_all({_TOKS}, ['k'])")),
+    "gen_leaf_not_having_extended_tags": (
+        _h("criteria:" + _leaf("props_tokens", "NOT_HAVING", "strArray",
+                               ["k", "42"]) + "\n"),
+        _having_sql(f"NOT list_has_all({_TOKS}, ['k', '42'])")),
+}
+
+
+@pytest.mark.parametrize("case", sorted(STREAM_HAVING_CASES))
+def test_stream_having_golden_case(env, case):
+    spark, cat, con = env
+    yaml_text, sql = STREAM_HAVING_CASES[case]
+    q = load_stream_request(yaml_text)
+    df = compile_stream(spark, cat, q)
+    _run_dual(env, df, sql, True)
+
+
+def test_derived_tag_absent_from_default_projection(env):
+    """Derived tags surface only when explicitly projected — the default
+    '*' projection returns the physical tags exactly as before."""
+    spark, cat, con = env
+    q = load_stream_request(
+        f'name: "event_log"\ngroups: ["g1"]\n{TIME_RANGE}limit: 5\n')
+    assert "props_tokens" not in compile_stream(spark, cat, q).columns

@@ -305,3 +305,20 @@ def test_ivf_sampled_probe_prunes_and_recalls(spark, monkeypatch, tmp_path):
     assert [(r.vec_id, r.score) for r in again.collect()] == sorted(
         [(r.vec_id, r.score) for r in stored.collect()],
         key=lambda t: (-t[1], t[0]))
+
+
+def test_embedding_neardup_lsh_no_nested_loop(spark):
+    """The SRP-bucketed near-dup path joins on the (table, signature)
+    bucket key — the plan must contain a hash/sort-merge equi-join, never
+    a CartesianProduct / BroadcastNestedLoopJoin (VERDICT r1 #5)."""
+    from skywalking_banyandb_spark.functions.similarity import (
+        embedding_neardup_lsh_pairs,
+    )
+    from skywalking_banyandb_spark.sources.parquet import read_table
+
+    d = read_table(spark, f"{SF_SMALL}/embeddings.parquet")
+    pairs = embedding_neardup_lsh_pairs(d, "vec_id", "embedding", 0.45)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert pairs.count() >= 0
