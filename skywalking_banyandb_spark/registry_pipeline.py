@@ -448,3 +448,103 @@ register(
         "documents", "doc_id % 97 = 0", "doc_id", "text", n=3, min_overlap=1
     ) + " ORDER BY doc_id",
 )
+
+
+# -- context chunking & sequence packing (training-data preparation) --------
+
+def _chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window context chunking — split each document's token
+    stream into windows of 50 tokens at stride 40 (overlap 10), the
+    standard long-document preparation for pretraining. One narrow map
+    (tokenize + posexplode), no shuffle but the final order; chunk
+    windows never materialize more than one document's tokens at a time."""
+    from .functions.analyzers import tokens
+
+    size_, stride = 50, 40
+    d = _docs(spark, sf)
+    d = (d.select("doc_id", tokens(F.col("text"), "standard").alias("toks"))
+         .withColumn("n", F.size("toks"))
+         .where(F.col("n") > 0))
+    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
+    d = d.select(
+        "doc_id", "n", "toks",
+        F.posexplode(starts).alias("chunk_id", "start"),
+    )
+    return d.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.least(F.lit(size_), F.col("n") - F.col("start"))
+        .cast("bigint").alias("n_chunk_tokens"),
+        F.element_at("toks", F.col("start") + 1).alias("head_token"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+_DTOKS = tokens_sql("text", "standard")
+
+register(
+    "documents_chunking",
+    _chunking,
+    f"""WITH t AS (SELECT doc_id, {_DTOKS} AS toks FROM documents),
+        tt AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        s AS (SELECT doc_id, toks, n, UNNEST(range(0, n, 40)) AS start FROM tt)
+        SELECT doc_id, CAST(start / 40 AS BIGINT) AS chunk_id,
+               CAST(least(50, n - start) AS BIGINT) AS n_chunk_tokens,
+               toks[start + 1] AS head_token
+        FROM s ORDER BY doc_id, chunk_id""",
+)
+
+
+def _sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing — assign documents to fixed-capacity token bins
+    (2048 tokens) by cumulative-sum bucketing WITHIN md5 hash-shards: the
+    deterministic, shuffle-bounded form of training-batch packing. A
+    global greedy first-fit would serialize on one partition at 100 TB;
+    packing within hash-shards keeps one shuffle (the shard window) and
+    each shard's cumsum independent — the layout real pipelines use.
+    Deterministic: shard + order are md5/doc_id-derived, so the packing
+    is reproducible across runs and engines (exact DuckDB twin below)."""
+    from pyspark.sql import Window
+
+    cap, shards = 2048, 8
+    d = _docs(spark, sf)
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % shards
+    )
+    d = d.select(
+        "doc_id", tx.token_count(F.col("text")).alias("n_tokens"),
+        shard.alias("shard"),
+    )
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = F.sum("n_tokens").over(w)
+    bin_id = F.floor((cum - F.col("n_tokens")) / F.lit(float(cap))).cast("bigint")
+    return (
+        d.withColumn("bin_id", bin_id)
+        .groupBy("shard", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("n_tokens"))
+        .orderBy("shard", "bin_id")
+    )
+
+
+register(
+    "sequence_packing",
+    _sequence_packing,
+    f"""WITH d AS (
+          SELECT doc_id, {tx.token_count_sql('text')} AS n_tokens,
+                 ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 8 AS shard
+          FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents)),
+        c AS (
+          SELECT shard, doc_id, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d)
+        SELECT shard, CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id,
+               COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        FROM c GROUP BY shard, bin_id ORDER BY shard, bin_id""",
+)
