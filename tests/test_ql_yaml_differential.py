@@ -333,3 +333,124 @@ def test_trace_and_tree_yaml_ql_agree(spark, cat):
         "trace_id", "span_count", "start_ts", "end_ts")
     qdf = execute(spark, cat, ql, _NOW)
     _assert_same(ydf, qdf)
+
+
+# --- round-3 pairs: HAVING on the derived array tag, top/bottom entity,
+# --- trace ids / duration paging (the part-3 golden shapes in both forms)
+
+R3_STREAM_PAIRS = {
+    "having_derived": (
+        f"""name: "event_log"\ngroups: ["g1"]\n{TIME_RANGE}projection:
+  tagFamilies:
+  - name: "searchable"
+    tags: ["user_id", "props_tokens"]
+criteria:
+  le:
+    op: "LOGICAL_OP_AND"
+    left:{_leaf("props_tokens", "HAVING", "strArray", ["k", "69"])}
+    right:{_leaf("user_id", "EQ", "int", 5)}
+limit: 200
+""",
+        f"SELECT user_id, props_tokens FROM STREAM event_log IN g1 {_TB} "
+        "WHERE props_tokens HAVING ('k', '69') AND user_id = 5 LIMIT 200",
+    ),
+    "not_having_derived": (
+        f"""name: "event_log"\ngroups: ["g1"]\n{TIME_RANGE}projection:
+  tagFamilies:
+  - name: "searchable"
+    tags: ["user_id", "props_tokens"]
+criteria:""" + _leaf("props_tokens", "NOT_HAVING", "strArray", ["42"]) + "\nlimit: 100\n",
+        f"SELECT user_id, props_tokens FROM STREAM event_log IN g1 {_TB} "
+        "WHERE props_tokens NOT HAVING ('42') LIMIT 100",
+    ),
+}
+
+
+@pytest.mark.parametrize("case", sorted(R3_STREAM_PAIRS))
+def test_r3_stream_yaml_ql_agree(spark, cat, case):
+    yaml_text, ql = R3_STREAM_PAIRS[case]
+    ydf = compile_stream(spark, cat, load_stream_request(yaml_text))
+    qdf = execute(spark, cat, ql, _NOW)
+    _assert_same(ydf, qdf)
+
+
+R3_MEASURE_PAIRS = {
+    "top_entity_svc": (
+        f"""name: "metrics"\ngroups: ["g1"]\n{TIME_RANGE}criteria:{_leaf("event_type", "EQ", "str", "click")}
+groupBy:
+  tagProjection:
+    tagFamilies:
+    - name: "default"
+      tags: ["user_id"]
+  fieldName: "value"
+agg:
+  function: "AGGREGATION_FUNCTION_MEAN"
+  fieldName: "value"
+top:
+  number: 2
+  fieldName: "value"
+  fieldValueSort: "SORT_DESC"
+limit: 1000
+""",
+        f"SELECT TOP 2 value DESC, user_id, MEAN(value) FROM MEASURE metrics "
+        f"IN g1 {_TB} WHERE event_type = 'click' GROUP BY user_id LIMIT 1000",
+    ),
+    "bottom_entity_svc": (
+        f"""name: "metrics"\ngroups: ["g1"]\n{TIME_RANGE}criteria:{_leaf("event_type", "EQ", "str", "click")}
+groupBy:
+  tagProjection:
+    tagFamilies:
+    - name: "default"
+      tags: ["user_id"]
+  fieldName: "value"
+agg:
+  function: "AGGREGATION_FUNCTION_MEAN"
+  fieldName: "value"
+top:
+  number: 2
+  fieldName: "value"
+  fieldValueSort: "SORT_ASC"
+limit: 1000
+""",
+        f"SELECT TOP 2 value ASC, user_id, MEAN(value) FROM MEASURE metrics "
+        f"IN g1 {_TB} WHERE event_type = 'click' GROUP BY user_id LIMIT 1000",
+    ),
+}
+
+
+@pytest.mark.parametrize("case", sorted(R3_MEASURE_PAIRS))
+def test_r3_measure_yaml_ql_agree(spark, cat, case):
+    yaml_text, ql = R3_MEASURE_PAIRS[case]
+    ydf = compile_measure(spark, cat, load_measure_request(yaml_text))
+    qdf = execute(spark, cat, ql, _NOW)
+    _assert_same(ydf, qdf)
+
+
+R3_TRACE_PAIRS = {
+    # traceIds retrieval == criteria on the trace-id tag (both forms rank
+    # identically); the QL side uses the WHERE form
+    "trace_ids_vs_where": (
+        f'name: "event_trace"\ngroups: ["g1"]\n{TIME_RANGE}traceIds: [1, 3, 5]\nlimit: 30\n',
+        f"SELECT () FROM TRACE event_trace IN g1 {_TB} "
+        "WHERE user_id IN (1, 3, 5) LIMIT 30",
+    ),
+    "order_duration_asc_offset": (
+        f"""name: "event_trace"\ngroups: ["g1"]\n{TIME_RANGE}orderBy:
+  sort: "SORT_ASC"
+  indexRuleName: "value"
+limit: 2
+offset: 1
+""",
+        f"SELECT () FROM TRACE event_trace IN g1 {_TB} "
+        "ORDER BY value ASC LIMIT 2 OFFSET 1",
+    ),
+}
+
+
+@pytest.mark.parametrize("case", sorted(R3_TRACE_PAIRS))
+def test_r3_trace_yaml_ql_agree(spark, cat, case):
+    yaml_text, ql = R3_TRACE_PAIRS[case]
+    ydf = compile_trace(spark, cat, load_trace_request(yaml_text)).select(
+        "trace_id", "span_count", "start_ts", "end_ts")
+    qdf = execute(spark, cat, ql, _NOW)
+    _assert_same(ydf, qdf)
