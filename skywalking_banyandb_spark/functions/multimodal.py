@@ -101,3 +101,78 @@ def extract_features_sql(table: str, id_col: str, text_col: str) -> str:
         f"SELECT {id_col} AS doc_id, 16 AS payload_len, "
         f"{d(1)} * 16 + {d(2)} AS first_byte, 'image/fake' AS mime FROM {table}"
     )
+
+
+# --------------------------------------------------------------------------
+# Frame sampling — the video/audio analogue: one input payload expands to
+# N frame rows (variable-row mapInPandas output, the real streaming shape
+# of a frame extractor). Frames are fixed-stride byte windows; per-frame
+# features are byte aggregates. With a real codec the window becomes a
+# decoded frame and the feature a model embedding — the Spark plumbing
+# (Arrow batches, declared schema, row explosion, downstream partitioning)
+# is identical, which is what this verifies.
+# --------------------------------------------------------------------------
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+        StructField("frame_sum", IntegerType()),
+    ]
+)
+
+_FRAME_WIDTH = 4
+
+
+def sample_frames(df: DataFrame, frame_width: int = _FRAME_WIDTH) -> DataFrame:
+    """Explode each payload into fixed-stride byte-window 'frames' with a
+    per-frame byte-sum feature. Variable-row Arrow-batched output: a batch
+    of n payloads yields n × (len/width) frame rows without ever
+    materializing more than one Arrow batch per task."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for i in range(len(b) // frame_width):
+                    w = b[i * frame_width:(i + 1) * frame_width]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(w)
+                    sums.append(sum(w))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": pd.Series(frames, dtype=object),
+                    "frame_sum": pd.Series(sums, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(_frames, FRAME_SCHEMA)
+
+
+def sample_frames_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of attach_payload ∘ sample_frames on the synthetic
+    16-byte payload: frame i = md5-hex bytes 4i..4i+3; byte j is the
+    (2j+1, 2j+2) hex pair. frame_bytes is compared as its hex rendering
+    (drivers stringify binary differently; the entry casts to hex)."""
+    hexd = "0123456789abcdef"
+
+    def byte(j):  # 0-based byte index into unhex(md5(text))
+        return (f"((strpos('{hexd}', substring(h, {2*j+1}, 1)) - 1) * 16"
+                f" + (strpos('{hexd}', substring(h, {2*j+2}, 1)) - 1))")
+
+    frame_rows = []
+    for i in range(4):
+        bsum = " + ".join(byte(4 * i + j) for j in range(4))
+        frame_rows.append(
+            f"SELECT doc_id, {i} AS frame_idx, "
+            f"substring(h, {8*i+1}, 8) AS frame_hex, "
+            f"CAST({bsum} AS INTEGER) AS frame_sum "
+            f"FROM (SELECT {id_col} AS doc_id, md5({text_col}) AS h FROM {table})"
+        )
+    union = " UNION ALL ".join(frame_rows)
+    return f"SELECT * FROM ({union}) ORDER BY doc_id, frame_idx"

@@ -548,3 +548,24 @@ register(
                COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
         FROM c GROUP BY shard, bin_id ORDER BY shard, bin_id""",
 )
+
+
+def _multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame sampling over the multimodal payload (video/audio analogue):
+    variable-row mapInPandas explosion, per-frame byte features. The
+    binary frame is compared via its hex rendering (engines stringify
+    binary differently; hex is canonical both sides)."""
+    d = mm.attach_payload(_docs(spark, sf), "doc_id", "text")
+    frames = mm.sample_frames(d)
+    return frames.select(
+        "doc_id", "frame_idx",
+        F.lower(F.hex(F.col("frame_bytes"))).alias("frame_hex"),
+        "frame_sum",
+    ).orderBy("doc_id", "frame_idx")
+
+
+register(
+    "multimodal_frame_sample",
+    _multimodal_frames,
+    mm.sample_frames_sql("documents", "doc_id", "text"),
+)
