@@ -661,3 +661,124 @@ def test_derived_tag_absent_from_default_projection(env):
     q = load_stream_request(
         f'name: "event_log"\ngroups: ["g1"]\n{TIME_RANGE}limit: 5\n')
     assert "props_tokens" not in compile_stream(spark, cat, q).columns
+
+
+# ---------------------------------------------------------------------------
+# Stream entity-op WantErr replays — gen_err_{ne,ge,gt,le,lt,not_in}_state /
+# gen_err_{ne,not_in}_service_id: the reference's stream `sw` declares
+# (service_id, state, ...) as ENTITY tags, and entity conditions only hit
+# the series index via EQ/IN (stream/index_filter.go:57-60 — any other op
+# is an analyze error). The synthetic event_log declares no entity, so
+# these replays register an entity-declared twin of it.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def entity_stream_cat():
+    from skywalking_banyandb_spark.catalog import (
+        Catalog,
+        StreamSchema,
+        TagSpec,
+    )
+
+    cat = Catalog()
+    cat.register(
+        StreamSchema(
+            group="g1",
+            name="event_log_entity",
+            paths=(f"{SF_SMALL}/events.parquet",),
+            ts_column="ts",
+            element_id_column="event_id",
+            entity=("user_id", "event_type"),
+            tags=(
+                TagSpec("user_id", "INT"),
+                TagSpec("event_type", "STRING"),
+                TagSpec("value", "FLOAT"),
+            ),
+        )
+    )
+    return cat
+
+
+_ENTITY_ERR_CASES = {
+    # state -> event_type (string entity tag), service_id -> user_id
+    "gen_err_ne_state": _leaf("event_type", "NE", "str", "error"),
+    "gen_err_ge_state": _leaf("event_type", "GE", "str", "error"),
+    "gen_err_gt_state": _leaf("event_type", "GT", "str", "error"),
+    "gen_err_le_state": _leaf("event_type", "LE", "str", "error"),
+    "gen_err_lt_state": _leaf("event_type", "LT", "str", "error"),
+    "gen_err_not_in_state": _leaf("event_type", "NOT_IN", "strArray",
+                                  ["error", "view"]),
+    "gen_err_ne_service_id": _leaf("user_id", "NE", "int", 3),
+    "gen_err_not_in_service_id": _leaf("user_id", "NOT_IN", "intArray",
+                                       [1, 2]),
+}
+
+
+@pytest.mark.parametrize("case", sorted(_ENTITY_ERR_CASES))
+def test_stream_entity_op_gen_err(spark, entity_stream_cat, case):
+    q = load_stream_request(
+        f'name: "event_log_entity"\ngroups: ["g1"]\n{TIME_RANGE}'
+        "criteria:" + _ENTITY_ERR_CASES[case] + "\nlimit: 10\n")
+    with pytest.raises(QueryAnalyzeError):
+        compile_stream(spark, entity_stream_cat, q)
+
+
+def test_stream_entity_eq_in_still_accepted(spark, entity_stream_cat):
+    """The flip side: EQ and IN on entity tags stay legal (series index)."""
+    q = load_stream_request(
+        f'name: "event_log_entity"\ngroups: ["g1"]\n{TIME_RANGE}'
+        "criteria:" + _leaf("user_id", "IN", "intArray", [1, 2]) + "\nlimit: 10\n")
+    assert compile_stream(spark, entity_stream_cat, q).count() >= 0
+
+
+# gen_leaf_match_db.instance.yaml: MATCH on a DOTTED tag name (SkyWalking
+# tag names like db.instance are legal; unquoted, Catalyst would parse the
+# dot as struct access — qcol backtick-quotes). The dotted tag is a derived
+# alias of props with the standard analyzer.
+def test_stream_gen_leaf_match_dotted_tag(env, spark):
+    from skywalking_banyandb_spark.catalog import (
+        Catalog,
+        StreamSchema,
+        TagSpec,
+    )
+    from skywalking_banyandb_spark.functions.analyzers import tokens_sql
+
+    _, _, con = env
+    cat = Catalog()
+    cat.register(
+        StreamSchema(
+            group="g1",
+            name="event_log_dotted",
+            paths=(f"{SF_SMALL}/events.parquet",),
+            ts_column="ts",
+            element_id_column="event_id",
+            tags=(
+                TagSpec("user_id", "INT"),
+                TagSpec("db.instance", "STRING", analyzer="standard",
+                        expr="props"),
+            ),
+        )
+    )
+    q = load_stream_request(f"""name: "event_log_dotted"\ngroups: ["g1"]\n{TIME_RANGE}
+projection:
+  tagFamilies:
+  - name: "searchable"
+    tags: ["user_id", "db.instance"]
+criteria:
+  condition:
+    name: "db.instance"
+    op: "BINARY_OP_MATCH"
+    value:
+      str:
+        value: "42"
+limit: 3000
+""")
+    df = compile_stream(spark, cat, q)
+    ptok = tokens_sql("props", "standard")
+    sql = (
+        'SELECT ts, event_id, user_id, props AS "db.instance" FROM events '
+        f"WHERE ts >= TIMESTAMP '{T0S}' AND ts < TIMESTAMP '{T1S}' "
+        f"AND list_contains({ptok}, '42') "
+        "ORDER BY ts ASC, event_id ASC LIMIT 3000"
+    )
+    _run_dual(env, df, sql, True)
