@@ -144,6 +144,11 @@ _R2_DRIVER_SEEN = frozenset({
 _R3_TOUCHED = (
     "topn_streaming_materialized", "ann_lsh_topk", "ann_ivf_topk",
     "events_sessionization",
+    # round-3 derived-tag change touched every plan's scan path; measure/
+    # stream/trace entries inside the window already cover theirs, but all
+    # r1-green property entries were r2-verified (tail) — pull two forward
+    # so the changed property scan gets an r3 row.
+    "property_filter_sort", "property_match_or",
 )
 
 
