@@ -297,6 +297,8 @@ def default_catalog(sf_dir: str) -> Catalog:
     Two logical groups ``g1``/``g2`` share the measure physical data to
     exercise multi-group union semantics.
     """
+    from .functions.analyzers import tokens_spark_sql
+
     cat = Catalog()
     ev = f"{sf_dir}/events.parquet"
 
@@ -379,8 +381,7 @@ def default_catalog(sf_dir: str) -> Catalog:
                     # is a generated column written at ingest.
                     TagSpec(
                         "props_tokens", "STRING_ARRAY",
-                        expr=("filter(split(lower(props), '[^a-z0-9]+'), "
-                              "x -> x != '')"),
+                        expr=tokens_spark_sql("props", "standard"),
                     ),
                 ),
             )

@@ -62,3 +62,13 @@ def tokens_sql(expr: str, analyzer: str = "standard") -> str:
     return (
         f"list_filter(string_split_regex(lower({expr}), '{pat}'), x -> x <> '')"
     )
+
+
+def tokens_spark_sql(expr: str, analyzer: str = "standard") -> str:
+    """Spark-SQL string form of :func:`tokens` — for derived tags
+    (``TagSpec.expr``), so the token expression stays single-sourced in
+    ``_ANALYZER_SPLIT`` alongside the Column and DuckDB forms."""
+    if analyzer == "keyword":
+        return f"array({expr})"
+    pat = _ANALYZER_SPLIT[analyzer]
+    return f"filter(split(lower({expr}), '{pat}'), x -> x != '')"

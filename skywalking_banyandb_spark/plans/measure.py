@@ -34,7 +34,7 @@ from typing import Dict, List, Optional
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import Catalog, MeasureSchema
+from ..catalog import Catalog, MeasureSchema, materialize_derived
 from ..errors import QueryAnalyzeError
 from ..model import AggFunc, MeasureQuery, Sort, DEFAULT_LIMIT
 from ..sources.parquet import read_table
@@ -103,8 +103,6 @@ def _scan_one(spark: SparkSession, schema: MeasureSchema, q: MeasureQuery) -> Da
             *resolve_stage_paths(schema, q.stages),
             time_range=(schema.ts_column, q.time_range.begin, q.time_range.end),
         )
-    from ..catalog import materialize_derived
-
     df = materialize_derived(df, schema)
     # restrict to columns this group's schema DECLARES: a physical file may
     # carry more columns than the schema (shared files, schema evolution),

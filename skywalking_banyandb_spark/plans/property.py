@@ -14,7 +14,7 @@ from typing import Dict, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import Catalog, PropertySchema
+from ..catalog import Catalog, PropertySchema, materialize_derived
 from ..errors import QueryAnalyzeError
 from ..model import PropertyQuery, DEFAULT_LIMIT
 from ..sources.parquet import read_table
@@ -36,8 +36,6 @@ def compile_property(spark: SparkSession, catalog: Catalog, q: PropertyQuery) ->
         if name not in tagmap:
             raise QueryAnalyzeError(f"projection references unknown tag {name!r}")
     pred = compile_criteria(q.criteria, tagmap, types_of(schema))
-
-    from ..catalog import materialize_derived
 
     df = materialize_derived(read_table(spark, *schema.paths), schema)
     if q.ids:

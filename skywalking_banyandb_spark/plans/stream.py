@@ -15,7 +15,7 @@ from typing import Dict, List, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import Catalog, StreamSchema
+from ..catalog import Catalog, StreamSchema, materialize_derived
 from ..errors import QueryAnalyzeError
 from ..model import Sort, StreamQuery, DEFAULT_LIMIT
 from ..sources.parquet import read_table
@@ -55,8 +55,6 @@ def compile_stream(spark: SparkSession, catalog: Catalog, q: StreamQuery) -> Dat
     pred = compile_criteria(q.criteria, tagmap, types_of(ref))
 
     from ..catalog import resolve_stage_paths
-
-    from ..catalog import materialize_derived
 
     parts = []
     for s in schemas:

@@ -29,7 +29,7 @@ from typing import Dict, List, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import Catalog, TraceSchema
+from ..catalog import Catalog, TraceSchema, materialize_derived
 from ..errors import QueryAnalyzeError
 from ..model import Sort, TraceQuery, DEFAULT_LIMIT
 from ..sources.parquet import read_table
@@ -91,8 +91,6 @@ def compile_trace(spark: SparkSession, catalog: Catalog, q: TraceQuery) -> DataF
             spark, *resolve_stage_paths(s, q.stages),
             time_range=(s.ts_column, q.time_range.begin, q.time_range.end),
         )
-        from ..catalog import materialize_derived
-
         df = materialize_derived(df, s)
         if pred is not None:
             df = df.where(pred)
@@ -132,7 +130,9 @@ def compile_trace(spark: SparkSession, catalog: Catalog, q: TraceQuery) -> DataF
                 )
         tag_cols = [t.name for t in ref.tags if t.name in set(q.projection)]
     else:
-        tag_cols = [t.name for t in ref.tags]
+        # default projection = physical tags only (derived tags appear when
+        # explicitly projected, like the other three plan kinds)
+        tag_cols = [t.name for t in ref.tags if t.expr is None]
     span_payload = [ref.ts_column, ref.span_id_column] + tag_cols
     if ref.span_column:
         span_payload.append(ref.span_column)

@@ -420,6 +420,7 @@ register(
 
 def _topn_streaming_materialized(spark: SparkSession, sf: str) -> DataFrame:
     import datetime as dt
+    import shutil
     import tempfile
     import time
 
@@ -459,7 +460,9 @@ def _topn_streaming_materialized(spark: SparkSession, sf: str) -> DataFrame:
         window="1 hour", lateness="10 minutes",
         sort=Sort.DESC, trigger_once=True,
     )
-    q.awaitTermination()
+    q.awaitTermination(timeout=300)
+    shutil.rmtree(f"{work}/src", ignore_errors=True)
+    shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
     return (
         spark.read.parquet(f"{work}/out")
         .select(
@@ -617,6 +620,7 @@ register(
 
 def _topn_stateful_heap(spark: SparkSession, sf: str) -> DataFrame:
     import datetime as dt
+    import shutil
     import tempfile
     import time
 
@@ -662,7 +666,9 @@ def _topn_stateful_heap(spark: SparkSession, sf: str) -> DataFrame:
         .foreachBatch(_sink)
         .start()
     )
-    q.awaitTermination()
+    q.awaitTermination(timeout=300)
+    shutil.rmtree(f"{work}/src", ignore_errors=True)
+    shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
     return (
         spark.read.parquet(f"{work}/out")
         .dropDuplicates(["window_start", "rank"])
@@ -709,7 +715,7 @@ def _stream_having_derived(spark: SparkSession, sf: str) -> DataFrame:
         groups=["g1"], name="event_log", time_range=TR,
         criteria=and_(
             cond("props_tokens", BinaryOp.HAVING, ["k", "69"]),
-            cond("user_id", BinaryOp.EQ, 5),
+            cond("user_id", BinaryOp.EQ, 14),
         ),
         projection=["user_id", "props_tokens", "props"],
         limit=200,
@@ -717,8 +723,7 @@ def _stream_having_derived(spark: SparkSession, sf: str) -> DataFrame:
     return compile_stream(spark, default_catalog(sf), q)
 
 
-_PTOKS = ("list_filter(string_split_regex(lower(props), '[^a-z0-9]+'), "
-          "x -> x <> '')")
+_PTOKS = tokens_sql("props", "standard")
 
 register(
     "stream_having_derived_tag",
@@ -726,6 +731,6 @@ register(
     f"""SELECT ts, event_id, user_id, {_PTOKS} AS props_tokens, props
         FROM events
         WHERE ts >= TIMESTAMP '{_T0S}' AND ts < TIMESTAMP '{_T1S}'
-          AND list_has_all({_PTOKS}, ['k', '69']) AND user_id = 5
+          AND list_has_all({_PTOKS}, ['k', '69']) AND user_id = 14
         ORDER BY ts ASC, event_id ASC LIMIT 200""",
 )

@@ -584,8 +584,9 @@ def test_property_golden_case3(env, case):
 # gen_leaf_(not_)having_extended_tags.yaml)
 # ---------------------------------------------------------------------------
 
-_TOKS = ("list_filter(string_split_regex(lower(props), '[^a-z0-9]+'), "
-         "x -> x <> '')")
+from skywalking_banyandb_spark.functions.analyzers import tokens_sql as _tokens_sql
+
+_TOKS = _tokens_sql("props", "standard")
 _HPROJ = """projection:
   tagFamilies:
   - name: "searchable"
@@ -630,9 +631,9 @@ STREAM_HAVING_CASES = {
   le:
     op: "LOGICAL_OP_AND"
     left:{_leaf("props_tokens", "HAVING", "strArray", ["k", "69"])}
-    right:{_leaf("user_id", "EQ", "int", 5)}
+    right:{_leaf("user_id", "EQ", "int", 14)}
 """),
-        _having_sql(f"list_has_all({_TOKS}, ['k', '69']) AND user_id = 5")),
+        _having_sql(f"list_has_all({_TOKS}, ['k', '69']) AND user_id = 14")),
     # gen_leaf_having_extended_tags.yaml / gen_leaf_not_having_extended_tags
     "gen_leaf_having_extended_tags": (
         _h("criteria:" + _leaf("props_tokens", "HAVING", "strArray",

@@ -348,11 +348,11 @@ criteria:
   le:
     op: "LOGICAL_OP_AND"
     left:{_leaf("props_tokens", "HAVING", "strArray", ["k", "69"])}
-    right:{_leaf("user_id", "EQ", "int", 5)}
+    right:{_leaf("user_id", "EQ", "int", 14)}
 limit: 200
 """,
         f"SELECT user_id, props_tokens FROM STREAM event_log IN g1 {_TB} "
-        "WHERE props_tokens HAVING ('k', '69') AND user_id = 5 LIMIT 200",
+        "WHERE props_tokens HAVING ('k', '69') AND user_id = 14 LIMIT 200",
     ),
     "not_having_derived": (
         f"""name: "event_log"\ngroups: ["g1"]\n{TIME_RANGE}projection:
