@@ -24,11 +24,9 @@ Deliberately NOT replayed (documented divergences / different harness):
   (``measure_multigroup_schema_merge``); the stream twin groups share one
   physical file, so a per-group missing tag would be erased by element-id
   dedup (the twin rows are byte-identical).
-- trace ``having_query_tag{,_cond}``: the trace schema declares no array
-  tag; the stream ``having*`` cases below cover the same operator through
-  the request path via the derived ``props_tokens`` array tag, and the
-  operator is additionally driver-verified on the documents token arrays
-  (``criteria_having_array`` / ``_not_having``).
+- (trace ``having_query_tag{,_cond}`` WERE initially skipped for lack of
+  an array tag; they are now replayed at the bottom of this file via a
+  derived array tag on a trace twin schema.)
 - topn ``not_in`` (resource ``not_in_svc2_svc4``): the NOT_IN lives in the
   TopNAggregation *declaration* criteria, not the query; declaration-time
   criteria routing is covered by ``tests/test_streaming_topn.py`` +
@@ -783,3 +781,80 @@ limit: 3000
         "ORDER BY ts ASC, event_id ASC LIMIT 3000"
     )
     _run_dual(env, df, sql, True)
+
+
+# ---------------------------------------------------------------------------
+# Trace HAVING replays — having_query_tag.yaml / having_query_tag_cond.yaml:
+# an array "query tag" on spans filtered with HAVING (alone, and AND-ed
+# with a scalar condition). The trace schema gains the same derived
+# props_tokens array tag the stream path uses (compile_trace materializes
+# TagSpec.expr since round 3), completing 291/291 named-case coverage.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def trace_having_cat():
+    from skywalking_banyandb_spark.catalog import (
+        Catalog,
+        TagSpec,
+        TraceSchema,
+    )
+    from skywalking_banyandb_spark.functions.analyzers import tokens_spark_sql
+
+    cat = Catalog()
+    cat.register(
+        TraceSchema(
+            group="g1",
+            name="event_trace_qt",
+            paths=(f"{SF_SMALL}/events.parquet",),
+            ts_column="ts",
+            trace_id_column="user_id",
+            span_id_column="event_id",
+            span_column="props",
+            tags=(
+                TagSpec("event_type", "STRING"),
+                TagSpec("value", "FLOAT"),
+                TagSpec("props_tokens", "STRING_ARRAY",
+                        expr=tokens_spark_sql("props", "standard")),
+            ),
+        )
+    )
+    return cat
+
+
+def _trace_qt_sql(where: str) -> str:
+    from skywalking_banyandb_spark.functions.analyzers import tokens_sql
+
+    toks = tokens_sql("props", "standard")
+    return (
+        "SELECT user_id AS trace_id, COUNT(*) AS span_count, "
+        "MIN(ts) AS start_ts, MAX(ts) AS end_ts FROM events "
+        f"WHERE ts >= TIMESTAMP '{T0S}' AND ts < TIMESTAMP '{T1S}' "
+        f"AND ({where.format(toks=toks)}) "
+        "GROUP BY user_id ORDER BY start_ts ASC, trace_id ASC "
+        "LIMIT 30 OFFSET 0"
+    )
+
+
+def test_trace_having_query_tag(env, spark, trace_having_cat):
+    q = load_trace_request(
+        f'name: "event_trace_qt"\ngroups: ["g1"]\n{TIME_RANGE}'
+        "criteria:" + _leaf("props_tokens", "HAVING", "strArray", ["k", "69"])
+        + "\nlimit: 30\n")
+    df = compile_trace(spark, trace_having_cat, q).select(
+        "trace_id", "span_count", "start_ts", "end_ts")
+    _run_dual(env, df, _trace_qt_sql("list_has_all({toks}, ['k', '69'])"), True)
+
+
+def test_trace_having_query_tag_cond(env, spark, trace_having_cat):
+    q = load_trace_request(f"""name: "event_trace_qt"\ngroups: ["g1"]\n{TIME_RANGE}
+criteria:
+  le:
+    op: "LOGICAL_OP_AND"
+    left:{_leaf("props_tokens", "HAVING", "strArray", ["k", "69"])}
+    right:{_leaf("event_type", "EQ", "str", "click")}
+limit: 30
+""")
+    df = compile_trace(spark, trace_having_cat, q).select(
+        "trace_id", "span_count", "start_ts", "end_ts")
+    _run_dual(env, df, _trace_qt_sql(
+        "list_has_all({toks}, ['k', '69']) AND event_type = 'click'"), True)
