@@ -186,3 +186,28 @@ def test_decontamination_broadcasts_benchmark(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sequence_packing_single_data_shuffle(spark):
+    """sequence_packing: the shard window shuffles once; the (shard, bin)
+    group-by REUSES that hash partitioning (subset rule), so the only other
+    Exchange is the final presentation sort's range partitioning. A third
+    Exchange would mean the cumsum and the aggregation stopped sharing
+    their distribution — a 100 TB regression."""
+    import __spark_entry__ as em
+
+    df = em.queries()["sequence_packing"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_documents_chunking_no_shuffle_before_sort(spark):
+    """documents_chunking is a narrow map (tokenize + posexplode): the only
+    Exchange allowed is the final presentation sort."""
+    import __spark_entry__ as em
+
+    df = em.queries()["documents_chunking"](spark, SF_SMALL)
+    plan = _plan(df)
+    assert plan.count("Exchange") <= 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
