@@ -569,3 +569,70 @@ register(
     _multimodal_frames,
     mm.sample_frames_sql("documents", "doc_id", "text"),
 )
+
+
+def _bigram_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-statistics quality scoring — per-document bigram coverage:
+    the fraction of a document's token bigrams that occur >= 5 times
+    corpus-wide (the integer-count core of CCNet-style LM filtering;
+    counts instead of log-probabilities keep the score exactly
+    reproducible — float log-sums are fold-order-sensitive across engines,
+    integer counts are not).
+
+    Shape at 100 TB: bigrams explode map-side; corpus counts are one
+    partial+final shuffle; the count join is an equi-join on the bigram
+    key; the per-doc rollup shuffles doc_id. No UDFs, no driver state."""
+    from .functions.analyzers import tokens
+
+    d = _docs(spark, sf)
+    toks = tokens(F.col("text"), "standard")
+    grams = (
+        d.select("doc_id", toks.alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("t"), 1, F.size("t") - 1),
+                    F.slice(F.col("t"), 2, F.size("t") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bg"),
+        )
+    )
+    counts = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        grams.join(counts, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("c") >= 5, 1).otherwise(0)).alias("n_covered"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "n_covered",
+            F.round(F.col("n_covered") / F.col("n_bigrams"), 6).alias("coverage"),
+        )
+        .orderBy("doc_id")
+    )
+    return per_doc
+
+
+register(
+    "quality_bigram_coverage",
+    _bigram_coverage,
+    f"""WITH t AS (
+          SELECT doc_id, {tokens_sql('text', 'standard')} AS toks FROM documents),
+        g AS (
+          SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+          FROM t, UNNEST(range(1, len(toks))) AS u(i)
+          WHERE len(toks) >= 2),
+        c AS (SELECT bg, COUNT(*) AS c FROM g GROUP BY bg)
+        SELECT g.doc_id AS doc_id,
+               COUNT(*) AS n_bigrams,
+               CAST(SUM(CASE WHEN c.c >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_covered,
+               round(SUM(CASE WHEN c.c >= 5 THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS coverage
+        FROM g JOIN c USING (bg)
+        GROUP BY g.doc_id ORDER BY doc_id""",
+)
