@@ -59,8 +59,22 @@ def write_stream(
     path: str,
     mode: str = "append",
     segment_interval: str = "DAY",
+    materialize_derived_tags: bool = False,
 ) -> None:
+    """Append elements in the segment layout.
+
+    ``materialize_derived_tags=True`` evaluates every ``TagSpec.expr`` at
+    WRITE time and stores the result as a physical column — the
+    reference's write-time index materialization (and the 100 TB form of
+    the engine's derived tags: the read path's ``materialize_derived``
+    skips columns that already exist, so a query is oblivious to which
+    side produced the tag, while stored columns let HAVING/MATCH filters
+    ride parquet stats instead of recomputing per query)."""
     gran = _GRANULARITY[segment_interval.upper()]
+    if materialize_derived_tags:
+        from ..catalog import materialize_derived
+
+        df = materialize_derived(df, schema)
     out = (
         df.withColumn("ts_bucket", F.date_trunc(gran, F.col(schema.ts_column)))
         .repartition(F.col("ts_bucket"))

@@ -147,3 +147,50 @@ def test_backup_restore_roundtrip(spark, workdir):
     restored = restore(broot, path)
     assert restored == tdir
     assert spark.read.parquet(path).count() == total
+
+
+def test_write_stream_materializes_derived_tags(spark, tmp_path):
+    """Write-time derived-tag materialization: the stored segment carries
+    the token column physically; a stream schema pointed at it reads the
+    STORED column (materialize_derived skips existing columns), and query
+    results are identical to the read-time-computed form."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from skywalking_banyandb_spark.catalog import default_catalog
+    from skywalking_banyandb_spark.model import (
+        BinaryOp,
+        StreamQuery,
+        TimeRange,
+        cond,
+    )
+    from skywalking_banyandb_spark.plans.stream import compile_stream
+    from skywalking_banyandb_spark.sources.parquet import read_table
+    from skywalking_banyandb_spark.sources.writer import write_stream
+
+    cat = default_catalog(SF_SMALL)
+    schema = cat.get("g1", "stream", "event_log")
+    src = read_table(spark, f"{SF_SMALL}/events.parquet")
+    out = str(tmp_path / "seg")
+    write_stream(src, schema, out, mode="overwrite",
+                 materialize_derived_tags=True)
+
+    stored = spark.read.parquet(out)
+    assert "props_tokens" in stored.columns  # physically present
+
+    written_schema = dataclasses.replace(schema, paths=(out,))
+    q = StreamQuery(
+        groups=["g1"], name="event_log",
+        time_range=TimeRange.of("2024-01-03T00:00:00", "2024-01-27T00:00:00"),
+        criteria=cond("props_tokens", BinaryOp.HAVING, ["k", "69"]),
+        projection=["user_id", "props_tokens"], limit=500,
+    )
+    from skywalking_banyandb_spark.catalog import Catalog
+
+    cat2 = Catalog(); cat2.register(written_schema)
+    got = compile_stream(spark, cat2, q)
+    want = compile_stream(spark, cat, q)
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w and len(g) > 0
