@@ -178,3 +178,26 @@ register(
        WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' AND ts < TIMESTAMP '2024-01-27 00:00:00'
        GROUP BY user_id ORDER BY MAX(value) DESC, trace_id LIMIT 40""",
 )
+
+
+register(
+    "bydbql_stream_having",
+    _ql(
+        "SELECT user_id, props_tokens FROM STREAM event_log IN g1 "
+        "TIME BETWEEN '2024-01-03T00:00:00Z' AND '2024-01-27T00:00:00Z' "
+        "WHERE props_tokens HAVING ('k', '69') AND user_id = 14 LIMIT 200"
+    ),
+    # HAVING through the QL front end against the derived array tag
+    # (grammar HAVING production; same semantics as stream_having_derived_tag)
+    """SELECT ts, event_id, user_id,
+              list_filter(string_split_regex(lower(props), '[^a-z0-9]+'),
+                          x -> x <> '') AS props_tokens
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+         AND ts <  TIMESTAMP '2024-01-27 00:00:00'
+         AND list_has_all(
+               list_filter(string_split_regex(lower(props), '[^a-z0-9]+'),
+                           x -> x <> ''), ['k', '69'])
+         AND user_id = 14
+       ORDER BY ts ASC, event_id ASC LIMIT 200""",
+)
