@@ -734,3 +734,63 @@ register(
           AND list_has_all({_PTOKS}, ['k', '69']) AND user_id = 14
         ORDER BY ts ASC, event_id ASC LIMIT 200""",
 )
+
+
+# --------------------------------------------------------------------------
+# Property CRUD under the driver gate — property/v1/rpc.proto Apply
+# (STRATEGY_REPLACE upsert) + Delete, then Query. The entry copies the
+# documents table into a scratch property store, applies a replace-upsert
+# (doc 3 re-labeled), an insert (doc 1000003), and a delete (doc 7), and
+# queries the result; the oracle recomputes the same end-state from the
+# base table with literal edits. This puts the read-modify-write property
+# path (sources/writer.property_apply/_delete) inside CORRECTNESS.
+# --------------------------------------------------------------------------
+
+def _property_crud_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from .plans.property import compile_property
+    from .sources.parquet import read_table
+    from .sources.writer import property_apply, property_delete
+
+    cat = default_catalog(sf)
+    schema = cat.get("g1", "property", "documents")
+    work = tempfile.mkdtemp(prefix="property_crud_")
+    store = f"{work}/documents.parquet"
+    base = read_table(spark, f"{sf}/documents.parquet")
+    base.coalesce(1).write.mode("overwrite").parquet(store)
+
+    updates = spark.createDataFrame(
+        [(3, "updated text", "xx", "crud", 12),
+         (1000003, "inserted text", "yy", "crud", 13)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    property_apply(spark, schema, updates, path=store)
+    property_delete(spark, schema, [7], path=store)
+
+    import dataclasses
+
+    stored = dataclasses.replace(schema, paths=(store,))
+    from .catalog import Catalog
+
+    cat2 = Catalog()
+    cat2.register(stored)
+    q = PropertyQuery(
+        group="g1", name="documents",
+        criteria=cond("doc_id", BinaryOp.LT, 20),
+        projection=["lang", "source", "n_chars"], limit=100,
+    )
+    return compile_property(spark, cat2, q)
+
+
+register(
+    "property_crud_roundtrip",
+    _property_crud_roundtrip,
+    """WITH store AS (
+          SELECT doc_id, lang, source, n_chars FROM documents
+          WHERE doc_id NOT IN (3, 7)
+          UNION ALL SELECT 3, 'xx', 'crud', 12
+          UNION ALL SELECT 1000003, 'yy', 'crud', 13)
+       SELECT doc_id, lang, source, n_chars FROM store
+       WHERE doc_id < 20 ORDER BY doc_id ASC LIMIT 100""",
+)
