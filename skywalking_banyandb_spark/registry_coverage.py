@@ -11,6 +11,7 @@ from .catalog import default_catalog
 from .functions.analyzers import tokens_sql
 from .model import (
     AggFunc,
+    AggregationSpec,
     BinaryOp,
     LogicalOp,
     MeasureQuery,
@@ -793,4 +794,59 @@ register(
           UNION ALL SELECT 1000003, 'yy', 'crud', 13)
        SELECT doc_id, lang, source, n_chars FROM store
        WHERE doc_id < 20 ORDER BY doc_id ASC LIMIT 100""",
+)
+
+
+# --------------------------------------------------------------------------
+# Measure write path under the driver gate: a slice of events is written
+# through write_measure (day-segmented, series-sorted layout with
+# ts_bucket partition pruning), a schema is pointed at the written
+# segments, and a grouped query runs over them — the oracle recomputes
+# from the base table. Proves the segment layout round-trips byte-exact
+# values and the read path's dedup/pruning work on engine-written data.
+# --------------------------------------------------------------------------
+
+def _measure_write_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import dataclasses
+    import datetime as dt
+    import tempfile
+
+    from .sources.parquet import read_table
+    from .sources.writer import write_measure
+
+    cat = default_catalog(sf)
+    schema = cat.get("g1", "measure", "metrics")
+    t3, t5 = dt.datetime(2024, 1, 3), dt.datetime(2024, 1, 5)
+    work = tempfile.mkdtemp(prefix="measure_write_")
+    store = f"{work}/seg"
+    ev = read_table(spark, f"{sf}/events.parquet")
+    sl = ev.where((F.col("ts") >= F.lit(t3)) & (F.col("ts") < F.lit(t5)))
+    write_measure(sl, schema, store, mode="overwrite")
+
+    stored = dataclasses.replace(schema, paths=(store,))
+    from .catalog import Catalog
+
+    cat2 = Catalog()
+    cat2.register(stored)
+    q = MeasureQuery(
+        groups=["g1"], name="metrics",
+        time_range=TimeRange.of("2024-01-03T00:00:00", "2024-01-05T00:00:00"),
+        group_by=["event_type"],
+        agg=AggregationSpec(AggFunc.SUM, "value"),
+        limit=1000,
+    )
+    return compile_measure(spark, cat2, q)
+
+
+register(
+    "measure_write_roundtrip",
+    _measure_write_roundtrip,
+    f"""SELECT event_type, {SUM6.format(x='value')} AS value
+        FROM (SELECT event_type, value FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+                FROM events
+                WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+                  AND ts <  TIMESTAMP '2024-01-05 00:00:00') WHERE rn = 1)
+        GROUP BY event_type""",
 )
