@@ -850,3 +850,52 @@ register(
                   AND ts <  TIMESTAMP '2024-01-05 00:00:00') WHERE rn = 1)
         GROUP BY event_type""",
 )
+
+
+# --------------------------------------------------------------------------
+# Trace span PAYLOAD under the driver gate: every trace entry so far
+# hash-compares the per-trace stats (count/start/end) because an
+# array-of-struct column has no canonical cross-engine rendering. This
+# entry canonicalizes the payload itself — each span becomes
+# "<epoch_us>:<span_id>" and the trace's spans (already sorted by
+# (ts, span_id), the sidx regroup order) join into one string — so the
+# driver verifies the regrouped span LIST content, order included.
+# --------------------------------------------------------------------------
+
+def _trace_spans_payload(spark: SparkSession, sf: str) -> DataFrame:
+    from .model import TraceQuery
+    from .plans.trace import compile_trace
+
+    q = TraceQuery(
+        groups=["g1"], name="event_trace", time_range=TR,
+        criteria=cond("event_type", BinaryOp.EQ, "purchase"),
+        limit=20,
+    )
+    df = compile_trace(spark, default_catalog(sf), q)
+    spans_sig = F.array_join(
+        F.transform(
+            "spans",
+            lambda s: F.concat_ws(
+                ":",
+                F.unix_micros(s["ts"].cast("timestamp")).cast("string"),
+                s["event_id"].cast("string"),
+            ),
+        ),
+        ",",
+    )
+    return df.select("trace_id", "span_count", spans_sig.alias("spans_sig"))
+
+
+register(
+    "trace_spans_payload",
+    _trace_spans_payload,
+    f"""SELECT user_id AS trace_id, COUNT(*) AS span_count,
+               string_agg(CAST(epoch_us(ts) AS VARCHAR) || ':' ||
+                          CAST(event_id AS VARCHAR), ','
+                          ORDER BY ts, event_id) AS spans_sig
+        FROM events
+        WHERE ts >= TIMESTAMP '{_T0S}' AND ts < TIMESTAMP '{_T1S}'
+          AND event_type = 'purchase'
+        GROUP BY user_id ORDER BY MIN(ts) ASC, trace_id ASC
+        LIMIT 20""",
+)
