@@ -32,6 +32,21 @@ from .registry import DEDUP, SUM6, T0, T1, TR, register
 
 _T0S, _T1S = T0.replace("T", " "), T1.replace("T", " ")
 
+import os
+
+def _scratch_dir(entry: str) -> str:
+    """Fixed per-entry scratch dir, wiped at entry start — repeated driver
+    sweeps / pytest runs reuse the same path instead of leaking a new
+    mkdtemp tree per invocation (review r3 finding)."""
+    import shutil
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "banyandb_spark_scratch", entry)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 
 def _index_mode_scan(spark: SparkSession, sf: str) -> DataFrame:
     """Index-mode measure (schema.proto:119-121): plain scan, no version
@@ -422,7 +437,6 @@ register(
 def _topn_streaming_materialized(spark: SparkSession, sf: str) -> DataFrame:
     import datetime as dt
     import shutil
-    import tempfile
     import time
 
     from .sources.parquet import read_table
@@ -434,7 +448,7 @@ def _topn_streaming_materialized(spark: SparkSession, sf: str) -> DataFrame:
     t5 = dt.datetime(2024, 1, 5)
     t6 = dt.datetime(2024, 1, 6)
 
-    work = tempfile.mkdtemp(prefix="topn_stream_entry_")
+    work = _scratch_dir("topn_stream_entry")
     src = f"{work}/src"
     ev = read_table(spark, f"{sf}/events.parquet")
     ts = F.col("ts")
@@ -622,7 +636,6 @@ register(
 def _topn_stateful_heap(spark: SparkSession, sf: str) -> DataFrame:
     import datetime as dt
     import shutil
-    import tempfile
     import time
 
     from .sources.parquet import read_table
@@ -634,7 +647,7 @@ def _topn_stateful_heap(spark: SparkSession, sf: str) -> DataFrame:
     t5 = dt.datetime(2024, 1, 5)
     t6 = dt.datetime(2024, 1, 6)
 
-    work = tempfile.mkdtemp(prefix="topn_stateful_entry_")
+    work = _scratch_dir("topn_stateful_entry")
     src = f"{work}/src"
     ev = read_table(spark, f"{sf}/events.parquet")
     ts = F.col("ts")
@@ -748,15 +761,13 @@ register(
 # --------------------------------------------------------------------------
 
 def _property_crud_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    import tempfile
-
     from .plans.property import compile_property
     from .sources.parquet import read_table
     from .sources.writer import property_apply, property_delete
 
     cat = default_catalog(sf)
     schema = cat.get("g1", "property", "documents")
-    work = tempfile.mkdtemp(prefix="property_crud_")
+    work = _scratch_dir("property_crud")
     store = f"{work}/documents.parquet"
     base = read_table(spark, f"{sf}/documents.parquet")
     base.coalesce(1).write.mode("overwrite").parquet(store)
@@ -809,7 +820,6 @@ register(
 def _measure_write_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     import dataclasses
     import datetime as dt
-    import tempfile
 
     from .sources.parquet import read_table
     from .sources.writer import write_measure
@@ -817,7 +827,7 @@ def _measure_write_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     cat = default_catalog(sf)
     schema = cat.get("g1", "measure", "metrics")
     t3, t5 = dt.datetime(2024, 1, 3), dt.datetime(2024, 1, 5)
-    work = tempfile.mkdtemp(prefix="measure_write_")
+    work = _scratch_dir("measure_write")
     store = f"{work}/seg"
     ev = read_table(spark, f"{sf}/events.parquet")
     sl = ev.where((F.col("ts") >= F.lit(t3)) & (F.col("ts") < F.lit(t5)))
