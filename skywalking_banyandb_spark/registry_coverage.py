@@ -909,3 +909,57 @@ register(
         GROUP BY user_id ORDER BY MIN(ts) ASC, trace_id ASC
         LIMIT 20""",
 )
+
+
+# --------------------------------------------------------------------------
+# Stream write path + WRITE-TIME derived-tag materialization under the
+# driver gate: a slice of events is written through write_stream with
+# materialize_derived_tags=True (day segments, element sort, props_tokens
+# stored as a physical column), and a HAVING query runs against the
+# STORED token column (materialize_derived skips present columns) — the
+# 100 TB form of the token index, end-to-end.
+# --------------------------------------------------------------------------
+
+def _stream_write_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import dataclasses
+    import datetime as dt
+
+    from .sources.parquet import read_table
+    from .sources.writer import write_stream
+
+    cat = default_catalog(sf)
+    schema = cat.get("g1", "stream", "event_log")
+    t3, t5 = dt.datetime(2024, 1, 3), dt.datetime(2024, 1, 5)
+    work = _scratch_dir("stream_write")
+    store = f"{work}/seg"
+    ev = read_table(spark, f"{sf}/events.parquet")
+    sl = ev.where((F.col("ts") >= F.lit(t3)) & (F.col("ts") < F.lit(t5)))
+    write_stream(sl, schema, store, mode="overwrite",
+                 materialize_derived_tags=True)
+
+    stored = dataclasses.replace(schema, paths=(store,))
+    from .catalog import Catalog
+
+    cat2 = Catalog()
+    cat2.register(stored)
+    q = StreamQuery(
+        groups=["g1"], name="event_log",
+        time_range=TimeRange.of("2024-01-03T00:00:00", "2024-01-05T00:00:00"),
+        criteria=cond("props_tokens", BinaryOp.HAVING, ["k", "69"]),
+        projection=["user_id", "props_tokens"], limit=500,
+    )
+    return compile_stream(spark, cat2, q)
+
+
+_PT = tokens_sql("props", "standard")
+
+register(
+    "stream_write_roundtrip",
+    _stream_write_roundtrip,
+    f"""SELECT ts, event_id, user_id, {_PT} AS props_tokens
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-05 00:00:00'
+          AND list_has_all({_PT}, ['k', '69'])
+        ORDER BY ts ASC, event_id ASC LIMIT 500""",
+)
