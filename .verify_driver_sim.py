@@ -22,6 +22,13 @@ TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
 
 
+class UnhashableColumnError(TypeError):
+    """Mirror of the real driver's failure mode: its pandas canonicalizer
+    (sort_values -> factorize) crashes with 'unhashable type' on list/dict/
+    ndarray values. The sim must fail the same way instead of silently
+    stringifying, or array-typed entries pass here and err in the sweep."""
+
+
 def norm(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -29,6 +36,11 @@ def norm(rows, cols):
         t = []
         for i in order:
             v = row[i]
+            if isinstance(v, (list, dict, set)) or type(v).__name__ == "ndarray":
+                raise UnhashableColumnError(
+                    f"column {cols[i]!r} holds a {type(v).__name__} — the "
+                    "driver's pandas sort cannot hash it; project a scalar "
+                    "(e.g. array_join(col, ' ')) in BOTH query and oracle")
             if isinstance(v, float):
                 t.append("NaN" if math.isnan(v) else f"{v:.10g}")
             elif hasattr(v, "isoformat"):

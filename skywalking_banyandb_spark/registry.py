@@ -135,37 +135,78 @@ _R2_DRIVER_SEEN = frozenset({
     "vocab_top_tokens",
 })
 
-# Entries whose compile/operator path changes in round 3 — kept at the front
-# of the driver's 50-entry verified window so the changes stay gated:
-# - topn_streaming_materialized: r2 crash (NTZ watermark) fixed, must re-run;
-# - ann_lsh_topk / ann_ivf_topk: newly oracle-paired (were rows-only);
-# - events_sessionization: r2 changed its compile path (NTZ cast in
-#   _sessionize) but it sat outside the r2 window (ADVICE r2) — re-verify.
-_R3_TOUCHED = (
-    "topn_streaming_materialized", "ann_lsh_topk", "ann_ivf_topk",
-    "events_sessionization",
-    # round-3 derived-tag change touched every plan's scan path; measure/
-    # stream/trace entries inside the window already cover theirs, but all
-    # r1-green property entries were r2-verified (tail) — pull two forward
-    # so the changed property scan gets an r3 row.
-    "property_filter_sort", "property_match_or",
+# Entries the round-3 driver sweep recorded (CORRECTNESS_r03.json): 47
+# green, 3 err (the array-canonicalization crash fixed in round 4).
+_R3_DRIVER_SEEN = frozenset({
+    "ann_ivf_topk", "ann_lsh_topk", "bydbql_measure_group_agg",
+    "bydbql_measure_scan_where", "bydbql_select_top", "bydbql_stream_having",
+    "bydbql_stream_orderby_tag", "dedup_embedding_lsh",
+    "dedup_near_dup_clusters", "documents_chunking", "events_sessionization",
+    "measure_agg_all", "measure_bottom_asc", "measure_count_distinct",
+    "measure_downsample_5m", "measure_filter_not_null",
+    "measure_groupby_count", "measure_groupby_max", "measure_groupby_mean",
+    "measure_groupby_min", "measure_groupby_no_agg", "measure_groupby_sum",
+    "measure_multigroup_union", "measure_top_desc", "measure_write_roundtrip",
+    "multimodal_frame_sample", "part_never_ordered_antijoin",
+    "property_crud_roundtrip", "property_filter_sort", "property_match_or",
+    "quality_bigram_coverage", "rollup_events_daily", "sequence_packing",
+    "stream_criteria_or_tree", "stream_having_derived_tag",
+    "stream_scan_paged", "stream_write_roundtrip", "topn_stateful_heap",
+    "topn_streaming_materialized", "tpch_q10_returned_items",
+    "tpch_q14_promo_effect", "tpch_q18_large_volume",
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority", "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "trace_spans_payload",
+})
+
+# Round-4 front of the 50-entry driver window:
+# - the three r3 `err` rows — array<string> output crashed the driver's
+#   pandas canonicalizer; fixed this round via array_join (VERDICT r3 #1);
+# - the four entries whose ONLY green row is r1 — they overflowed both the
+#   r2 and r3 windows (ADVICE r3: silent prefix truncation);
+# - entries whose compile path changes in round 4 (sequence_packing shard
+#   derivation, property_apply segment-scoped rewrite, multimodal decode).
+_R4_TOUCHED = (
+    "bydbql_stream_having", "stream_having_derived_tag",
+    "stream_write_roundtrip",
+    "bydbql_stream_select_top", "bydbql_family_qualified_agg",
+    "measure_index_mode_scan", "measure_orderby_field_desc",
+    "sequence_packing", "property_crud_roundtrip", "multimodal_features",
 )
+
+_SWEEP_CAP = 50
+
+
+def _newest_driver_round(k: str) -> int:
+    """Most recent round whose sweep recorded this entry (0 = never)."""
+    if k in _R3_DRIVER_SEEN:
+        return 3
+    if k in _R2_DRIVER_SEEN:
+        return 2
+    if k in _R1_DRIVER_GREEN:
+        return 1
+    return 0
 
 
 def _sweep_order(d: Dict[str, "object"]) -> list:
     """Driver sweeps record the FIRST 50 entries only, so order by need:
     never-driver-seen entries (new this round), then entries whose code
-    changed this round, then the ones whose last green row is oldest (r1),
-    then the rest (r2-verified, untouched)."""
-    seen = _R1_DRIVER_GREEN | _R2_DRIVER_SEEN
-    fresh = [k for k in d if k not in seen]
-    touched = [k for k in _R3_TOUCHED if k in d and k not in fresh]
-    r1_only = [k for k in d
-               if k in _R1_DRIVER_GREEN and k not in _R2_DRIVER_SEEN
-               and k not in touched]
-    rest = [k for k in d
-            if k in _R2_DRIVER_SEEN and k not in touched and k not in fresh]
-    return fresh + touched + r1_only + rest
+    changed this round (_R4_TOUCHED), then everything else oldest-driver-row
+    first so no entry's newest row goes stale silently. Warn when the
+    priority prefix itself overflows the cap (ADVICE r3)."""
+    fresh = [k for k in d if _newest_driver_round(k) == 0]
+    touched = [k for k in _R4_TOUCHED if k in d and k not in fresh]
+    front = fresh + touched
+    if len(front) > _SWEEP_CAP:
+        import warnings
+        warnings.warn(
+            f"sweep priority prefix ({len(front)} entries) exceeds the "
+            f"{_SWEEP_CAP}-entry driver cap; {front[_SWEEP_CAP:]} will not "
+            "be verified this round", stacklevel=2)
+    rest = [k for k in d if k not in fresh and k not in touched]
+    rest.sort(key=lambda k: (_newest_driver_round(k), k))
+    return front + rest
 
 
 def queries() -> Dict[str, QueryFn]:

@@ -10,6 +10,7 @@ from __future__ import annotations
 import datetime as dt
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .bydbql.transformer import execute
 from .catalog import default_catalog
@@ -180,18 +181,28 @@ register(
 )
 
 
-register(
-    "bydbql_stream_having",
-    _ql(
+def _ql_stream_having(spark: SparkSession, sf: str) -> DataFrame:
+    df = execute(
+        spark, default_catalog(sf),
         "SELECT user_id, props_tokens FROM STREAM event_log IN g1 "
         "TIME BETWEEN '2024-01-03T00:00:00Z' AND '2024-01-27T00:00:00Z' "
-        "WHERE props_tokens HAVING ('k', '69') AND user_id = 14 LIMIT 200"
-    ),
+        "WHERE props_tokens HAVING ('k', '69') AND user_id = 14 LIMIT 200",
+        _NOW)
+    # Driver canonicalization: pandas sort cannot hash list values, so the
+    # array tag is emitted space-joined (trace_spans_payload pattern). The
+    # HAVING predicate above still runs on the real array column.
+    return df.withColumn("props_tokens", F.array_join("props_tokens", " "))
+
+
+register(
+    "bydbql_stream_having",
+    _ql_stream_having,
     # HAVING through the QL front end against the derived array tag
     # (grammar HAVING production; same semantics as stream_having_derived_tag)
     """SELECT ts, event_id, user_id,
-              list_filter(string_split_regex(lower(props), '[^a-z0-9]+'),
-                          x -> x <> '') AS props_tokens
+              array_to_string(
+                  list_filter(string_split_regex(lower(props), '[^a-z0-9]+'),
+                              x -> x <> ''), ' ') AS props_tokens
        FROM events
        WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
          AND ts <  TIMESTAMP '2024-01-27 00:00:00'

