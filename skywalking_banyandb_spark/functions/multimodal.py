@@ -2,11 +2,13 @@
 Arrow-batched ``mapInPandas`` — the Spark-side plumbing for image/audio/video
 feature extraction at 100 TB.
 
-The decode step itself is STUBBED (no image/audio libs in this container):
-:func:`decode_image` raises ``NotImplementedError`` unless a codec import
-succeeds; tests and the oracle use :func:`synth_payload` (a deterministic
-16-byte md5-derived fake) so the schema / partitioning / UDF signature /
-batch-shape plumbing is real and verified even though the codec is fake.
+:func:`decode_image` REALLY decodes binary PPM (P6) and uncompressed
+24-bit BMP in pure Python (no codec dependency); other formats fall back
+to PIL when installed, else raise ``NotImplementedError`` (the codec
+gate). The driver-paired entries use :func:`synth_payload` (a
+deterministic 16-byte md5-derived fake) because a SQL oracle cannot
+decode images; the real decode branch is pytest-proven
+(tests/test_multimodal_decode.py) over constructed PPM/BMP payloads.
 
 Scale notes: mapInPandas streams Arrow batches — constant memory per task,
 no collect; binary payloads stay opaque bytes end to end (no base64 blowup);
@@ -23,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -55,16 +58,142 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real decode — gated on codec availability (absent in this container)."""
+def decode_image(payload: bytes) -> tuple:
+    """Decode an image payload to ``(width, height, rgb_bytes)``.
+
+    Dependency-free decode for two trivial formats so the multimodal path
+    has a REAL decode branch without a codec library: binary PPM (``P6``,
+    8-bit) and uncompressed 24-bit BMP (BITMAPINFOHEADER, top-down or
+    bottom-up). Anything else falls through to PIL when available, else
+    raises ``NotImplementedError`` (the codec gate; byte-level features
+    stand in for gated formats)."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     try:
-        import PIL.Image  # noqa: F401
+        import io
+
+        import PIL.Image
     except ImportError as e:
         raise NotImplementedError(
-            "image codec not available in this environment; "
-            "extract_features uses byte-level features instead"
+            f"unsupported image magic {payload[:2]!r}: only PPM(P6) and "
+            "24-bit BMP decode without a codec library, and PIL is absent"
         ) from e
-    raise NotImplementedError("wire PIL decode here when the codec ships")
+    img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
+    return img.width, img.height, img.tobytes()
+
+
+def _decode_ppm(payload: bytes) -> tuple:
+    """Binary PPM (netpbm P6, maxval 255): ASCII header with #-comments,
+    single whitespace byte, then raw RGB triplets."""
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    width, height, maxval = vals
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit (maxval 255) PPM supported")
+    pos += 1  # exactly one whitespace byte separates header from raster
+    need = width * height * 3
+    data = payload[pos:pos + need]
+    if len(data) != need:
+        raise ValueError(
+            f"truncated PPM raster: need {need} bytes, have {len(data)}")
+    return width, height, bytes(data)
+
+
+def _decode_bmp(payload: bytes) -> tuple:
+    """Uncompressed 24-bit BMP: BGR rows padded to 4 bytes, bottom-up
+    unless height is negative (top-down)."""
+    import struct
+
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    header_sz = struct.unpack_from("<I", payload, 14)[0]
+    if header_sz < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs unsupported")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_sz = (width * 3 + 3) & ~3
+    out = bytearray(width * height * 3)
+    for row in range(height):
+        src = data_off + row * row_sz
+        if src + width * 3 > len(payload):
+            raise ValueError("truncated BMP raster")
+        dst_row = (height - 1 - row) if bottom_up else row
+        for x in range(width):
+            b, g, r = payload[src + 3 * x:src + 3 * x + 3]
+            d = (dst_row * width + x) * 3
+            out[d] = r
+            out[d + 1] = g
+            out[d + 2] = b
+    return width, height, bytes(out)
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+    ]
+)
+
+
+def extract_decoded_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL-decode feature extraction: decode_image each
+    payload (PPM/BMP pure-Python; PIL for other formats when present) and
+    emit per-image dimensions + channel means. Same mapInPandas shape as
+    extract_features — constant memory per task, declared output schema.
+    No DuckDB twin (an oracle can't decode images), so this path is
+    pytest-proven (tests/test_multimodal_decode.py) rather than
+    driver-paired; the driver-paired multimodal_features entry keeps the
+    byte-level features over synthetic payloads."""
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, ns, mr, mg, mb = [], [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rgb = decode_image(bytes(payload))
+                n = w * h
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                ns.append(n)
+                mr.append(sum(rgb[0::3]) / n)
+                mg.append(sum(rgb[1::3]) / n)
+                mb.append(sum(rgb[2::3]) / n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_pixels": pd.Series(ns, dtype="int64"),
+                    "mean_r": pd.Series(mr, dtype="float64"),
+                    "mean_g": pd.Series(mg, dtype="float64"),
+                    "mean_b": pd.Series(mb, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(_dec, DECODED_SCHEMA)
 
 
 def extract_features(df: DataFrame) -> DataFrame:

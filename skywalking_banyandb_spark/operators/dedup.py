@@ -40,10 +40,25 @@ def latest_version(
     return packed.select(*cols)
 
 
-def distinct_element(df: DataFrame, element_id_column: str) -> DataFrame:
+def distinct_element(
+    df: DataFrame, element_id_column: str, prefer_min: str | None = None
+) -> DataFrame:
     """Stream element-id dedup
     (``stream_plan_indexscan_local.go:157-166``): keep one row per element
-    id. Uses max_by on the element id itself for determinism (ties keep an
-    arbitrary-but-stable row via the full struct ordering is unnecessary —
-    element ids are unique by contract)."""
-    return df.dropDuplicates([element_id_column])
+    id. Within one group element ids are unique by contract, so
+    ``dropDuplicates`` suffices. When the same id can arrive from several
+    heterogeneous groups, ``prefer_min`` names an ordinal column and the
+    row with the smallest ordinal wins deterministically (the merged
+    iterator emits the first group's copy); the ordinal column is consumed.
+    Both forms are partial-aggregatable hash aggregates — one shuffle."""
+    if prefer_min is None:
+        return df.dropDuplicates([element_id_column])
+    payload = [c for c in df.columns if c != element_id_column]
+    packed = df.groupBy(F.col(element_id_column)).agg(
+        F.min_by(F.struct(*[F.col(c) for c in payload]),
+                 F.col(prefer_min)).alias("_row")
+    )
+    return packed.select(
+        F.col(element_id_column),
+        *[F.col(f"_row.{c}").alias(c) for c in payload if c != prefer_min],
+    )

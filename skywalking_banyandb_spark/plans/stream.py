@@ -39,7 +39,23 @@ def _tagmap(schema: StreamSchema) -> Dict[str, Optional[str]]:
 def compile_stream(spark: SparkSession, catalog: Catalog, q: StreamQuery) -> DataFrame:
     schemas: List[StreamSchema] = catalog.get_many(q.groups, "stream", q.name)
     ref = schemas[0]
+    # merged logical schema across groups — first declaration wins; tags
+    # present in only some groups come back NULL-filled for the others
+    # ("multi groups: new tag and fields",
+    # pkg/query/logical/stream/stream_plan_merge.go mergeSchema)
     tagmap = _tagmap(ref)
+    types = types_of(ref)
+    merged_tags = list(ref.tags)
+    for s in schemas[1:]:
+        for t in s.tags:
+            if t.name not in tagmap:
+                tagmap[t.name] = t.analyzer
+                types[t.name] = t.type
+                merged_tags.append(t)
+    hetero = any(
+        {t.name for t in s.tags} != {t.name for t in ref.tags}
+        for s in schemas[1:]
+    )
     for name in q.projection:
         if name not in tagmap:
             raise QueryAnalyzeError(f"projection references unknown tag {name!r}")
@@ -52,26 +68,47 @@ def compile_stream(spark: SparkSession, catalog: Catalog, q: StreamQuery) -> Dat
                     f"operation {c.op.name} is unsupported on entity tag "
                     f"{c.tag!r} (only EQ and IN hit the series index)"
                 )
-    pred = compile_criteria(q.criteria, tagmap, types_of(ref))
+    pred = compile_criteria(q.criteria, tagmap, types)
 
-    from ..catalog import resolve_stage_paths
+    from ..catalog import TAG_TYPE_TO_SPARK, resolve_stage_paths
 
+    crit_tags = {c.tag for c in conditions_of(q.criteria)}
     parts = []
-    for s in schemas:
+    for i, s in enumerate(schemas):
         df = read_table(
             spark, *resolve_stage_paths(s, q.stages),
             time_range=(s.ts_column, q.time_range.begin, q.time_range.end),
         )
         df = materialize_derived(df, s)
+        if hetero:
+            # restrict the scan to the columns THIS group's schema declares
+            # (shared files may carry more; undeclared ones must come back
+            # NULL-filled by the union, not leak through), then pad typed
+            # NULLs for criteria tags the group lacks so the filter applies
+            # NULL semantics (EQ/IN on a missing tag matches nothing).
+            declared = {s.ts_column, s.element_id_column}
+            declared |= {t.name for t in s.tags}
+            df = df.select(*[c for c in df.columns if c in declared])
+            group_tags = {t.name for t in s.tags}
+            for t in merged_tags:
+                if t.name in crit_tags and t.name not in group_tags:
+                    df = df.withColumn(
+                        t.name,
+                        F.lit(None).cast(TAG_TYPE_TO_SPARK[t.type]))
         if pred is not None:
             df = df.where(pred)
+        if hetero:
+            # group ordinal: the merged iterator emits the FIRST group's
+            # copy of an element id (deterministic dedup preference below)
+            df = df.withColumn("_g_ord", F.lit(i))
         parts.append(df)
     df = union_groups(parts)
-    df = distinct_element(df, ref.element_id_column)
+    df = distinct_element(
+        df, ref.element_id_column, prefer_min="_g_ord" if hetero else None)
 
     # default projection = the physical tags; derived tags appear only when
     # explicitly projected (like index content in the reference)
-    proj = list(q.projection) or [t.name for t in ref.tags if t.expr is None]
+    proj = list(q.projection) or [t.name for t in merged_tags if t.expr is None]
     keep = [ref.ts_column, ref.element_id_column] + [
         c for c in proj if c not in (ref.ts_column, ref.element_id_column)
     ]

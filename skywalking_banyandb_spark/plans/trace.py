@@ -33,7 +33,7 @@ from ..catalog import Catalog, TraceSchema, materialize_derived
 from ..errors import QueryAnalyzeError
 from ..model import Sort, TraceQuery, DEFAULT_LIMIT
 from ..sources.parquet import read_table
-from ..operators.criteria import compile_criteria, qcol, types_of
+from ..operators.criteria import compile_criteria, conditions_of, qcol, types_of
 from ..operators.merge import union_groups
 from ..operators.topk import limit_offset
 
@@ -80,11 +80,26 @@ def _order_key(ref: TraceSchema, q: TraceQuery):
 def compile_trace(spark: SparkSession, catalog: Catalog, q: TraceQuery) -> DataFrame:
     schemas: List[TraceSchema] = catalog.get_many(q.groups, "trace", q.name)
     ref = schemas[0]
+    # merged logical schema across groups (cross_group_merge.go:35-131):
+    # tags declared by only some groups NULL-fill in the others' spans
     tagmap = _tagmap(ref)
-    pred = compile_criteria(q.criteria, tagmap, types_of(ref))
+    types = types_of(ref)
+    merged_tags = list(ref.tags)
+    for s in schemas[1:]:
+        for t in s.tags:
+            if t.name not in tagmap:
+                tagmap[t.name] = t.analyzer
+                types[t.name] = t.type
+                merged_tags.append(t)
+    hetero = any(
+        {t.name for t in s.tags} != {t.name for t in ref.tags}
+        for s in schemas[1:]
+    )
+    pred = compile_criteria(q.criteria, tagmap, types)
 
-    from ..catalog import resolve_stage_paths
+    from ..catalog import TAG_TYPE_TO_SPARK, resolve_stage_paths
 
+    crit_tags = {c.tag for c in conditions_of(q.criteria)}
     parts = []
     for s in schemas:
         df = read_table(
@@ -92,6 +107,18 @@ def compile_trace(spark: SparkSession, catalog: Catalog, q: TraceQuery) -> DataF
             time_range=(s.ts_column, q.time_range.begin, q.time_range.end),
         )
         df = materialize_derived(df, s)
+        if hetero:
+            declared = {s.ts_column, s.trace_id_column, s.span_id_column}
+            declared |= {t.name for t in s.tags}
+            if s.span_column:
+                declared.add(s.span_column)
+            df = df.select(*[c for c in df.columns if c in declared])
+            group_tags = {t.name for t in s.tags}
+            for t in merged_tags:
+                if t.name in crit_tags and t.name not in group_tags:
+                    df = df.withColumn(
+                        t.name,
+                        F.lit(None).cast(TAG_TYPE_TO_SPARK[t.type]))
         if pred is not None:
             df = df.where(pred)
         if q.trace_ids:
@@ -124,15 +151,15 @@ def compile_trace(spark: SparkSession, catalog: Catalog, q: TraceQuery) -> DataF
         # e.g. the zipkin golden cases project trace_id + span_id).
         intrinsic = {ref.ts_column, ref.trace_id_column, ref.span_id_column}
         for name in q.projection:
-            if ref.tag(name) is None and name not in intrinsic:
+            if name not in tagmap and name not in intrinsic:
                 raise QueryAnalyzeError(
                     f"projection references unknown tag {name!r}"
                 )
-        tag_cols = [t.name for t in ref.tags if t.name in set(q.projection)]
+        tag_cols = [t.name for t in merged_tags if t.name in set(q.projection)]
     else:
         # default projection = physical tags only (derived tags appear when
         # explicitly projected, like the other three plan kinds)
-        tag_cols = [t.name for t in ref.tags if t.expr is None]
+        tag_cols = [t.name for t in merged_tags if t.expr is None]
     span_payload = [ref.ts_column, ref.span_id_column] + tag_cols
     if ref.span_column:
         span_payload.append(ref.span_column)

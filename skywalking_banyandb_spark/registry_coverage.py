@@ -990,3 +990,146 @@ register(
           AND list_has_all({_PT}, ['k', '69'])
         ORDER BY ts ASC, event_id ASC LIMIT 500""",
 )
+
+
+# --------------------------------------------------------------------------
+# Heterogeneous multi-group STREAM union ("multi groups: new tag and
+# fields", pkg/query/logical/stream/stream_plan_merge.go mergeSchema):
+# g1 declares the 'value' tag, g3 does not — g3's elements come back with
+# value NULL-filled. The two groups hold DISJOINT day slices (the
+# reference's groups are disjoint storage namespaces), written to scratch
+# so the merged iterator's element dedup does not mask the fill.
+# --------------------------------------------------------------------------
+
+def _stream_multigroup_schema_merge(spark: SparkSession, sf: str) -> DataFrame:
+    import dataclasses
+    import datetime as dt
+
+    from .catalog import Catalog, TagSpec
+    from .sources.parquet import read_table
+
+    cat0 = default_catalog(sf)
+    base = cat0.get("g1", "stream", "event_log")
+    t3, t4, t5 = (dt.datetime(2024, 1, d) for d in (3, 4, 5))
+    work = _scratch_dir("stream_mg_merge")
+    ev = read_table(spark, f"{sf}/events.parquet")
+    ev.where((F.col("ts") >= F.lit(t3)) & (F.col("ts") < F.lit(t4))) \
+        .coalesce(4).write.parquet(f"{work}/a")
+    ev.where((F.col("ts") >= F.lit(t4)) & (F.col("ts") < F.lit(t5))) \
+        .coalesce(4).write.parquet(f"{work}/b")
+
+    cat = Catalog()
+    cat.register(dataclasses.replace(base, paths=(f"{work}/a",)))
+    cat.register(dataclasses.replace(
+        base, group="g3", paths=(f"{work}/b",),
+        tags=(TagSpec("user_id", "INT"),
+              TagSpec("event_type", "STRING", analyzer="standard"),
+              TagSpec("props", "STRING", indexed=False,
+                      analyzer="standard")),
+    ))
+    q = StreamQuery(
+        groups=["g1", "g3"], name="event_log",
+        time_range=TimeRange.of("2024-01-03T00:00:00", "2024-01-05T00:00:00"),
+        criteria=cond("user_id", BinaryOp.LE, 2),
+        projection=["user_id", "value", "props"], limit=500,
+    )
+    return compile_stream(spark, cat, q)
+
+
+register(
+    "stream_multigroup_schema_merge",
+    _stream_multigroup_schema_merge,
+    """SELECT * FROM (
+         SELECT ts, event_id, user_id, value, props FROM events
+         WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-04 00:00:00' AND user_id <= 2
+         UNION ALL
+         SELECT ts, event_id, user_id, CAST(NULL AS DOUBLE) AS value, props
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-04 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-05 00:00:00' AND user_id <= 2)
+       ORDER BY ts ASC, event_id ASC LIMIT 500""",
+)
+
+
+# --------------------------------------------------------------------------
+# Heterogeneous multi-group TRACE union (cross_group_merge.go:35-131): one
+# trace's spans merge from BOTH groups' iterators; g3's schema lacks the
+# 'value' tag so its spans carry value NULL inside the merged span list.
+# Output is driver-canonical: per-span N/V signature string (array outputs
+# crash the driver's pandas sort) + decimal-exact per-trace value sum.
+# --------------------------------------------------------------------------
+
+def _trace_multigroup_schema_merge(spark: SparkSession, sf: str) -> DataFrame:
+    import dataclasses
+    import datetime as dt
+
+    from .catalog import Catalog, TagSpec
+    from .model import TraceQuery
+    from .plans.trace import compile_trace
+    from .sources.parquet import read_table
+
+    cat0 = default_catalog(sf)
+    base = cat0.get("g1", "trace", "event_trace")
+    t3, t4, t5 = (dt.datetime(2024, 1, d) for d in (3, 4, 5))
+    work = _scratch_dir("trace_mg_merge")
+    ev = read_table(spark, f"{sf}/events.parquet")
+    ev.where((F.col("ts") >= F.lit(t3)) & (F.col("ts") < F.lit(t4))) \
+        .coalesce(4).write.parquet(f"{work}/a")
+    ev.where((F.col("ts") >= F.lit(t4)) & (F.col("ts") < F.lit(t5))) \
+        .coalesce(4).write.parquet(f"{work}/b")
+
+    cat = Catalog()
+    cat.register(dataclasses.replace(base, paths=(f"{work}/a",)))
+    cat.register(dataclasses.replace(
+        base, group="g3", paths=(f"{work}/b",),
+        tags=(TagSpec("event_type", "STRING"),),
+    ))
+    q = TraceQuery(
+        groups=["g1", "g3"], name="event_trace",
+        time_range=TimeRange.of("2024-01-03T00:00:00", "2024-01-05T00:00:00"),
+        criteria=cond("event_type", BinaryOp.EQ, "purchase"),
+        limit=15,
+    )
+    t = compile_trace(spark, cat, q)
+    sig = F.array_join(
+        F.transform(
+            "spans",
+            lambda s: F.concat(
+                s["event_id"].cast("string"), F.lit(":"),
+                F.when(s["value"].isNull(), F.lit("N")).otherwise(F.lit("V")),
+            ),
+        ), ",")
+    dec_sum = F.expr(
+        "CAST(aggregate(spans, CAST(0.0 AS DECIMAL(24,6)), (acc, s) -> "
+        "CAST(acc + coalesce(CAST(s.value AS DECIMAL(24,6)), "
+        "CAST(0.0 AS DECIMAL(24,6))) AS DECIMAL(24,6))) AS DOUBLE)")
+    has_v = F.exists("spans", lambda s: s["value"].isNotNull())
+    return t.select(
+        "trace_id", "span_count", sig.alias("spans_sig"),
+        F.when(has_v, dec_sum).alias("value_sum"),
+    )
+
+
+register(
+    "trace_multigroup_schema_merge",
+    _trace_multigroup_schema_merge,
+    """WITH sp AS (
+         SELECT ts, event_id, user_id, value FROM events
+         WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-04 00:00:00'
+           AND event_type = 'purchase'
+         UNION ALL
+         SELECT ts, event_id, user_id, CAST(NULL AS DOUBLE) AS value
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-04 00:00:00'
+           AND ts <  TIMESTAMP '2024-01-05 00:00:00'
+           AND event_type = 'purchase')
+       SELECT user_id AS trace_id, COUNT(*) AS span_count,
+              string_agg(CAST(event_id AS VARCHAR) || ':' ||
+                         CASE WHEN value IS NULL THEN 'N' ELSE 'V' END, ','
+                         ORDER BY ts, event_id) AS spans_sig,
+              CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS value_sum
+       FROM sp GROUP BY user_id
+       ORDER BY MIN(ts) ASC, trace_id ASC LIMIT 15""",
+)
