@@ -1133,3 +1133,82 @@ register(
        FROM sp GROUP BY user_id
        ORDER BY MIN(ts) ASC, trace_id ASC LIMIT 15""",
 )
+
+
+# --------------------------------------------------------------------------
+# write_mixed under the driver gate: the conformance trio's measure shape —
+# schema-order batch, sticky-metadata spec-order batch (tag/field names
+# permuted, mapped back by name), second group with its own spec — written
+# through the request boundary and segment writer, then queried across both
+# groups. Oracle = the same literal end-state (the upsert means row 1's
+# spec-order rewrite wins: version is the write sequence).
+# --------------------------------------------------------------------------
+
+def _write_mixed_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    import dataclasses
+
+    from .catalog import Catalog
+    from .request_loader import apply_write_requests
+
+    def dp(ts, tags, fields, md=None, spec=None):
+        d = {"dataPoint": {"timestamp": ts,
+                           "tagFamilies": [{"tags": tags}],
+                           "fields": fields}}
+        if md:
+            d["metadata"] = md
+        if spec:
+            d["spec"] = spec
+        return d
+
+    s = lambda v: {"str": {"value": v}}
+    i = lambda v: {"int": {"value": v}}
+    f = lambda v: {"float": {"value": v}}
+    spec_rev = {"tagFamilySpec": [{"name": "default",
+                                   "tagNames": ["props", "event_type",
+                                                "user_id"]}],
+                "fieldNames": ["value"]}
+    spec_g2 = {"tagFamilySpec": [{"name": "default",
+                                  "tagNames": ["event_type", "user_id",
+                                               "props"]}],
+               "fieldNames": ["value"]}
+    docs = [
+        dp("2024-01-03T01:00:00Z", [i(1), s("click"), s("p1")], [f(10.0)],
+           md={"group": "g1", "name": "metrics"}),
+        dp("2024-01-03T02:00:00Z", [i(2), s("view"), s("p2")], [f(20.0)]),
+        dp("2024-01-03T01:00:00Z", [s("p1b"), s("click"), i(1)], [f(11.0)],
+           spec=spec_rev),
+        dp("2024-01-03T03:00:00Z", [s("p3"), s("error"), i(3)], [f(30.0)]),
+        dp("2024-01-03T01:30:00Z", [s("click"), i(1), s("q1")], [f(40.0)],
+           md={"group": "g2", "name": "metrics"}, spec=spec_g2),
+        dp("2024-01-03T02:30:00Z", [s("signup"), i(4), s("q4")], [f(50.0)]),
+    ]
+    cat0 = default_catalog(sf)
+    work = _scratch_dir("write_mixed")
+    paths = apply_write_requests(spark, cat0, "measure", docs, work)
+    cat = Catalog()
+    for grp in ("g1", "g2"):
+        cat.register(dataclasses.replace(
+            cat0.get("g1", "measure", "metrics"),
+            group=grp, paths=(paths[(grp, "metrics")],)))
+    q = MeasureQuery(
+        groups=["g1", "g2"], name="metrics",
+        time_range=TimeRange.of("2024-01-03T00:00:00", "2024-01-04T00:00:00"),
+        criteria=cond("user_id", BinaryOp.IN, [1, 2, 3, 4]),
+        tag_projection=["user_id", "event_type", "props"],
+        field_projection=["value"], limit=100,
+    )
+    return compile_measure(spark, cat, q)
+
+
+register(
+    "write_mixed_roundtrip",
+    _write_mixed_roundtrip,
+    """SELECT * FROM (VALUES
+         (TIMESTAMP '2024-01-03 01:00:00', CAST(1 AS BIGINT), 'click', 'p1b', CAST(11.0 AS DOUBLE)),
+         (TIMESTAMP '2024-01-03 02:00:00', CAST(2 AS BIGINT), 'view',  'p2',  CAST(20.0 AS DOUBLE)),
+         (TIMESTAMP '2024-01-03 03:00:00', CAST(3 AS BIGINT), 'error', 'p3',  CAST(30.0 AS DOUBLE)),
+         (TIMESTAMP '2024-01-03 01:30:00', CAST(1 AS BIGINT), 'click', 'q1',  CAST(40.0 AS DOUBLE)),
+         (TIMESTAMP '2024-01-03 02:30:00', CAST(4 AS BIGINT), 'signup','q4',  CAST(50.0 AS DOUBLE))
+       ) AS t(ts, user_id, event_type, props, value)
+       ORDER BY ts, user_id""",
+)

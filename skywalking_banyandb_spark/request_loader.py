@@ -329,3 +329,177 @@ def load_topn_request(doc) -> TopNQuery:
         conditions=tuple(conds),
         stages=tuple(d.get("stages", [])),
     )
+
+
+# --------------------------------------------------------------------------
+# Write boundary — WriteRequest streams with MIXED ordering: values in
+# schema tag order when no spec accompanies the write, name-mapped
+# reordering when an explicit DataPointSpec / TagSpec does, and STICKY
+# metadata (requests without metadata target the previous request's
+# resource). This replays the conformance corpus's write_mixed trio
+# (test/cases/{measure,stream,trace}/data/data.go WriteMixed: schema-order
+# batch -> spec-order batch with sticky metadata -> second group with its
+# own spec; queried across both groups by write_mixed.yaml/.ql).
+# --------------------------------------------------------------------------
+
+
+def _spec_tag_names(spec: Dict[str, Any]) -> List[str]:
+    """Flatten a DataPointSpec/ElementSpec tagFamilySpec (measure/stream)
+    or a flat trace TagSpec tagNames list."""
+    if "tagFamilySpec" in spec:
+        out: List[str] = []
+        for fam in spec.get("tagFamilySpec", []):
+            out.extend(fam.get("tagNames", []))
+        return out
+    return list(spec.get("tagNames", []))
+
+
+def _write_value(v):
+    """TagValue/FieldValue oneof; plain scalars pass through (the trace
+    corpus stores span bytes as a bare string)."""
+    if isinstance(v, dict):
+        return _tag_value(v)
+    return v
+
+
+def _write_ts(v) -> dt.datetime:
+    """RFC3339 string or int epoch-nanos (both appear in the corpus)."""
+    if isinstance(v, int):
+        return dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=v // 1000)
+    return _parse_ts(v)
+
+
+def load_write_requests(docs: Sequence, catalog, kind: str) -> Dict[tuple, List[dict]]:
+    """Parse a mixed WriteRequest stream into per-resource row dicts.
+
+    Returns ``{(group, name): [row, ...]}`` where each row maps column
+    name -> value, ready for :func:`apply_write_requests`. Ordering rules:
+
+    - no ``spec`` since the last ``metadata``: positional values follow the
+      SCHEMA's declared order (measure: tags then fields; stream: tags;
+      trace: ``(trace_id, span_id, ts, *tags)`` — the reference models the
+      intrinsics as regular tags, this engine stores them as columns);
+    - ``spec`` present: positions follow the spec's names, mapped back to
+      schema columns BY NAME (measure fieldNames likewise);
+    - ``metadata`` present: switch target resource and reset the spec;
+      absent: sticky previous target (first request must carry it).
+
+    Measure rows get a monotonically increasing write sequence as the
+    version column when the request carries none (the reference derives
+    versions from the write stream the same way).
+    """
+    current = None   # (group, name, schema)
+    spec_names: Optional[List[str]] = None
+    field_names: Optional[List[str]] = None
+    seq = 0
+    out: Dict[tuple, List[dict]] = {}
+    for raw in docs:
+        d = _as_dict(raw)
+        md = d.get("metadata")
+        if md is not None:
+            grp, name = md["group"], md["name"]
+            current = (grp, name, catalog.get(grp, kind, name))
+            spec_names, field_names = None, None
+        if current is None:
+            raise QueryAnalyzeError("first write request must carry metadata")
+        if d.get("spec") is not None:
+            spec = _normalize_keys(d["spec"])
+            spec_names = _spec_tag_names(spec) or None
+            field_names = list(spec.get("fieldNames", [])) or None
+        grp, name, schema = current
+        seq += 1
+        row: Dict[str, Any] = {}
+        if kind == "measure":
+            dp = d["dataPoint"]
+            tag_order = spec_names or [t.name for t in schema.tags]
+            fld_order = field_names or [f.name for f in schema.fields]
+            vals = []
+            for fam in dp.get("tagFamilies", []):
+                vals.extend(_write_value(t) for t in fam.get("tags", []))
+            if len(vals) != len(tag_order):
+                raise QueryAnalyzeError(
+                    f"write carries {len(vals)} tags, expected "
+                    f"{len(tag_order)} ({tag_order})")
+            row.update(zip(tag_order, vals))
+            fvals = [_write_value(f) for f in dp.get("fields", [])]
+            if len(fvals) != len(fld_order):
+                raise QueryAnalyzeError(
+                    f"write carries {len(fvals)} fields, expected "
+                    f"{len(fld_order)} ({fld_order})")
+            row.update(zip(fld_order, fvals))
+            row[schema.ts_column] = _write_ts(dp["timestamp"])
+            if schema.version_column and schema.version_column not in row:
+                row[schema.version_column] = seq
+        elif kind == "stream":
+            el = d["element"]
+            tag_order = spec_names or [
+                t.name for t in schema.tags if t.expr is None]
+            vals = []
+            for fam in el.get("tagFamilies", []):
+                vals.extend(_write_value(t) for t in fam.get("tags", []))
+            if len(vals) != len(tag_order):
+                raise QueryAnalyzeError(
+                    f"write carries {len(vals)} tags, expected "
+                    f"{len(tag_order)} ({tag_order})")
+            row.update(zip(tag_order, vals))
+            row[schema.ts_column] = _write_ts(el["timestamp"])
+            row[schema.element_id_column] = el["elementId"]
+        elif kind == "trace":
+            tag_order = spec_names or [
+                schema.trace_id_column, schema.span_id_column,
+                schema.ts_column, *[t.name for t in schema.tags]]
+            vals = [_write_value(t) for t in d.get("tags", [])]
+            if len(vals) != len(tag_order):
+                raise QueryAnalyzeError(
+                    f"write carries {len(vals)} tags, expected "
+                    f"{len(tag_order)} ({tag_order})")
+            row.update(zip(tag_order, vals))
+            row[schema.ts_column] = _write_ts(row[schema.ts_column])
+            if schema.span_column:
+                row[schema.span_column] = d.get("span")
+        else:
+            raise QueryAnalyzeError(f"unsupported write kind {kind!r}")
+        out.setdefault((grp, name), []).append(row)
+    return out
+
+
+def apply_write_requests(spark, catalog, kind: str, docs: Sequence,
+                         store_root: str, mode: str = "overwrite") -> Dict[tuple, str]:
+    """Materialize a parsed write stream through the segment write path
+    (:mod:`..sources.writer`). Returns ``{(group, name): store_path}`` so
+    the caller can point a query catalog at the written stores."""
+    from .catalog import TAG_TYPE_TO_SPARK
+    from .sources.writer import write_measure, write_stream, write_trace
+
+    parsed = load_write_requests(docs, catalog, kind)
+    paths: Dict[tuple, str] = {}
+    for (grp, name), rows in parsed.items():
+        schema = catalog.get(grp, kind, name)
+        cols: List[tuple] = [(schema.ts_column, "timestamp")]
+        if kind == "measure":
+            cols += [(t.name, TAG_TYPE_TO_SPARK[t.type]) for t in schema.tags]
+            cols += [(f.name, TAG_TYPE_TO_SPARK[f.type]) for f in schema.fields]
+            if schema.version_column:
+                cols.append((schema.version_column, "bigint"))
+        elif kind == "stream":
+            cols.append((schema.element_id_column, "bigint"))
+            cols += [(t.name, TAG_TYPE_TO_SPARK[t.type])
+                     for t in schema.tags if t.expr is None]
+        else:
+            cols += [(schema.trace_id_column, "bigint"),
+                     (schema.span_id_column, "bigint")]
+            cols += [(t.name, TAG_TYPE_TO_SPARK[t.type]) for t in schema.tags]
+            if schema.span_column:
+                cols.append((schema.span_column, "string"))
+        ddl = ", ".join(f"{c} {t}" for c, t in cols)
+        data = [tuple(r.get(c) for c, _ in cols) for r in rows]
+        df = spark.createDataFrame(data, ddl)
+        path = f"{store_root}/{grp}__{name}"
+        if kind == "measure":
+            write_measure(df, schema, path, mode=mode)
+        elif kind == "stream":
+            write_stream(df, schema, path, mode=mode)
+        else:
+            write_trace(df, schema, path, mode=mode)
+        paths[(grp, name)] = path
+    return paths

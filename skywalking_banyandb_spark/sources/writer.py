@@ -30,7 +30,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import MeasureSchema, PropertySchema, StreamSchema
+from ..catalog import MeasureSchema, PropertySchema, StreamSchema, TraceSchema
 from .parquet import read_table
 
 _GRANULARITY = {"HOUR": "hour", "DAY": "day"}
@@ -79,6 +79,27 @@ def write_stream(
         df.withColumn("ts_bucket", F.date_trunc(gran, F.col(schema.ts_column)))
         .repartition(F.col("ts_bucket"))
         .sortWithinPartitions(schema.ts_column, schema.element_id_column)
+    )
+    out.write.partitionBy("ts_bucket").mode(mode).parquet(path)
+
+
+def write_trace(
+    df: DataFrame,
+    schema: "TraceSchema",
+    path: str,
+    mode: str = "append",
+    segment_interval: str = "DAY",
+) -> None:
+    """Append spans in the segment layout (``trace/v1/write.proto``):
+    partitioned by coarse ts_bucket, sorted by (trace_id, ts, span_id)
+    within a segment so one trace's spans cluster in a row-group run and
+    trace-id predicates row-group-skip (the sidx analogue)."""
+    gran = _GRANULARITY[segment_interval.upper()]
+    out = (
+        df.withColumn("ts_bucket", F.date_trunc(gran, F.col(schema.ts_column)))
+        .repartition(F.col("ts_bucket"))
+        .sortWithinPartitions(
+            schema.trace_id_column, schema.ts_column, schema.span_id_column)
     )
     out.write.partitionBy("ts_bucket").mode(mode).parquet(path)
 
