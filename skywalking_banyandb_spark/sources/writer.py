@@ -188,6 +188,50 @@ def _atomic_replace(df: DataFrame, path: str) -> None:
         raise
 
 
+def _prop_bucket_col(id_col: str, buckets: int):
+    return F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets)).cast("int")
+
+
+def _prop_meta(path: str) -> Optional[int]:
+    """Bucket count of a bucketed property store (sidecar), else None."""
+    import json
+
+    meta = os.path.join(path, "_prop_meta.json")
+    if os.path.exists(meta):
+        with open(meta) as fh:
+            return int(json.load(fh)["buckets"])
+    return None
+
+
+def write_property_bucketed(
+    df: DataFrame,
+    schema: PropertySchema,
+    path: str,
+    buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Property store in id-hash segments (``id_bucket=N`` dirs): Apply and
+    Delete rewrite ONLY the segments holding touched ids, the merge-on-
+    write analogue of the reference's sharded property store
+    (``banyand/property/``; Delta/Iceberg MERGE on a real deployment).
+    Queries read the root dir unchanged — id_bucket is a partition column
+    Catalyst prunes when a query filters on it and ignores otherwise."""
+    import json
+
+    out = df.withColumn("id_bucket",
+                        _prop_bucket_col(schema.id_column, buckets))
+    (out.repartition(F.col("id_bucket"))
+        .write.partitionBy("id_bucket").mode(mode).parquet(path))
+    with open(os.path.join(path, "_prop_meta.json"), "w") as fh:
+        json.dump({"buckets": buckets}, fh)
+
+
+def _touched_buckets(updates: DataFrame, id_col: str, buckets: int) -> list:
+    rows = (updates.select(_prop_bucket_col(id_col, buckets).alias("b"))
+            .distinct().collect())
+    return sorted(r["b"] for r in rows)
+
+
 def property_apply(
     spark: SparkSession,
     schema: PropertySchema,
@@ -197,10 +241,28 @@ def property_apply(
     """Upsert documents by id — ``property/v1/rpc.proto:35-51`` Apply.
 
     New rows fully replace existing rows with the same id (strategy
-    STRATEGY_REPLACE, the default).
-    """
+    STRATEGY_REPLACE, the default). On a bucketed store (see
+    :func:`write_property_bucketed`) only the segments containing touched
+    ids are rewritten; untouched segment files are left byte-identical.
+    Legacy single-directory stores fall back to whole-store
+    read-modify-write."""
     path = path or schema.paths[0]
     idc = schema.id_column
+    buckets = _prop_meta(path) if os.path.exists(path) else None
+    if buckets is not None:
+        upd = updates.withColumn("_b", _prop_bucket_col(idc, buckets))
+        for b in _touched_buckets(updates, idc, buckets):
+            segdir = os.path.join(path, f"id_bucket={b}")
+            part = upd.where(F.col("_b") == b).drop("_b")
+            if os.path.exists(segdir):
+                current = spark.read.parquet(segdir)
+                keep = current.join(
+                    part.select(idc).distinct(), on=idc, how="left_anti")
+                merged = keep.unionByName(part.select(*current.columns))
+            else:
+                merged = part
+            _atomic_replace(merged, segdir)
+        return
     if os.path.exists(path):
         current = read_table(spark, path)
         keep = current.join(
@@ -218,8 +280,21 @@ def property_delete(
     ids: Sequence,
     path: Optional[str] = None,
 ) -> None:
-    """Delete documents by id — ``property/v1/rpc.proto:53-57``."""
+    """Delete documents by id — ``property/v1/rpc.proto:53-57``. Bucketed
+    stores rewrite only the segments the ids hash into."""
     path = path or schema.paths[0]
+    idc = schema.id_column
+    buckets = _prop_meta(path)
+    if buckets is not None:
+        id_df = spark.createDataFrame([(i,) for i in ids], f"{idc} bigint")
+        for b in _touched_buckets(id_df, idc, buckets):
+            segdir = os.path.join(path, f"id_bucket={b}")
+            if not os.path.exists(segdir):
+                continue
+            current = spark.read.parquet(segdir)
+            _atomic_replace(
+                current.where(~F.col(idc).isin(*list(ids))), segdir)
+        return
     current = read_table(spark, path)
     _atomic_replace(current.where(~F.col(schema.id_column).isin(*list(ids))), path)
 
