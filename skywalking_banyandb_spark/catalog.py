@@ -14,6 +14,7 @@ the analogue of the reference's segment selection
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -92,6 +93,32 @@ def materialize_derived(df, schema):
     return df
 
 
+def resolve_replica(path: str) -> str:
+    """Replica selection (``common.proto:104-110`` Group.replicas; the
+    ``entity_replicated`` golden case: a replicated group answers with a
+    SINGLE copy). A replicated store lays byte-identical copies in
+    ``replica=N`` subdirs; reads pick the lowest-numbered intact replica
+    (has at least one parquet file) and fail over to the next — the Spark
+    twin of the reference's ``(shard_index + replica_id) % node_count``
+    routing (docs/concept/clustering.md). Non-replicated paths pass
+    through untouched, so the check is one listdir per query path. At
+    100 TB the reference itself delegates replication to the object store
+    (clustering.md "delegates the task of replication"); this path exists
+    for functional parity with replicated groups."""
+    import glob
+
+    if not os.path.isdir(path):
+        return path
+    reps = sorted(d for d in os.listdir(path) if d.startswith("replica="))
+    if not reps:
+        return path
+    for d in reps:
+        full = os.path.join(path, d)
+        if glob.glob(os.path.join(full, "**", "*.parquet"), recursive=True):
+            return full
+    raise SchemaError(f"no intact replica under {path!r}")
+
+
 def resolve_stage_paths(schema, stages: Sequence[str]) -> Tuple[str, ...]:
     """Stage routing (``banyand/dquery/dquery.go:161-192`` parseNodeSelector):
     empty request -> the schema's ``default_stages``; names match
@@ -99,10 +126,10 @@ def resolve_stage_paths(schema, stages: Sequence[str]) -> Tuple[str, ...]:
     query is unrestricted (all paths)."""
     declared = getattr(schema, "stages", ()) or ()
     if not declared:
-        return tuple(schema.paths)
+        return tuple(resolve_replica(p) for p in schema.paths)
     want = list(stages) or list(getattr(schema, "default_stages", ()) or ())
     if not want:
-        return tuple(schema.paths)
+        return tuple(resolve_replica(p) for p in schema.paths)
     by_name = {s.name.lower(): s for s in declared}
     out: list = []
     for name in want:
@@ -110,11 +137,11 @@ def resolve_stage_paths(schema, stages: Sequence[str]) -> Tuple[str, ...]:
         if hit is not None:
             out.extend(hit.paths)
     if not out:
-        return tuple(schema.paths)
+        return tuple(resolve_replica(p) for p in schema.paths)
     # preserve order, drop duplicates (a path may belong to several stages)
     seen = set()
     uniq = [p for p in out if not (p in seen or seen.add(p))]
-    return tuple(uniq)
+    return tuple(resolve_replica(p) for p in uniq)
 
 
 @dataclass(frozen=True)

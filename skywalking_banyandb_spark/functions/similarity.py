@@ -325,7 +325,20 @@ def round6(x: float) -> float:
     """Driver-side twin of ``F.round(col, 6)`` / DuckDB ``round(x, 6)``:
     HALF_UP on the shortest decimal rendering of the double (Spark rounds
     the ``BigDecimal.valueOf(double)`` = ``Double.toString`` form, which
-    ``repr`` mirrors)."""
+    ``repr`` mirrors).
+
+    Known hazard (ADVICE r3): the three implementations round different
+    renderings — Java ``Double.toString`` (not always shortest pre-JDK19),
+    Python ``repr`` (shortest), DuckDB binary half-away-from-zero — so a
+    cosine landing within one ulp of a 6th-decimal half-way boundary could
+    in principle round differently across engines and flip a probe/rank
+    choice. Rounding everywhere (rather than ranking unrounded) is still
+    the sturdier oracle recipe: unrounded ranking would diverge whenever
+    Spark's and DuckDB's float summation orders differ by an ulp, which is
+    common, whereas the half-way collision needs ~1e-16 proximity to a
+    boundary — not observed across any sf. Every ordering additionally
+    tie-breaks on id, so only an exact boundary collision (not a near-tie)
+    can flip a result."""
     from decimal import ROUND_HALF_UP, Decimal
 
     return float(Decimal(repr(float(x))).quantize(

@@ -41,16 +41,31 @@ def materialize_topn(
     window: str = "1 hour",
     sort: Sort = Sort.DESC,
     stages: Sequence[str] = (),
+    criteria=None,
 ) -> DataFrame:
     """Build the ``_top_n_result`` table from the source measure (batch).
 
     Output: (window_start, entity..., field) with ≤ N rows per window.
-    """
+
+    ``criteria`` is the TopNAggregation DECLARATION's pre-filter
+    (``schema.proto`` TopNAggregation.criteria; the conformance
+    ``not_in_svc2_svc4`` aggregation declares ``service_id NOT_IN
+    [svc_2, svc_4]``): rows are filtered BEFORE the windowed ranking, so
+    excluded entities never enter the materialized view — distinct from
+    query-time ``conditions``, which the reference restricts to EQ."""
     from ..catalog import resolve_stage_paths
 
     if schema.field(field) is None:
         raise QueryAnalyzeError(f"top-n over unknown field {field!r}")
     df = read_table(spark, *resolve_stage_paths(schema, stages))
+    if criteria is not None:
+        from ..operators.criteria import types_of
+
+        tagmap = {t.name: t.analyzer for t in schema.tags}
+        tagmap[schema.ts_column] = None
+        pred = compile_criteria(criteria, tagmap, types_of(schema))
+        if pred is not None:
+            df = df.where(pred)
     win_start = F.window(F.col(schema.ts_column), window)["start"].alias("window_start")
     # per (window, entity): latest write wins (heap replace semantics) —
     # max_by keyed on (ts, version) keeps it a partial-aggregatable agg.

@@ -42,14 +42,32 @@ def write_measure(
     path: str,
     mode: str = "append",
     segment_interval: str = "DAY",
+    replicas: int = 0,
 ) -> None:
-    """Append data points in the segment/series-sorted layout."""
+    """Append data points in the segment/series-sorted layout.
+
+    ``replicas > 0`` lays ``replicas + 1`` byte-identical copies in
+    ``replica=N`` subdirs (``common.proto`` Group.replicas: 1 = primary +
+    one replica). Reads resolve to a single intact copy
+    (:func:`..catalog.resolve_replica`) so a replicated group never
+    duplicates rows in results — the ``entity_replicated`` golden-case
+    contract. Replica 0 is written once and file-copied: the reference
+    delegates replication to the storage layer (clustering.md), and a
+    local copytree is that layer's stand-in."""
     gran = _GRANULARITY[segment_interval.upper()]
     out = (
         df.withColumn("ts_bucket", F.date_trunc(gran, F.col(schema.ts_column)))
         .repartition(F.col("ts_bucket"))
         .sortWithinPartitions(*schema.entity, schema.ts_column)
     )
+    if replicas > 0:
+        primary = os.path.join(path, "replica=0")
+        out.write.partitionBy("ts_bucket").mode(mode).parquet(primary)
+        for i in range(1, replicas + 1):
+            rep = os.path.join(path, f"replica={i}")
+            shutil.rmtree(rep, ignore_errors=True)
+            shutil.copytree(primary, rep)
+        return
     out.write.partitionBy("ts_bucket").mode(mode).parquet(path)
 
 

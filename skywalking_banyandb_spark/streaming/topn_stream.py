@@ -110,6 +110,7 @@ def start_topn_materialization(
     trigger_once: bool = False,
     counters_number: int | None = None,
     sharding_keys: tuple[str, ...] = (),
+    criteria=None,
 ):
     """Run the continuous Top-N materialized view into ``output_path``.
 
@@ -137,6 +138,18 @@ def start_topn_materialization(
             raise ValueError(f"sharding key {k!r} is not a tag of {schema.name!r}")
     if counters_number is not None:
         n = max(n, counters_number)
+    if criteria is not None:
+        # TopNAggregation.criteria — the flow's Filter stage
+        # (banyand/measure/topn.go:562-583): declaration-time pre-filter,
+        # applied to the stream before the windowed aggregate (NOT_IN and
+        # every other read-path operator compile identically here).
+        from ..operators.criteria import compile_criteria, types_of
+
+        tagmap = {t.name: t.analyzer for t in schema.tags}
+        tagmap[schema.ts_column] = None
+        pred = compile_criteria(criteria, tagmap, types_of(schema))
+        if pred is not None:
+            source = source.where(pred)
     agg = topn_stream_query(source, schema, field, window, lateness)
 
     late_delta = _parse_interval(lateness)

@@ -12,25 +12,22 @@ value``; stream ``sw -> event_log``; trace ``sw -> event_trace``
 n_chars)).  Requests replay through ``request_loader`` and dual-execute
 against DuckDB.
 
-Deliberately NOT replayed (documented divergences / different harness):
-- ``write_mixed`` (all kinds): write-path cases — covered by
-  ``tests/test_write_path.py`` round-trips.
-- measure ``entity_replicated``: replica groups return a SINGLE copy in the
-  reference (replication is HA, not fan-out); the synthetic catalog's twin
-  groups model *multi-group union* instead (``multi_group_unchanged``) —
-  replica selection has no Spark-side analogue (a path is read once).
+Cases initially skipped here, ALL replayed elsewhere as of round 4:
+- ``write_mixed`` (all kinds): replayed through the request write boundary
+  (``tests/test_write_mixed.py`` + driver entry ``write_mixed_roundtrip``).
+- measure ``entity_replicated``: replayed via replica-group stores —
+  ``replica=N`` copies, single-copy reads, failover
+  (``tests/test_replicas.py``, ``catalog.resolve_replica``).
 - stream/trace ``multi_group_new_tag`` / ``multi_group_tag_type``:
-  heterogeneous-schema union is proven on measures
-  (``measure_multigroup_schema_merge``); the stream twin groups share one
-  physical file, so a per-group missing tag would be erased by element-id
-  dedup (the twin rows are byte-identical).
-- (trace ``having_query_tag{,_cond}`` WERE initially skipped for lack of
-  an array tag; they are now replayed at the bottom of this file via a
-  derived array tag on a trace twin schema.)
-- topn ``not_in`` (resource ``not_in_svc2_svc4``): the NOT_IN lives in the
-  TopNAggregation *declaration* criteria, not the query; declaration-time
-  criteria routing is covered by ``tests/test_streaming_topn.py`` +
-  ``bydbql_show_top``.  The query-side twin (conditions EQ) is ``eq`` below.
+  replayed as driver-green heterogeneous-union entries over disjoint group
+  slices (``stream_multigroup_schema_merge`` /
+  ``trace_multigroup_schema_merge``).
+- trace ``having_query_tag{,_cond}``: replayed at the bottom of this file
+  via a derived array tag on a trace twin schema.
+- topn ``not_in`` (resource ``not_in_svc2_svc4``): replayed via the
+  TopNAggregation DECLARATION criteria pre-filter
+  (``tests/test_topn_not_in.py``, batch + streaming Filter stage). The
+  query-side twin (conditions EQ) is ``eq`` below.
 
 ``params_bind`` cases: the reference sends the same request through the
 prepared-statement API with bound parameters; the wire shape after binding
