@@ -49,6 +49,32 @@ _INTERVAL_UNITS = {
 }
 
 
+def _max_partition_window(output_path: str):
+    """Newest flushed window, read from ``window_start=`` partition dir
+    names (URL-encoded timestamps) — the partition layout IS the index, so
+    the per-micro-batch late-window gate costs one listdir instead of a
+    parquet scan of the whole materialization."""
+    import datetime as dt
+    from urllib.parse import unquote
+
+    best = None
+    try:
+        names = os.listdir(output_path)
+    except OSError:
+        return None
+    for name in names:
+        if not name.startswith("window_start="):
+            continue
+        raw = unquote(name.split("=", 1)[1]).strip()
+        try:
+            val = dt.datetime.fromisoformat(raw)
+        except ValueError:
+            continue
+        if best is None or val > best:
+            best = val
+    return best
+
+
 def _parse_interval(text: str):
     """'10 minutes' / '1 hour' / '30 days' -> timedelta."""
     import datetime as dt
@@ -168,10 +194,11 @@ def start_topn_materialization(
         # horizon, so an in-watermark late update to the previous window (its
         # start is old, its end is not) still merges.
         if os.path.exists(output_path):
-            prev_max = (
-                spark_b.read.parquet(output_path)
-                .agg(F.max("window_start")).head()[0]
-            )
+            # high-water mark from the window_start=... partition dir names
+            # (the layout's own metadata) — no data read per micro-batch;
+            # the previous whole-materialization agg scan grew with the
+            # number of windows (VERDICT r3 perf note).
+            prev_max = _max_partition_window(output_path)
             if prev_max is not None:
                 batch = batch.where(
                     F.col("window_start")
