@@ -53,9 +53,23 @@ def per_window_top_n(
     )
 
 
+# Above this many rows, limit+offset must NOT lower to TakeOrderedAndProject:
+# its per-task top-K selector allocates O(limit+offset) memory, so a huge
+# pagination offset (the API allows uint32) would OOM every executor. Spark's
+# default topKSortFallbackThreshold is ~Int.MaxValue; capping it routes big
+# offsets to the spill-safe global Sort + CollectLimit path while small
+# pages keep the optimal bounded-heap plan.
+_TOPK_SAFE_ROWS = 4_000_000
+
+
 def limit_offset(df: DataFrame, limit: Optional[int], offset: int) -> DataFrame:
     """Pagination (``measure_plan.go:37-131``); offset beyond end -> empty.
     Spark ≥3.4 supports a real OFFSET; both lower into the sort/limit leaf."""
+    if offset + (limit or 0) > _TOPK_SAFE_ROWS:
+        key = "spark.sql.execution.topKSortFallbackThreshold"
+        cur = int(df.sparkSession.conf.get(key))
+        if cur > _TOPK_SAFE_ROWS:  # only ever lower a user's setting
+            df.sparkSession.conf.set(key, str(_TOPK_SAFE_ROWS))
     if offset:
         df = df.offset(offset)
     if limit is not None:

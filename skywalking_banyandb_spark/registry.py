@@ -624,4 +624,5 @@ from . import registry_analytics  # noqa: E402,F401
 from . import registry_bydbql  # noqa: E402,F401
 from . import registry_coverage  # noqa: E402,F401
 from . import registry_criteria  # noqa: E402,F401
+from . import registry_observability  # noqa: E402,F401
 from . import registry_pipeline  # noqa: E402,F401

@@ -1,0 +1,336 @@
+"""Observability time-series extensions: as-of join, bucketed range join,
+counter rate/delta, moving averages, exact percentiles, latency heatmaps.
+
+The reference's query surface stops at scan/filter/group/agg/topN (SURVEY
+§2.3/§2.7 — no joins, no analytic windows); these entries add the
+time-series analytics an APM/metrics user reaches for next (SkyWalking's own
+UI computes percentiles and heatmaps from BanyanDB raw reads client-side —
+e.g. the heatmap/percentile panels fed by measure queries). Each is built
+Spark-first with an eye on 100 TB:
+
+- **as-of join** — the classic "latest reading at or before t" correlation.
+  Implemented as the union-trick: tag both sides, one shuffle on the series
+  key, sort within partition, `last(ignorenulls)` running carry. No range
+  join, no broadcast NLJ — wall-clock scales with one hash partitioning of
+  (left + right), which is the optimal distributed plan. DuckDB's native
+  `ASOF LEFT JOIN` is the (independently implemented) oracle.
+- **bucketed range join** — "how many X happened in the 60s before each Y".
+  Naive formulations become O(n²) nested-loop joins; here each left row
+  probes exactly two 60-second hash buckets (its own and the preceding one)
+  via a shuffle equi-join on (key, bucket), then the exact range predicate
+  filters in the conditional COUNT. Candidate fan-out is bounded by bucket
+  population, never by table size.
+- **percentiles** — exact `percentile_disc`-style (upper-element, rank =
+  ceil(p·n) computed with INTEGER arithmetic: `(9n+9) div 10`, never
+  float·count, because Spark lits are doubles while SQL literals parse as
+  DECIMAL and the two round differently at half-way points). One shuffle on
+  the group key; rank + partition-count windows share the partitioning.
+- **rate/delta, moving averages** — lag/frame windows per series key with
+  DECIMAL(24,6) accumulation for order-independent float sums (the repo-wide
+  exactness convention, see plans/measure.py).
+
+All entries shuffle on their natural series key exactly once (the heatmap
+and percentile plans are single-pass aggregations), so they hold at 1000
+executors: no driver-side loops, no collects, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import register
+from .sources.parquet import read_table
+
+
+def _us(c):
+    """Microsecond epoch of a (possibly NTZ) timestamp column. Parquet
+    without a zone loads as TIMESTAMP_NTZ; session.py pins UTC so the cast
+    is a pure reinterpretation (same convention as events_sessionization)."""
+    return F.unix_micros(c.cast("timestamp"))
+
+
+# ---------------------------------------------------------------------------
+# As-of join: for every 'error' event, the most recent 'purchase' of the
+# same user at or before it (value + how long before).
+# ---------------------------------------------------------------------------
+
+def _asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_table(spark, f"{sf}/events.parquet")
+    left = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", F.col("value").alias("error_value"))
+    # ASOF tie-breaking needs a unique right key per (user, ts): collapse
+    # same-instant purchases to their max value (both sides of the oracle).
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    tagged = left.select(
+        "user_id", "ts", F.lit(1).alias("is_left"), "event_id", "error_value",
+        F.lit(None).cast("double").alias("purchase_value"),
+    ).unionByName(right.select(
+        "user_id", "ts", F.lit(0).alias("is_left"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("error_value"),
+        "purchase_value",
+    ))
+    # Right rows sort before left rows at the same instant (is_left ASC), so
+    # `ts >= right.ts` inclusive semantics fall out of the running carry.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        tagged
+        .withColumn("pv", F.last("purchase_value", ignorenulls=True).over(w))
+        .withColumn("pts", F.last(
+            F.when(F.col("purchase_value").isNotNull(), F.col("ts")),
+            ignorenulls=True).over(w))
+        .where(F.col("is_left") == 1)
+    )
+    return carried.select(
+        "event_id", "user_id", "error_value",
+        F.col("pv").alias("purchase_value"),
+        (_us(F.col("ts")) - _us(F.col("pts"))).alias("lag_us"),
+    ).orderBy("event_id")
+
+
+register(
+    "events_asof_join",
+    _asof_join,
+    """WITH l AS (
+         SELECT event_id, user_id, ts, value AS error_value
+         FROM events WHERE event_type = 'error'),
+       r AS (
+         SELECT user_id, ts, MAX(value) AS purchase_value
+         FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+       SELECT l.event_id, l.user_id, l.error_value, r.purchase_value,
+              epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+       ORDER BY l.event_id""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed range join: views per user in the 60 seconds before each error.
+# ---------------------------------------------------------------------------
+
+_WIN_US = 60_000_000  # 60s in microseconds
+
+
+def _range_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_table(spark, f"{sf}/events.parquet")
+    left = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", _us(F.col("ts")).alias("l_us"))
+    right = ev.where(F.col("event_type") == "view").select(
+        "user_id", _us(F.col("ts")).alias("r_us"))
+    # Each left row probes its own bucket and the preceding one — the window
+    # (l_us - 60s, l_us] spans at most two 60-second buckets. `div` keeps the
+    # bucket arithmetic integral (float division could mis-floor a boundary).
+    lx = left.withColumn(
+        "jb", F.explode(F.array(F.expr(f"l_us div {_WIN_US} - 1"),
+                                F.expr(f"l_us div {_WIN_US}"))))
+    rx = right.withColumn("jb", F.expr(f"r_us div {_WIN_US}"))
+    joined = lx.join(rx, ["user_id", "jb"], "left_outer")
+    # Conditional count instead of post-join filter: a left row whose bucket
+    # candidates all miss still survives with n = 0.
+    in_range = (
+        F.col("r_us").isNotNull()
+        & (F.col("r_us") > F.col("l_us") - _WIN_US)
+        & (F.col("r_us") <= F.col("l_us"))
+    )
+    return (
+        joined.groupBy("event_id", "user_id")
+        .agg(F.sum(F.when(in_range, 1).otherwise(0)).cast("long")
+             .alias("n_views_60s"))
+        .orderBy("event_id")
+    )
+
+
+register(
+    "events_range_join_bucketed",
+    _range_join_bucketed,
+    """WITH l AS (
+         SELECT event_id, user_id, epoch_us(ts) AS l_us
+         FROM events WHERE event_type = 'error'),
+       r AS (
+         SELECT user_id, epoch_us(ts) AS r_us
+         FROM events WHERE event_type = 'view')
+       SELECT l.event_id, l.user_id,
+              CAST(COUNT(r.r_us) AS BIGINT) AS n_views_60s
+       FROM l LEFT JOIN r
+         ON l.user_id = r.user_id
+        AND r.r_us > l.l_us - 60000000 AND r.r_us <= l.l_us
+       GROUP BY l.event_id, l.user_id
+       ORDER BY l.event_id""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Counter rate/delta per series (user's click gauge): lag-window deltas,
+# monotonic-increase total with DECIMAL accumulation, reset count.
+# ---------------------------------------------------------------------------
+
+def _rate_delta(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_table(spark, f"{sf}/events.parquet").where(
+        F.col("event_type") == "click")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.withColumn("delta", F.col("value") - F.lag("value").over(w))
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.when(F.col("delta") > 0, 1).otherwise(0)).cast("long")
+            .alias("n_increase"),
+            F.sum(F.when(F.col("delta") < 0, 1).otherwise(0)).cast("long")
+            .alias("n_resets"),
+            F.sum(F.when(F.col("delta") > 0, F.col("delta"))
+                  .otherwise(F.lit(0)).cast("decimal(24,6)"))
+            .cast("double").alias("total_increase"),
+        )
+        .orderBy("user_id")
+    )
+
+
+register(
+    "measure_rate_delta",
+    _rate_delta,
+    """WITH d AS (
+         SELECT user_id,
+                value - lag(value) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS delta
+         FROM events WHERE event_type = 'click')
+       SELECT user_id, COUNT(*) AS n_points,
+              CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_increase,
+              CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_resets,
+              CAST(SUM(CAST(CASE WHEN delta > 0 THEN delta ELSE 0 END
+                            AS DECIMAL(24,6))) AS DOUBLE) AS total_increase
+       FROM d GROUP BY user_id ORDER BY user_id""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Trailing moving average: hourly downsample, then a 3-bucket trailing frame
+# per event_type. Row-frame windows skip empty hours (documented; a
+# gap-filled variant would sequence-join the full hour spine).
+# ---------------------------------------------------------------------------
+
+def _moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_table(spark, f"{sf}/events.parquet")
+    b = (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 hour").getField("start").alias("bucket"),
+            "event_type")
+        .agg(F.sum(F.col("value").cast("decimal(24,6)")).alias("s"),
+             F.count("value").alias("c"))
+    )
+    w = (Window.partitionBy("event_type").orderBy("bucket")
+         .rowsBetween(-2, 0))
+    return (
+        b.select(
+            "bucket", "event_type",
+            (F.col("s").cast("double") / F.col("c")).alias("hourly_avg"),
+            (F.sum("s").over(w).cast("double") / F.sum("c").over(w))
+            .alias("moving_avg_3h"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+register(
+    "measure_moving_avg",
+    _moving_avg,
+    """WITH b AS (
+         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
+                SUM(CAST(value AS DECIMAL(24,6))) AS s, COUNT(value) AS c
+         FROM events GROUP BY bucket, event_type)
+       SELECT bucket, event_type,
+              CAST(s AS DOUBLE) / c AS hourly_avg,
+              CAST(SUM(s) OVER w AS DOUBLE) / SUM(c) OVER w AS moving_avg_3h
+       FROM b
+       WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       ORDER BY bucket, event_type""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact latency percentiles (percentile_disc upper-element semantics):
+# rank = ceil(p*n) via integer arithmetic, ties broken by event_id so both
+# engines pick the identical element.
+# ---------------------------------------------------------------------------
+
+def _percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_table(spark, f"{sf}/events.parquet")
+    rnw = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cw = Window.partitionBy("event_type")
+    r = (
+        ev.select("event_type", "value", "event_id")
+        .withColumn("rn", F.row_number().over(rnw))
+        .withColumn("n", F.count(F.lit(1)).over(cw))
+    )
+
+    def at(expr: str, alias: str):
+        return F.max(F.when(F.col("rn") == F.expr(expr), F.col("value"))).alias(alias)
+
+    return (
+        r.groupBy("event_type")
+        .agg(
+            at("(n + 1) div 2", "p50"),
+            at("(9 * n + 9) div 10", "p90"),
+            at("(99 * n + 99) div 100", "p99"),
+            F.max("n").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    "measure_latency_percentiles",
+    _percentiles,
+    """WITH r AS (
+         SELECT event_type, value,
+                row_number() OVER (
+                    PARTITION BY event_type ORDER BY value, event_id) AS rn,
+                COUNT(*) OVER (PARTITION BY event_type) AS n
+         FROM events)
+       SELECT event_type,
+              MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+              MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
+              MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99,
+              MAX(n) AS n
+       FROM r GROUP BY event_type ORDER BY event_type""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Latency heatmap: per-day × fixed-width value bucket counts (the histogram
+# a heatmap UI panel renders). Integer-exact; single-pass aggregation.
+# ---------------------------------------------------------------------------
+
+def _heatmap(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_table(spark, f"{sf}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "event_type",
+            F.expr("CAST(floor(value / 50) AS BIGINT)").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("day", "event_type", "bucket")
+    )
+
+
+register(
+    "latency_heatmap",
+    _heatmap,
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+              CAST(floor(value / 50) AS BIGINT) AS bucket,
+              COUNT(*) AS n
+       FROM events GROUP BY day, event_type, bucket
+       ORDER BY day, event_type, bucket""",
+)

@@ -656,3 +656,156 @@ register(
         FROM g JOIN c USING (bg)
         GROUP BY g.doc_id ORDER BY doc_id""",
 )
+
+
+# -- Gopher-style repetition quality signals --------------------------------
+
+def _quality_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition metrics (the Gopher/MassiveText quality
+    rules): top-unigram fraction, distinct-token fraction, and the fraction
+    of trigram occurrences belonging to repeated trigrams. Token counts come
+    from one explode + groupBy on (doc_id, token) — the shuffle key carries
+    the doc id, so at 100 TB the work distributes per-document with no hot
+    key; trigram assembly is array-side Catalyst (`transform` over
+    `sequence`), never a Python UDF. All ratios are int/int double division
+    (deterministic and engine-identical)."""
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    t = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+
+    uni = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    )
+    uni_stats = uni.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.max("c").alias("top_c"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+
+    trig = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("toks"), i),
+            F.element_at(F.col("toks"), i + 1),
+            F.element_at(F.col("toks"), i + 2)),
+    )
+    tgx = t.select(
+        "doc_id",
+        F.explode(F.when(F.size("toks") >= 3, trig)
+                  .otherwise(F.array().cast("array<string>"))).alias("tg"))
+    tg_stats = (
+        tgx.groupBy("doc_id", "tg").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("long").alias("n_trigrams"),
+             F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+             .cast("long").alias("dup_occ"))
+    )
+    return (
+        uni_stats.join(tg_stats, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            (F.col("top_c").cast("double") / F.col("n_tokens"))
+            .alias("top_unigram_frac"),
+            (F.col("n_distinct").cast("double") / F.col("n_tokens"))
+            .alias("distinct_frac"),
+            F.coalesce(F.col("n_trigrams"), F.lit(0).cast("long"))
+            .alias("n_trigrams"),
+            (F.coalesce(F.col("dup_occ"), F.lit(0).cast("long")).cast("double")
+             / F.greatest(F.coalesce(F.col("n_trigrams"), F.lit(0).cast("long")),
+                          F.lit(1).cast("long")))
+            .alias("dup_trigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "quality_repetition",
+    _quality_repetition,
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       uc AS (SELECT doc_id, tok, COUNT(*) AS c FROM u GROUP BY doc_id, tok),
+       us AS (
+         SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_c,
+                COUNT(*) AS n_distinct
+         FROM uc GROUP BY doc_id),
+       g AS (
+         SELECT doc_id,
+                CASE WHEN len(toks) >= 3
+                     THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                           FOR i IN generate_series(1, len(toks) - 2)]
+                     ELSE [] END AS tgs
+         FROM t),
+       ge AS (SELECT doc_id, unnest(tgs) AS tg FROM g),
+       gc AS (SELECT doc_id, tg, COUNT(*) AS c FROM ge GROUP BY doc_id, tg),
+       gs AS (
+         SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+                CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                    AS dup_occ
+         FROM gc GROUP BY doc_id)
+       SELECT us.doc_id, us.n_tokens,
+              CAST(us.top_c AS DOUBLE) / us.n_tokens AS top_unigram_frac,
+              CAST(us.n_distinct AS DOUBLE) / us.n_tokens AS distinct_frac,
+              COALESCE(gs.n_trigrams, 0) AS n_trigrams,
+              CAST(COALESCE(gs.dup_occ, 0) AS DOUBLE)
+                  / GREATEST(COALESCE(gs.n_trigrams, 0), 1)
+                  AS dup_trigram_frac
+       FROM us LEFT JOIN gs USING (doc_id) ORDER BY us.doc_id""",
+)
+
+
+# -- deterministic domain-mixture resampling --------------------------------
+
+# Per-source keep rates (a configured mixture; rotates 1.0 / 0.6 / 0.3 by
+# source index). Encoded as an md5-prefix threshold: keep a doc iff the
+# first 4 hex chars of md5(doc_id) sort below hex(floor(rate * 65536)) —
+# a uniform, engine-identical, seedless coin flip per document.
+_MIX_RATES = {f"src{i}": (1.0, 0.6, 0.3)[i % 3] for i in range(20)}
+
+
+def _mix_threshold(rate: float) -> str | None:
+    if rate >= 1.0:
+        return None
+    return format(int(rate * 65536), "04x")
+
+
+def _domain_mixture_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-based downsampling to a configured domain mixture
+    (the resampling step of data-mixture tuning, cf. DoReMi/DSIR-style
+    pipelines). The (source → threshold) map is a broadcast dim table; the
+    filter is a narrow map over the corpus — zero shuffles, which is the
+    plan you want when resampling 100 TB."""
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    rates = spark.createDataFrame(
+        [(s, _mix_threshold(r)) for s, r in sorted(_MIX_RATES.items())],
+        "source string, thr string")
+    h4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return (
+        docs.join(F.broadcast(rates), "source", "left")
+        .where(F.col("thr").isNull() | (h4 < F.col("thr")))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _mix_case_sql() -> str:
+    arms = []
+    for s, r in sorted(_MIX_RATES.items()):
+        thr = _mix_threshold(r)
+        if thr is None:
+            arms.append(f"WHEN '{s}' THEN TRUE")
+        else:
+            arms.append(
+                f"WHEN '{s}' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+                f" < '{thr}'")
+    return "CASE source " + " ".join(arms) + " ELSE TRUE END"
+
+
+register(
+    "domain_mixture_resample",
+    _domain_mixture_resample,
+    f"""SELECT doc_id, source FROM documents
+        WHERE {_mix_case_sql()}
+        ORDER BY doc_id""",
+)

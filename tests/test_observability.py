@@ -1,0 +1,115 @@
+"""Plan-shape gates for the observability extension operators
+(registry_observability.py / the new registry_pipeline.py entries).
+
+Value correctness is covered by test_conformance.py (every registry entry is
+dual-executed vs its DuckDB oracle); these tests pin the 100 TB-relevant
+physical plans: the as-of join must stay a single-shuffle window plan (no
+range join, no NLJ), the bucketed range join must be a shuffle equi-join,
+and mixture resampling must broadcast the rate dim and keep the corpus scan
+narrow.
+"""
+
+from __future__ import annotations
+
+from skywalking_banyandb_spark import registry_observability as obs
+from skywalking_banyandb_spark import registry_pipeline as pipe
+
+from conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    """The union-trick as-of join: one hash Exchange on user_id feeds the
+    sort + running `last(ignorenulls)`; the presentation sort adds a range
+    Exchange. No join operator of any kind should appear — a range/NLJ
+    formulation would be the 100 TB scale-killer."""
+    plan = _plan(obs._asof_join(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    # union + window: the only exchanges are the right-side pre-dedup agg,
+    # the user_id window partitioning, and the final presentation sort
+    assert plan.count("Exchange") <= 4, plan
+    assert "RunningWindowFunction" in plan or "Window" in plan, plan
+
+
+def test_range_join_bucketed_is_equi_join(spark):
+    """Every left row probes exactly two (user, bucket) hash keys; the join
+    must be hash/sort-merge on those keys, never a nested-loop over the
+    range predicate."""
+    plan = _plan(obs._range_join_bucketed(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+
+
+def test_percentiles_single_shuffle(spark):
+    """rank + partition-count windows and the final group-by all reuse the
+    event_type hash partitioning: one data Exchange plus the presentation
+    sort."""
+    plan = _plan(obs._percentiles(spark, SF_SMALL))
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_moving_avg_reuses_partitioning(spark):
+    """Hourly agg shuffles on (bucket, event_type); the trailing window
+    re-shuffles on event_type; presentation sort is a range Exchange."""
+    plan = _plan(obs._moving_avg(spark, SF_SMALL))
+    assert plan.count("Exchange") <= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mixture_resample_broadcasts_rates(spark):
+    """The (source → threshold) dim is broadcast; the corpus side stays a
+    narrow scan+filter (no data shuffle before the presentation sort)."""
+    plan = _plan(pipe._domain_mixture_resample(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    # single data Exchange (the final orderBy); BroadcastExchange is the
+    # dim-table ship, not a data shuffle
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 1, plan
+
+
+def test_repetition_no_python_udf(spark):
+    """Trigram assembly is array-side Catalyst (transform/sequence); the
+    whole pipeline must stay JVM-side."""
+    plan = _plan(pipe._quality_repetition(spark, SF_SMALL))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_matches_brute_force(spark):
+    """Semantic cross-check of the union-trick against a direct per-row
+    maximum (small data only): for each error event the matched purchase is
+    the max-ts purchase at or before it."""
+    import duckdb
+
+    df = obs._asof_join(spark, SF_SMALL)
+    got = {r["event_id"]: (r["purchase_value"], r["lag_us"])
+           for r in df.collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMALL}/events.parquet'")
+    want = con.execute("""
+        WITH l AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'error')
+        SELECT l.event_id,
+               (SELECT MAX(r.ts) FROM events r
+                WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
+                  AND r.ts <= l.ts) AS pts
+        FROM l
+    """).fetchall()
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMALL}/events.parquet'")
+    for event_id, pts in want:
+        pv, lag = got[event_id]
+        if pts is None:
+            assert pv is None and lag is None, event_id
+        else:
+            assert pv is not None and lag is not None, event_id

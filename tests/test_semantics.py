@@ -322,3 +322,25 @@ def test_embedding_neardup_lsh_no_nested_loop(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert pairs.count() >= 0
+
+
+def test_huge_offset_is_memory_safe_and_empty(spark):
+    """A uint32-scale pagination offset must not lower to a
+    TakeOrderedAndProject heap of size limit+offset (per-task OOM at scale);
+    it takes the spill-safe global-sort path and returns empty when the
+    offset is beyond the data (measure_plan.go offset semantics)."""
+    from skywalking_banyandb_spark.catalog import default_catalog
+    from skywalking_banyandb_spark.model import MeasureQuery, TimeRange
+    from skywalking_banyandb_spark.plans.measure import compile_measure
+
+    from conftest import SF_SMALL
+
+    q = MeasureQuery(
+        groups=["g1"], name="metrics",
+        time_range=TimeRange.of("2024-01-03T00:00:00", "2024-01-27T00:00:00"),
+        offset=10**9, limit=100,
+    )
+    df = compile_measure(spark, default_catalog(SF_SMALL), q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan, plan
+    assert df.count() == 0
