@@ -521,3 +521,85 @@ JOIN {table} ea ON ea.{id_col} = cand.a
 JOIN {table} eb ON eb.{id_col} = cand.b
 WHERE {cos} >= {threshold}
 """
+
+
+def pq_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int,
+    m_sub: int = 16,
+    k_cw: int = 32,
+    dim: int = 64,
+    candidates: int = 0,
+) -> str:
+    """Exact DuckDB recomputation of the PQ/ADC probe
+    (``sources/ann_index.pq_probe_topk``): codebooks are the per-subspace
+    hash samples (smallest ``md5('{m}|' || id)``), encoding is argmin by
+    (rounded sqdist, j), the ADC lookup table is integer micro-units
+    (``ROUND(sqdist * 1e6)`` as BIGINT — exact order-independent sums),
+    candidates by (adc, id), exact-cosine re-rank.
+
+    Rounding portability: the double before rounding is identical in both
+    engines (same left-fold op order); DuckDB's binary-double ROUND vs the
+    Python/Spark decimal-string HALF_UP can differ only when a value lands
+    exactly on a half-way boundary — the j/id tie-breaks bound the effect,
+    and the driver rows are hash-green at sf0.01 and sf0.1 (same posture
+    as the rounded-cosine convention, see ``round6``)."""
+    sub = dim // m_sub
+    c_n = candidates or max(4 * k, 32)
+    diff_e = "(en.nv[cb.m * %d + i] - cb.cw[i])" % sub
+    diff_q = f"(nq.nqv[cb.m * {sub} + i] - cb.cw[i])"
+    cosf = cosine_sql(f"e.{vec_col}", "q.qv")
+    return f"""
+WITH q AS (
+  SELECT CAST({vec_col} AS DOUBLE[]) AS qv FROM {table}
+  WHERE {id_col} = {query_id}),
+nq AS (
+  SELECT [qv[i] / sqrt(list_sum([qv[j2] * qv[j2]
+            FOR j2 IN generate_series(1, {dim})]))
+          FOR i IN generate_series(1, {dim})] AS nqv
+  FROM q),
+ev AS (
+  SELECT {id_col} AS eid, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}),
+en AS (
+  SELECT eid, [v[i] / sqrt(list_sum([v[j2] * v[j2]
+                 FOR j2 IN generate_series(1, {dim})]))
+               FOR i IN generate_series(1, {dim})] AS nv
+  FROM ev),
+mm AS (SELECT unnest(generate_series(0, {m_sub - 1})) AS m),
+cb AS (
+  SELECT m, j, cw FROM (
+    SELECT mm.m AS m,
+           row_number() OVER (PARTITION BY mm.m
+             ORDER BY md5(CAST(mm.m AS VARCHAR) || '|'
+                          || CAST(en.eid AS VARCHAR)), en.eid)
+             - 1 AS j,
+           [en.nv[mm.m * {sub} + i]
+            FOR i IN generate_series(1, {sub})] AS cw
+    FROM en, mm) WHERE j < {k_cw}),
+enc AS (
+  SELECT vid, m, j FROM (
+    SELECT en.eid AS vid, cb.m AS m, cb.j AS j,
+           row_number() OVER (PARTITION BY en.eid, cb.m
+             ORDER BY ROUND(list_sum([ {diff_e} * {diff_e}
+                        FOR i IN generate_series(1, {sub}) ]), 6) ASC,
+                      cb.j ASC) AS rn
+    FROM en CROSS JOIN cb) WHERE rn = 1),
+lut AS (
+  SELECT cb.m AS m, cb.j AS j,
+         CAST(ROUND(list_sum([ {diff_q} * {diff_q}
+                FOR i IN generate_series(1, {sub}) ]) * 1e6, 0) AS BIGINT)
+             AS d
+  FROM cb, nq),
+adc AS (
+  SELECT enc.vid AS vid, SUM(lut.d) AS adc
+  FROM enc JOIN lut ON enc.m = lut.m AND enc.j = lut.j
+  WHERE enc.vid <> {query_id}
+  GROUP BY enc.vid),
+cand AS (SELECT vid FROM adc ORDER BY adc ASC, vid ASC LIMIT {c_n})
+SELECT e.{id_col} AS {id_col}, {cosf} AS score
+FROM {table} e JOIN cand ON e.{id_col} = cand.vid, q
+ORDER BY score DESC, {id_col} ASC LIMIT {k}
+"""

@@ -809,3 +809,26 @@ register(
         WHERE {_mix_case_sql()}
         ORDER BY doc_id""",
 )
+
+
+# -- ANN: product-quantization (compression) scale path ---------------------
+
+def _ann_pq(spark: SparkSession, sf: str) -> DataFrame:
+    # PQ/ADC probe of the PERSISTED code table (sources/ann_index.py):
+    # 64 float32 dims compress to 16 codes, the ADC scan reads only the
+    # codes column (~16x less IO than a raw-vector scan at 100 TB), the
+    # candidate set exact-reranks. Codebooks are deterministic per-subspace
+    # hash samples, so DuckDB recomputes the identical codes, integer-LUT
+    # ADC and rerank (pq_topk_sql). Recall vs brute force is validated in
+    # tests/test_ann_pq.py.
+    from .sources.ann_index import pq_probe_topk
+
+    q = _query_vec(spark, sf)
+    return pq_probe_topk(spark, sf, q, 10, exclude_id=0)
+
+
+register(
+    "ann_pq_topk",
+    _ann_pq,
+    sim.pq_topk_sql("embeddings", "vec_id", "embedding", 0, 10),
+)
