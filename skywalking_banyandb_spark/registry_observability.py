@@ -334,3 +334,92 @@ register(
        FROM events GROUP BY day, event_type, bucket
        ORDER BY day, event_type, bucket""",
 )
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) windows: the reference's flow engine is tumbling-only
+# (pkg/flow/streaming/sliding_window.go:255 NewTumblingTimeWindows); Spark's
+# F.window(ts, size, slide) gives overlapping windows natively. Batch form
+# here (oracle-paired); the streaming form is proven in
+# tests/test_streaming_windows.py.
+# ---------------------------------------------------------------------------
+
+def _hopping_window(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_table(spark, f"{sf}/events.parquet").where(
+        F.col("event_type") == "error")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "15 minutes", "5 minutes")
+            .getField("start").alias("win_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("value").cast("decimal(24,6)")).cast("double")
+             / F.count("value")).alias("avg_value"),
+        )
+        .orderBy("win_start")
+    )
+
+
+register(
+    "measure_hopping_window",
+    _hopping_window,
+    """WITH h AS (
+         SELECT value,
+                make_timestamp((epoch_us(ts) // 300000000 - w) * 300000000)
+                    AS win_start
+         FROM events, (SELECT unnest(generate_series(0, 2)) AS w)
+         WHERE event_type = 'error')
+       SELECT win_start, COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / COUNT(value)
+                  AS avg_value
+       FROM h GROUP BY win_start ORDER BY win_start""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Native session windows: F.session_window merges rows whose 30-minute
+# activity windows overlap — the operator form of the lag/cumsum
+# sessionization in registry_advanced.py (which stays as the manual
+# construction). Split boundary is EXCLUSIVE (a gap of exactly 30m starts a
+# new session, session-window end-exclusivity), hence >= in the oracle.
+# ---------------------------------------------------------------------------
+
+def _session_window_native(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_table(spark, f"{sf}/events.parquet")
+    # group on the session_window STRUCT — the merge rewrite only fires on
+    # the window column itself; extracting .start first degenerates every
+    # row into its own session
+    return (
+        ev.groupBy(F.col("user_id"), F.session_window(F.col("ts"), "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.max("ts").alias("last_ts"))
+        .select(
+            "user_id",
+            F.col("session_window").getField("start").alias("session_start"),
+            "n_events", "last_ts")
+        .orderBy("user_id", "session_start")
+    )
+
+
+register(
+    "events_session_window",
+    _session_window_native,
+    """WITH g AS (
+         SELECT user_id, ts, event_id,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          >= 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), s AS (
+         SELECT user_id, ts,
+                SUM(new_sess) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+         FROM g)
+       SELECT user_id, MIN(ts) AS session_start,
+              COUNT(*) AS n_events, MAX(ts) AS last_ts
+       FROM s GROUP BY user_id, sid
+       ORDER BY user_id, session_start""",
+)

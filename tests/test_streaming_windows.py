@@ -1,0 +1,142 @@
+"""Streaming proofs for the round-4 window extensions: hopping (sliding)
+windows and session windows computed by Structured Streaming must agree
+with their batch twins (the oracle-paired `measure_hopping_window` /
+`events_session_window` registry entries).
+
+The reference's flow engine is tumbling-only
+(pkg/flow/streaming/sliding_window.go:255 NewTumblingTimeWindows); hopping
+and session windows are Spark Structured Streaming natives this engine
+exposes on top of the same ingest path.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from skywalking_banyandb_spark.sources.parquet import read_table
+from skywalking_banyandb_spark.streaming.topn_stream import ensure_event_time
+
+from conftest import SF_SMALL
+
+
+def _drain(q, timeout=300):
+    if not q.awaitTermination(timeout=timeout):
+        q.stop()
+        raise RuntimeError("streaming window test timed out")
+
+
+def test_streaming_hopping_window_matches_batch(spark):
+    """15m/5m hopping-window counts over a 3-micro-batch drain (complete
+    mode) equal the batch F.window(size, slide) aggregation."""
+    work = tempfile.mkdtemp(prefix="hop_stream_")
+    src = os.path.join(work, "src")
+    try:
+        ev = read_table(spark, f"{SF_SMALL}/events.parquet").where(
+            F.col("event_type") == "error")
+        for i, p in enumerate([ev.where(F.col("user_id") % 3 == k)
+                               for k in (1, 2, 0)]):
+            p.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(src, f"b{i}"))
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src, "*"))
+        )
+        agg = (
+            ensure_event_time(stream, "ts")
+            .groupBy(F.window(F.col("ts"), "15 minutes", "5 minutes")
+                     .getField("start").alias("win_start"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (agg.writeStream.outputMode("complete")
+             .format("memory").queryName("hop_out")
+             .trigger(availableNow=True).start())
+        _drain(q)
+
+        got = sorted(
+            (r.win_start.isoformat(), r.n)
+            for r in spark.sql("SELECT * FROM hop_out").collect()
+        )
+        want = sorted(
+            (r.win_start.isoformat(), r.n)
+            for r in (
+                ev.groupBy(F.window(F.col("ts").cast("timestamp"),
+                                    "15 minutes", "5 minutes")
+                           .getField("start").alias("win_start"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect())
+        )
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.catalog.dropTempView("hop_out")
+
+
+def test_streaming_session_window_matches_batch(spark):
+    """Session windows (30m gap) in append mode with a watermark: a
+    far-future sentinel row per user flushes every real session past the
+    watermark; the emitted sessions equal the batch session_window
+    aggregation."""
+    work = tempfile.mkdtemp(prefix="sess_stream_")
+    src = os.path.join(work, "src")
+    try:
+        ev = read_table(spark, f"{SF_SMALL}/events.parquet").where(
+            F.col("user_id") < 30)
+        cols = ["user_id", "ts"]
+        base = ev.select(*cols)
+        sentinel = (base.groupBy("user_id")
+                    .agg(F.max("ts").alias("ts"))
+                    .select("user_id",
+                            (F.col("ts") + F.expr("INTERVAL 365 DAYS"))
+                            .alias("ts")))
+        base.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, "b0"))
+        sentinel.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, "b1"))
+
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src, "*"))
+        )
+        agg = (
+            ensure_event_time(stream, "ts")
+            .withWatermark("ts", "1 minute")
+            .groupBy("user_id", F.session_window(F.col("ts"), "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.col("session_window").getField("start")
+                    .alias("session_start"), "n_events")
+        )
+        q = (agg.writeStream.outputMode("append")
+             .format("memory").queryName("sess_out")
+             .trigger(availableNow=True).start())
+        _drain(q)
+
+        cutoff = ev.agg(F.max("ts")).head()[0]
+        got = sorted(
+            (r.user_id, r.session_start.isoformat(), r.n_events)
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+            if r.session_start.replace(tzinfo=None) <= cutoff
+        )
+        want = sorted(
+            (r.user_id, r.session_start.isoformat(), r.n_events)
+            for r in (
+                base.groupBy("user_id",
+                             F.session_window(F.col("ts").cast("timestamp"),
+                                              "30 minutes"))
+                .agg(F.count(F.lit(1)).alias("n_events"))
+                .select("user_id",
+                        F.col("session_window").getField("start")
+                        .alias("session_start"), "n_events")
+                .collect())
+        )
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.catalog.dropTempView("sess_out")
