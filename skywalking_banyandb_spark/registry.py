@@ -626,3 +626,4 @@ from . import registry_coverage  # noqa: E402,F401
 from . import registry_criteria  # noqa: E402,F401
 from . import registry_observability  # noqa: E402,F401
 from . import registry_pipeline  # noqa: E402,F401
+from . import registry_sketches  # noqa: E402,F401
