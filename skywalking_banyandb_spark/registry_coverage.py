@@ -1212,3 +1212,79 @@ register(
        ) AS t(ts, user_id, event_type, props, value)
        ORDER BY ts, user_id""",
 )
+
+
+# --------------------------------------------------------------------------
+# Continuous rollup materialization (hypertable-style continuous
+# aggregate), driver-visible: stages an out-of-order fixture with a
+# far-late re-delivered slice (must NOT double-count), runs the REAL
+# streaming pipeline (streaming/rollup.py: watermark + update-mode
+# count/sum/min/max state + foreachBatch partition-scoped flush with the
+# isWindowLate gate), returns the finalized materialization — DuckDB
+# recomputes the same hourly aggregate from the raw events.
+# --------------------------------------------------------------------------
+
+def _continuous_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    import datetime as dt
+    import shutil
+    import time
+
+    from .sources.parquet import read_table
+    from .streaming.rollup import read_rollup, start_rollup_materialization
+
+    t3 = dt.datetime(2024, 1, 3)
+    t5 = dt.datetime(2024, 1, 5)
+    t6 = dt.datetime(2024, 1, 6)
+
+    work = _scratch_dir("rollup_stream_entry")
+    src = f"{work}/src"
+    ev = read_table(spark, f"{sf}/events.parquet")
+    ts = F.col("ts")
+    # batch 0: [Jan 3, Jan 5); batch 1: [Jan 5, Jan 6) PLUS a far-late
+    # re-delivery of Jan 3's first hour — the watermark drops those rows
+    # before they reach the aggregate, so counts are NOT doubled (and the
+    # flush's isWindowLate gate would refuse the partial re-creation even
+    # if state had been evicted)
+    b0 = ev.where((ts >= F.lit(t3)) & (ts < F.lit(t5)))
+    late = ev.where((ts >= F.lit(t3)) & (ts < F.lit(t3 + dt.timedelta(hours=1))))
+    b1 = ev.where((ts >= F.lit(t5)) & (ts < F.lit(t6))).unionByName(late)
+    b0.coalesce(1).write.parquet(f"{src}/b0")
+    time.sleep(1.1)  # file-source ordering is by modification time
+    b1.coalesce(1).write.parquet(f"{src}/b1")
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{src}/b0").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = start_rollup_materialization(
+        spark, stream, ts_col="ts", value_col="value",
+        group_cols=["event_type"],
+        output_path=f"{work}/out", checkpoint_path=f"{work}/ckpt",
+        window="1 hour", lateness="10 minutes", trigger_once=True,
+    )
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise RuntimeError("continuous rollup entry timed out after 300s")
+    shutil.rmtree(f"{work}/src", ignore_errors=True)
+    shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+    return (
+        read_rollup(spark, f"{work}/out", ["event_type"])
+        .orderBy("window_start", "event_type")
+    )
+
+
+register(
+    "continuous_rollup_materialized",
+    _continuous_rollup,
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+              COUNT(value) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / COUNT(value)
+                  AS avg_value,
+              MIN(value) AS min_value, MAX(value) AS max_value
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+         AND ts <  TIMESTAMP '2024-01-06 00:00:00'
+       GROUP BY window_start, event_type
+       ORDER BY window_start, event_type""",
+)

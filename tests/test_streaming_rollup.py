@@ -1,0 +1,146 @@
+"""Continuous rollup (streaming/rollup.py): incremental maintenance must
+equal batch recompute, flushes must be partition-scoped (untouched window
+dirs byte-stable), and post-eviction far-late re-creation must be refused
+by the isWindowLate gate."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from skywalking_banyandb_spark.sources.parquet import read_table
+from skywalking_banyandb_spark.streaming.rollup import (
+    read_rollup,
+    start_rollup_materialization,
+)
+
+from conftest import SF_SMALL
+
+T3 = dt.datetime(2024, 1, 3)
+T4 = dt.datetime(2024, 1, 4)
+T5 = dt.datetime(2024, 1, 5)
+
+
+def _drain(q):
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise RuntimeError("rollup stream timed out")
+
+
+def _start(spark, src, out, ckpt):
+    ev_schema = spark.read.parquet(glob.glob(f"{src}/b*")[0]).schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    return start_rollup_materialization(
+        spark, stream, ts_col="ts", value_col="value",
+        group_cols=["event_type"], output_path=out, checkpoint_path=ckpt,
+        window="1 hour", lateness="10 minutes", trigger_once=True,
+    )
+
+
+def test_incremental_rollup_equals_batch(spark):
+    work = tempfile.mkdtemp(prefix="rollup_stream_")
+    try:
+        ev = read_table(spark, f"{SF_SMALL}/events.parquet")
+        ts = F.col("ts")
+        b0 = ev.where((ts >= F.lit(T3)) & (ts < F.lit(T4)))
+        b1 = ev.where((ts >= F.lit(T4)) & (ts < F.lit(T5)))
+        b0.coalesce(1).write.parquet(f"{work}/src/b0")
+        time.sleep(1.1)
+        b1.coalesce(1).write.parquet(f"{work}/src/b1")
+
+        _drain(_start(spark, f"{work}/src", f"{work}/out", f"{work}/ckpt"))
+
+        got = sorted(
+            (str(r.window_start), r.event_type, r.n,
+             round(r.avg_value, 6), r.min_value, r.max_value)
+            for r in read_rollup(spark, f"{work}/out", ["event_type"]).collect())
+        both = ev.where((ts >= F.lit(T3)) & (ts < F.lit(T5)))
+        want = sorted(
+            (str(r.window_start), r.event_type, r.n,
+             round(r.avg_value, 6), r.min_value, r.max_value)
+            for r in (
+                both.groupBy(
+                    F.date_trunc("hour", ts.cast("timestamp"))
+                    .alias("window_start"), "event_type")
+                .agg(F.count("value").alias("n"),
+                     (F.sum(F.col("value").cast("decimal(24,6)"))
+                      .cast("double") / F.count("value")).alias("avg_value"),
+                     F.min("value").alias("min_value"),
+                     F.max("value").alias("max_value"))
+                .collect()))
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_flush_is_partition_scoped(spark):
+    """A second drain that only adds day-2 data must not rewrite day-1
+    window partitions (mtime + size stable) — the flush cost tracks the
+    batch's window span, not the materialization size."""
+    work = tempfile.mkdtemp(prefix="rollup_scope_")
+    try:
+        ev = read_table(spark, f"{SF_SMALL}/events.parquet")
+        ts = F.col("ts")
+        ev.where((ts >= F.lit(T3)) & (ts < F.lit(T4))).coalesce(1) \
+            .write.parquet(f"{work}/src/b0")
+        _drain(_start(spark, f"{work}/src", f"{work}/out", f"{work}/ckpt"))
+
+        day1 = {
+            p: (os.path.getmtime(p), os.path.getsize(p))
+            for p in glob.glob(f"{work}/out/window_start=2024-01-03*/*.parquet")
+        }
+        assert day1
+
+        time.sleep(1.1)
+        ev.where((ts >= F.lit(T4)) & (ts < F.lit(T5))).coalesce(1) \
+            .write.parquet(f"{work}/src/b1")
+        _drain(_start(spark, f"{work}/src", f"{work}/out", f"{work}/ckpt"))
+
+        # day-2 partitions appeared...
+        assert glob.glob(f"{work}/out/window_start=2024-01-04*")
+        # ...and every day-1 file is byte-identical and untouched
+        for p, (mt, sz) in day1.items():
+            assert os.path.getmtime(p) == mt and os.path.getsize(p) == sz, p
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_far_late_recreation_is_refused(spark):
+    """After the first drain the high-water mark is day-1's last window; a
+    second drain delivering ONLY far-late rows (state long evicted) must
+    leave the materialization unchanged — a re-created partial aggregate
+    would otherwise replace the complete one."""
+    work = tempfile.mkdtemp(prefix="rollup_late_")
+    try:
+        ev = read_table(spark, f"{SF_SMALL}/events.parquet")
+        ts = F.col("ts")
+        ev.where((ts >= F.lit(T3)) & (ts < F.lit(T4))).coalesce(1) \
+            .write.parquet(f"{work}/src/b0")
+        _drain(_start(spark, f"{work}/src", f"{work}/out", f"{work}/ckpt"))
+        before = sorted(
+            (str(r.window_start), r.event_type, r.n)
+            for r in read_rollup(spark, f"{work}/out", ["event_type"]).collect())
+
+        time.sleep(1.1)
+        # re-deliver the first hour only — half the rows of that window
+        ev.where((ts >= F.lit(T3))
+                 & (ts < F.lit(T3 + dt.timedelta(minutes=30)))).coalesce(1) \
+            .write.parquet(f"{work}/src/b1")
+        _drain(_start(spark, f"{work}/src", f"{work}/out", f"{work}/ckpt"))
+
+        after = sorted(
+            (str(r.window_start), r.event_type, r.n)
+            for r in read_rollup(spark, f"{work}/out", ["event_type"]).collect())
+        assert after == before
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
