@@ -156,3 +156,58 @@ def hll_estimate_sql(s_expr: str, nz_expr: str) -> str:
     linear = f"({m} * ln({m} / {v}))"
     return (f"ROUND(CASE WHEN {raw} <= {2.5 * m} AND {v} > 0 "
             f"THEN {linear} ELSE {raw} END, 6)")
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (membership)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1024
+BLOOM_K = 3
+
+
+def bloom_positions(col: Column, k: int = BLOOM_K, m: int = BLOOM_M) -> Column:
+    """The k bit positions of one item (array<bigint>), md5-derived so any
+    engine computes the identical filter."""
+    return F.array(*[
+        _hex_long(F.md5(F.concat(F.lit(f"{i}|"), col)), 1, 8) % m
+        for i in range(k)
+    ])
+
+
+def bloom_build(members: DataFrame, item_col: str,
+                k: int = BLOOM_K, m: int = BLOOM_M) -> DataFrame:
+    """The filter as its set of set-bit positions — at most ``m`` rows
+    whatever the member-set size (the sub-linear membership summary;
+    explode + distinct = one shuffle bounded by m)."""
+    return (
+        members.select(F.explode(
+            bloom_positions(F.col(item_col), k, m)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_test(bits: DataFrame, probes: DataFrame, item_col: str,
+               k: int = BLOOM_K, m: int = BLOOM_M) -> DataFrame:
+    """Membership test: an item is (possibly) in the set iff ALL k of its
+    positions are set. The bits table is broadcast (≤ m rows); one-sided
+    error — false positives possible, false negatives never."""
+    addr = probes.select(
+        F.col(item_col),
+        F.explode(bloom_positions(F.col(item_col), k, m)).alias("pos"),
+    )
+    return (
+        addr.join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .join(probes.select(item_col), item_col, "right")
+        .select(item_col,
+                (F.coalesce(F.col("hits"), F.lit(0)) == k).alias("in_bloom"))
+    )
+
+
+def bloom_positions_sql(expr: str, k: int = BLOOM_K, m: int = BLOOM_M) -> list:
+    return [
+        _hex_long_sql(f"md5('{i}|' || {expr})", 1, 8) + f" % {m}"
+        for i in range(k)
+    ]

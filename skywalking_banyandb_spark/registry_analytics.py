@@ -512,3 +512,64 @@ register(
         GROUP BY supp_nation, cust_nation, l_year
         ORDER BY supp_nation, cust_nation, l_year""",
 )
+
+
+def _pivot_type_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT: one column per event type (explicit value list so the plan
+    skips the extra distinct-values job and stays a single groupBy —
+    at scale an implicit pivot adds a full scan just to learn the
+    columns). Wide-format counts are the classic feature-table shape."""
+    ev = read_table(spark, f"{sf}/events.parquet")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, [*types])
+        .select(
+            "user_id",
+            *[F.col(t).alias(f"n_{t}") for t in types],
+        )
+        .orderBy("user_id")
+    )
+
+
+register(
+    "events_pivot_type_counts",
+    _pivot_type_counts,
+    """SELECT user_id,
+              CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+              CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+              CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+              CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+              CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+       FROM events GROUP BY user_id ORDER BY user_id""",
+)
+
+
+def _cube_type_day(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (event_type, day): all four grouping combinations in ONE
+    pass — Spark's Expand replicates each row into the 4 grouping sets
+    before a single shuffle, vs 4 separate scans+aggregations."""
+    ev = read_table(spark, f"{sf}/events.parquet")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    return (
+        ev.cube(F.col("event_type"), day)
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(24,6)")).cast("double")
+             .alias("sum_value"))
+        .orderBy(F.col("event_type").asc_nulls_first(),
+                 F.col("day").asc_nulls_first())
+    )
+
+
+register(
+    "events_cube_type_day",
+    _cube_type_day,
+    """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+       FROM events
+       GROUP BY CUBE (event_type, date_trunc('day', ts))
+       ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""",
+)

@@ -124,3 +124,62 @@ register(
         FROM exact x JOIN est e ON e.event_type = x.event_type
         ORDER BY x.event_type""",
 )
+
+
+def _sketch_bloom_membership(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom membership: the member set is the vocabulary of 'src0'
+    documents (a stand-in benchmark set); every corpus token is tested
+    against the filter. One-sided error — is_member=true implies
+    in_bloom=true always; in_bloom=true with is_member=false is a false
+    positive (visible in the output, hash-compared too)."""
+    from .functions.sketches import BLOOM_K, bloom_build, bloom_test
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    all_toks = (docs.select(F.explode(F.split(F.col("text"), " "))
+                            .alias("tok")).distinct())
+    members = (docs.where(F.col("source") == "src0")
+               .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+               .distinct())
+    bits = bloom_build(members, "tok")
+    tested = bloom_test(bits, all_toks, "tok")
+    return (
+        all_toks.join(members.withColumn("is_member", F.lit(True)),
+                      "tok", "left")
+        .na.fill(False, ["is_member"])
+        .join(tested, "tok")
+        .select("tok", "is_member", "in_bloom")
+        .orderBy("tok")
+    )
+
+
+_BLOOM_POS = ["CAST('0x' || substr(md5('{i}|' || tok), 1, 8) AS BIGINT) % 1024"
+              .format(i=i) for i in range(3)]
+
+
+register(
+    "sketch_bloom_membership",
+    _sketch_bloom_membership,
+    f"""WITH toks AS (
+          SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        mem AS (
+          SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+          FROM documents WHERE source = 'src0'),
+        bits AS (
+          SELECT DISTINCT pos FROM (
+            SELECT {_BLOOM_POS[0]} AS pos FROM mem
+            UNION ALL SELECT {_BLOOM_POS[1]} FROM mem
+            UNION ALL SELECT {_BLOOM_POS[2]} FROM mem)),
+        addr AS (
+            SELECT tok, {_BLOOM_POS[0]} AS pos FROM toks
+            UNION ALL SELECT tok, {_BLOOM_POS[1]} FROM toks
+            UNION ALL SELECT tok, {_BLOOM_POS[2]} FROM toks),
+        hits AS (
+          SELECT tok, COUNT(*) AS h FROM addr
+          WHERE pos IN (SELECT pos FROM bits) GROUP BY tok)
+        SELECT t.tok AS tok,
+               (t.tok IN (SELECT tok FROM mem)) AS is_member,
+               (COALESCE(h.h, 0) = 3) AS in_bloom
+        FROM toks t LEFT JOIN hits h ON h.tok = t.tok
+        ORDER BY t.tok""",
+)

@@ -49,3 +49,11 @@ def test_sketches_no_python_udf(spark):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_bloom_no_false_negatives(spark):
+    """Bloom error is one-sided: every true member tests positive."""
+    df = em.queries()["sketch_bloom_membership"](spark, SF_SMALL)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r.in_bloom for r in rows if r.is_member)
