@@ -603,3 +603,97 @@ SELECT e.{id_col} AS {id_col}, {cosf} AS score
 FROM {table} e JOIN cand ON e.{id_col} = cand.vid, q
 ORDER BY score DESC, {id_col} ASC LIMIT {k}
 """
+
+
+def ivfpq_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int,
+    k_clusters: int = 8,
+    nprobe: int = 4,
+    m_sub: int = 16,
+    k_cw: int = 32,
+    dim: int = 64,
+    candidates: int = 0,
+) -> str:
+    """Exact DuckDB recomputation of the composed IVF-PQ probe
+    (``sources/ann_index.ivfpq_probe_topk``): sampled-md5 centroids +
+    rounded-cosine assignment (the ``ivf_sampled_topk_sql`` half) restrict
+    the candidate universe to the nprobe probed clusters, then the PQ
+    encode/integer-LUT ADC (the ``pq_topk_sql`` half) ranks inside them,
+    then exact-cosine re-rank."""
+    sub = dim // m_sub
+    c_n = candidates or max(4 * k, 32)
+    cosc = cosine_sql("ev.v", "c.cv")
+    cosp = cosine_sql("cent.cv", "q.qv")
+    cosf = cosine_sql(f"e.{vec_col}", "q.qv")
+    diff_e = f"(en.nv[cb.m * {sub} + i] - cb.cw[i])"
+    diff_q = f"(nq.nqv[cb.m * {sub} + i] - cb.cw[i])"
+    return f"""
+WITH q AS (
+  SELECT CAST({vec_col} AS DOUBLE[]) AS qv FROM {table}
+  WHERE {id_col} = {query_id}),
+nq AS (
+  SELECT [qv[i] / sqrt(list_sum([qv[j2] * qv[j2]
+            FOR j2 IN generate_series(1, {dim})]))
+          FOR i IN generate_series(1, {dim})] AS nqv
+  FROM q),
+ev AS (
+  SELECT {id_col} AS eid, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}),
+en AS (
+  SELECT eid, [v[i] / sqrt(list_sum([v[j2] * v[j2]
+                 FOR j2 IN generate_series(1, {dim})]))
+               FOR i IN generate_series(1, {dim})] AS nv
+  FROM ev),
+cent AS (
+  SELECT eid AS cid, v AS cv FROM ev
+  ORDER BY md5(CAST(eid AS VARCHAR)), eid LIMIT {k_clusters}),
+probe AS (
+  SELECT cid FROM cent, q
+  ORDER BY {cosp} DESC, cid ASC LIMIT {nprobe}),
+assign AS (
+  SELECT vid, cid FROM (
+    SELECT ev.eid AS vid, c.cid AS cid,
+           row_number() OVER (PARTITION BY ev.eid
+             ORDER BY {cosc} DESC, c.cid ASC) AS rn
+    FROM ev, cent c) WHERE rn = 1),
+universe AS (
+  SELECT vid FROM assign
+  WHERE cid IN (SELECT cid FROM probe) AND vid <> {query_id}),
+mm AS (SELECT unnest(generate_series(0, {m_sub - 1})) AS m),
+cb AS (
+  SELECT m, j, cw FROM (
+    SELECT mm.m AS m,
+           row_number() OVER (PARTITION BY mm.m
+             ORDER BY md5(CAST(mm.m AS VARCHAR) || '|'
+                          || CAST(en.eid AS VARCHAR)), en.eid)
+             - 1 AS j,
+           [en.nv[mm.m * {sub} + i]
+            FOR i IN generate_series(1, {sub})] AS cw
+    FROM en, mm) WHERE j < {k_cw}),
+enc AS (
+  SELECT vid, m, j FROM (
+    SELECT en.eid AS vid, cb.m AS m, cb.j AS j,
+           row_number() OVER (PARTITION BY en.eid, cb.m
+             ORDER BY ROUND(list_sum([ {diff_e} * {diff_e}
+                        FOR i IN generate_series(1, {sub}) ]), 6) ASC,
+                      cb.j ASC) AS rn
+    FROM en CROSS JOIN cb
+    WHERE en.eid IN (SELECT vid FROM universe)) WHERE rn = 1),
+lut AS (
+  SELECT cb.m AS m, cb.j AS j,
+         CAST(ROUND(list_sum([ {diff_q} * {diff_q}
+                FOR i IN generate_series(1, {sub}) ]) * 1e6, 0) AS BIGINT)
+             AS d
+  FROM cb, nq),
+adc AS (
+  SELECT enc.vid AS vid, SUM(lut.d) AS adc
+  FROM enc JOIN lut ON enc.m = lut.m AND enc.j = lut.j
+  GROUP BY enc.vid),
+cand AS (SELECT vid FROM adc ORDER BY adc ASC, vid ASC LIMIT {c_n})
+SELECT e.{id_col} AS {id_col}, {cosf} AS score
+FROM {table} e JOIN cand ON e.{id_col} = cand.vid, q
+ORDER BY score DESC, {id_col} ASC LIMIT {k}
+"""

@@ -832,3 +832,21 @@ register(
     _ann_pq,
     sim.pq_topk_sql("embeddings", "vec_id", "embedding", 0, 10),
 )
+
+
+def _ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    # The composed scale path: IVF partition pruning (nprobe/k_clusters of
+    # the rows) x PQ code compression (~16x less IO inside each probed
+    # partition). Deterministic sampled centroids + hash-sampled codebooks
+    # make the full pipeline DuckDB-recomputable (ivfpq_topk_sql).
+    from .sources.ann_index import ivfpq_probe_topk
+
+    q = _query_vec(spark, sf)
+    return ivfpq_probe_topk(spark, sf, q, 10, exclude_id=0)
+
+
+register(
+    "ann_ivfpq_topk",
+    _ann_ivfpq,
+    sim.ivfpq_topk_sql("embeddings", "vec_id", "embedding", 0, 10),
+)

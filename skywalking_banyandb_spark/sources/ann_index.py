@@ -536,3 +536,187 @@ def pq_probe_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ — pruning AND compression composed
+# --------------------------------------------------------------------------
+
+def ivfpq_index_path(sf_dir: str, k_clusters: int, m_sub: int, k_cw: int) -> str:
+    return _index_dir(sf_dir, "ivfpq", f"c{k_clusters}_m{m_sub}_k{k_cw}")
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_clusters: int = 8,
+    m_sub: int = 16,
+    k_cw: int = 32,
+    dim: int = 64,
+) -> str:
+    """IVF-PQ (FAISS ``IVFx,PQy`` shape): rows are PARTITIONED by their
+    nearest sampled centroid (the probe prunes to nprobe partitions) AND
+    carry PQ codes (the scan inside a partition reads ~16× less than raw
+    vectors). This variant quantizes the normalized vector directly
+    (not the IVF residual — a documented simplification that keeps every
+    stage exactly DuckDB-recomputable; residual PQ would tie the codebooks
+    to float centroid arithmetic).
+
+    Both sub-indexes reuse their established deterministic builds:
+    sampled-md5 centroids (``build_ivf_sampled_index``) and per-subspace
+    hash-sampled codebooks over L2-normalized vectors
+    (``build_pq_index``)."""
+    final = ivfpq_index_path(sf_dir, k_clusters, m_sub, k_cw)
+    if os.path.isdir(final):
+        return final
+    df = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    sub = dim // m_sub
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col("vec"), lambda x: x * x),
+        F.lit(0.0), lambda a, v: a + v))
+    vecd = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("nvec", F.transform(F.col("vec"), lambda x: x / norm))
+
+    # centroids: the k_clusters rows with smallest md5(id) (raw vectors,
+    # same sample as the sampled-centroid IVF index)
+    cent_rows = (
+        vecd.select("id", "vec")
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(k_clusters)
+        .collect()
+    )
+    centroids = [(int(r.id), [float(x) for x in r.vec]) for r in cent_rows]
+    best = F.array_max(F.array(*[
+        F.struct(
+            cosine(F.col("vec"), F.array(*[F.lit(c) for c in cv])).alias("s"),
+            F.lit(-cid).alias("nc"),
+        )
+        for cid, cv in centroids
+    ]))
+    assigned = vecd.withColumn("cluster_id", -best["nc"])
+
+    # PQ codebooks: per-subspace hash samples of NORMALIZED vectors
+    codebooks: List[List[List[float]]] = []
+    for m in range(m_sub):
+        rows = (
+            vecd.orderBy(
+                F.md5(F.concat(F.lit(f"{m}|"), F.col("id").cast("string"))),
+                F.col("id"))
+            .limit(k_cw)
+            .collect()
+        )
+        codebooks.append(
+            [[float(x) for x in r.nvec[m * sub:(m + 1) * sub]] for r in rows])
+    cb_lit = F.array(*[
+        F.array(*[F.array(*[F.lit(float(c)) for c in cw])
+                  for cw in codebooks[m]])
+        for m in range(m_sub)
+    ])
+
+    def dists(mcol):
+        return F.transform(
+            F.element_at(cb_lit, mcol + 1),
+            lambda cw: F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col("nvec"), mcol * sub + 1, sub), cw,
+                        lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda a, v: a + v),
+                6),
+        )
+
+    codes_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        lambda m: (F.array_position(dists(m), F.array_min(dists(m))) - 1)
+        .cast("int"),
+    )
+    coded = assigned.select("id", "vec", "cluster_id",
+                            codes_expr.alias("codes"))
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    coded.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
+    with open(os.path.join(tmp, "_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    with open(os.path.join(tmp, "_codebooks.json"), "w") as f:
+        json.dump(codebooks, f)
+    _publish(tmp, final)
+    return final
+
+
+def ivfpq_probe_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_clusters: int = 8,
+    nprobe: int = 4,
+    m_sub: int = 16,
+    k_cw: int = 32,
+    candidates: int = 0,
+    exclude_id=None,
+) -> DataFrame:
+    """Probe: rank centroids driver-side by the shared rounded cosine
+    (``round6``), read ONLY the nprobe nearest ``cluster_id`` partitions
+    (PartitionFilters), ADC-rank their codes with the integer LUT, exact
+    cosine re-rank of the candidate pool. The scan cost is
+    (nprobe/k_clusters) × (code bytes / vector bytes) of a brute-force
+    scan — both prunings compose."""
+    from ..functions.similarity import round6
+
+    path = build_ivfpq_index(spark, sf_dir, id_col, vec_col,
+                             k_clusters, m_sub, k_cw, dim=len(query))
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = json.load(f)
+    with open(os.path.join(path, "_codebooks.json")) as f:
+        codebooks = json.load(f)
+    sub = len(query) // m_sub
+    c_n = candidates or max(4 * k, 32)
+
+    qn0 = math.sqrt(sum(x * x for x in query)) or 1e-12
+    ranked = sorted(
+        (
+            -round6(sum(a * b for a, b in zip(cv, query))
+                    / ((math.sqrt(sum(x * x for x in cv)) or 1e-12) * qn0)),
+            cid,
+        )
+        for cid, cv in centroids
+    )
+    probe = [cid for _, cid in ranked[:nprobe]]
+
+    s = 0.0
+    for x in query:
+        s = s + x * x
+    qn = math.sqrt(s)
+    nq = [x / qn for x in query]
+    lut = [
+        [_lut_micro(nq[m * sub:(m + 1) * sub], cw) for cw in codebooks[m]]
+        for m in range(m_sub)
+    ]
+    idx = spark.read.parquet(path).where(F.col("cluster_id").isin(probe))
+    if exclude_id is not None:
+        idx = idx.where(F.col("id") != exclude_id)
+    adc = None
+    for m in range(m_sub):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in lut[m]]), F.col("codes")[m] + 1)
+        adc = term if adc is None else adc + term
+    cand = (
+        idx.select("id", "vec", adc.alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col("id").asc())
+        .limit(c_n)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        cand.select(
+            F.col("id").alias(id_col), cosine(F.col("vec"), qlit).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

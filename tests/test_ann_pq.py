@@ -65,3 +65,22 @@ def test_pq_probe_no_python_udf(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_recall_and_partition_pruning(spark):
+    from skywalking_banyandb_spark.sources.ann_index import ivfpq_probe_topk
+
+    q = _query(spark)
+    emb = read_table(spark, f"{SF_SMALL}/embeddings.parquet").where(
+        F.col("vec_id") != 0)
+    exact = {r.vec_id for r in
+             brute_force_topk(emb, "vec_id", "embedding", q, 10).collect()}
+    df = ivfpq_probe_topk(spark, SF_SMALL, q, 10, exclude_id=0)
+    approx = {r.vec_id for r in df.collect()}
+    # nprobe=4 of 8 clusters halves the universe before ADC; the composed
+    # index still recovers the bulk of the true top-10
+    assert len(exact & approx) >= 6, (exact, approx)
+    # the probe must prune cluster partitions at the scan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
