@@ -423,3 +423,161 @@ register(
        FROM s GROUP BY user_id, sid
        ORDER BY user_id, session_start""",
 )
+
+
+# ---------------------------------------------------------------------------
+# Gap filling + linear interpolation (PromQL/Timescale `time_bucket_gapfill`
+# shape): join the series onto a generated hour spine, then interpolate
+# missing buckets between their nearest real neighbours (carry at edges).
+# Pure window arithmetic — prev/next via last/first(ignorenulls) frames on
+# the series partition; the spine is a generated sequence (no data scan).
+# ---------------------------------------------------------------------------
+
+_GF_T0 = "2024-01-03 00:00:00"
+_GF_T1 = "2024-01-05 23:00:00"   # inclusive last hour of the 72-hour spine
+
+
+def _gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_table(spark, f"{sf}/events.parquet")
+    ts = F.col("ts").cast("timestamp")
+    series = ["error", "purchase"]
+    pts = (
+        ev.where(F.col("event_type").isin(series)
+                 & (F.col("value") >= 100)
+                 & (ts >= F.lit(_GF_T0).cast("timestamp"))
+                 & (ts < F.lit("2024-01-06 00:00:00").cast("timestamp")))
+        .groupBy(F.date_trunc("hour", ts).alias("h"), "event_type")
+        .agg((F.sum(F.col("value").cast("decimal(24,6)")).cast("double")
+              / F.count("value")).alias("v"))
+    )
+    spine = (
+        spark.createDataFrame([(s,) for s in series], "event_type string")
+        .select(
+            "event_type",
+            F.explode(F.sequence(
+                F.lit(_GF_T0).cast("timestamp"),
+                F.lit(_GF_T1).cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"))).alias("h"))
+    )
+    joined = spine.join(pts, ["event_type", "h"], "left")
+    prevw = (Window.partitionBy("event_type").orderBy("h")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    nextw = (Window.partitionBy("event_type").orderBy("h")
+             .rowsBetween(0, Window.unboundedFollowing))
+    hv = F.when(F.col("v").isNotNull(), F.col("h"))
+    d = (
+        joined
+        .withColumn("pv", F.last("v", ignorenulls=True).over(prevw))
+        .withColumn("ph", F.last(hv, ignorenulls=True).over(prevw))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(nextw))
+        .withColumn("nh", F.first(hv, ignorenulls=True).over(nextw))
+    )
+    us = F.unix_micros
+    frac = ((us(F.col("h")) - us(F.col("ph"))).cast("double")
+            / (us(F.col("nh")) - us(F.col("ph"))).cast("double"))
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+              F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return (
+        d.select(
+            "event_type", F.col("h").alias("hour"),
+            F.round(filled, 6).alias("filled_value"),
+            F.col("v").isNull().alias("is_gap"))
+        .orderBy("event_type", "hour")
+    )
+
+
+register(
+    "measure_gap_fill_interpolate",
+    _gap_fill,
+    f"""WITH pts AS (
+         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
+                CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+                    / COUNT(value) AS v
+         FROM events
+         WHERE event_type IN ('error', 'purchase') AND value >= 100
+           AND ts >= TIMESTAMP '{_GF_T0}'
+           AND ts <  TIMESTAMP '2024-01-06 00:00:00'
+         GROUP BY h, event_type),
+       spine AS (
+         SELECT s.event_type, g.h
+         FROM (SELECT unnest(['error', 'purchase']) AS event_type) s,
+              (SELECT unnest(generate_series(TIMESTAMP '{_GF_T0}',
+                       TIMESTAMP '{_GF_T1}', INTERVAL 1 HOUR)) AS h) g),
+       j AS (
+         SELECT spine.event_type, spine.h, pts.v
+         FROM spine LEFT JOIN pts
+           ON pts.event_type = spine.event_type AND pts.h = spine.h),
+       d AS (
+         SELECT event_type, h, v,
+                last_value(v IGNORE NULLS) OVER wp AS pv,
+                last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                    OVER wp AS ph,
+                first_value(v IGNORE NULLS) OVER wn AS nv,
+                first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                    OVER wn AS nh
+         FROM j
+         WINDOW wp AS (PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                wn AS (PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       SELECT event_type, h AS hour,
+              ROUND(CASE
+                WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  pv + (nv - pv) *
+                  (CAST(epoch_us(h) - epoch_us(ph) AS DOUBLE)
+                   / CAST(epoch_us(nh) - epoch_us(ph) AS DOUBLE))
+                WHEN pv IS NOT NULL THEN pv
+                ELSE nv END, 6) AS filled_value,
+              (v IS NULL) AS is_gap
+       FROM d ORDER BY event_type, hour""",
+)
+
+
+# ---------------------------------------------------------------------------
+# Z-score anomaly flagging with EXACT moments: sum and sum-of-squares
+# accumulate in DECIMAL (values have 2 decimals -> squares have 4 -> both
+# quantize exactly), so mean/std are single deterministic double
+# expressions instead of order-dependent float aggregations.
+# ---------------------------------------------------------------------------
+
+def _zscore_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_table(spark, f"{sf}/events.parquet")
+    v = F.col("value")
+    stats = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(v.cast("decimal(24,6)")).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(30,6)")).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    z = (v - mean) / F.sqrt(var)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 3)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
+        .orderBy("event_id")
+    )
+
+
+register(
+    "measure_zscore_anomalies",
+    _zscore_anomalies,
+    """WITH stats AS (
+         SELECT event_type, COUNT(value) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS s1,
+                CAST(SUM(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS s2
+         FROM events GROUP BY event_type)
+       SELECT e.event_id, e.event_type, e.value,
+              ROUND((e.value - s.s1 / s.n)
+                    / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)), 6) AS z
+       FROM events e JOIN stats s ON s.event_type = e.event_type
+       WHERE abs((e.value - s.s1 / s.n)
+                 / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))) > 3
+       ORDER BY e.event_id""",
+)

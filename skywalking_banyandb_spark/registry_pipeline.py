@@ -850,3 +850,47 @@ register(
     _ann_ivfpq,
     sim.ivfpq_topk_sql("embeddings", "vec_id", "embedding", 0, 10),
 )
+
+
+# -- weighted sampling (A-ES exponential keys, deterministic) ---------------
+
+def _weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement per source (Efraimidis-
+    Spirakis keys: rank by u^(1/w), equivalently ln(u)/w — larger is
+    better). u comes from md5(doc_id), so the 'randomness' is a seedless
+    engine-identical coin; the key is rounded to 10 dp (a last-ulp libm
+    ln() divergence can never cross a 1e-10 boundary) with doc_id
+    tie-break. One window over the source partition — no global shuffle
+    beyond the per-source rank."""
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    from pyspark.sql.window import Window
+
+    u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                 16, 10).cast("double") + F.lit(1.0))
+         / F.lit(4294967297.0))  # (h+1) / (2^32 + 1)  in (0, 1)
+    key = F.round(F.log(u) / F.col("n_chars"), 10)
+    w = Window.partitionBy("source").orderBy(
+        F.col("k").desc(), F.col("doc_id").asc())
+    return (
+        docs.select("source", "doc_id", "n_chars", key.alias("k"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source", "doc_id")
+    )
+
+
+register(
+    "documents_weighted_sample",
+    _weighted_sample,
+    """WITH k AS (
+         SELECT source, doc_id, n_chars,
+                ROUND(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 8) AS BIGINT) + 1.0)
+                         / 4294967297.0) / n_chars, 10) AS k
+         FROM documents)
+       SELECT source, doc_id, n_chars FROM k
+       QUALIFY row_number() OVER (
+           PARTITION BY source ORDER BY k DESC, doc_id ASC) <= 3
+       ORDER BY source, doc_id""",
+)
