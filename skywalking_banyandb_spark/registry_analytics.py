@@ -573,3 +573,126 @@ register(
        GROUP BY CUBE (event_type, date_trunc('day', ts))
        ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""",
 )
+
+
+def _funnel_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-type transition matrix (the Sankey/funnel feed): per user,
+    lag over the time-ordered stream gives (prev_type -> type) pairs; one
+    shuffle on user_id for the window, one bounded aggregation (|types|²
+    keys). The NULL prev (session start) is kept as '(start)'."""
+    ev = read_table(spark, f"{sf}/events.parquet")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .groupBy(
+            F.coalesce(F.col("prev_type"), F.lit("(start)")).alias("from_type"),
+            F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+register(
+    "events_funnel_transitions",
+    _funnel_transitions,
+    """WITH t AS (
+         SELECT COALESCE(lag(event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id), '(start)')
+                AS from_type,
+                event_type AS to_type
+         FROM events)
+       SELECT from_type, to_type, COUNT(*) AS n
+       FROM t GROUP BY from_type, to_type
+       ORDER BY from_type, to_type""",
+)
+
+
+def _cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: cohort = a user's first-seen day; for each
+    (cohort, day-offset) count distinct active users. Two aggregations —
+    the per-user first-day (one shuffle on user_id) broadcasts back onto
+    the activity scan; day arithmetic is integer-exact."""
+    ev = read_table(spark, f"{sf}/events.parquet")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(F.broadcast(first), "user_id")
+        .groupBy("cohort_day",
+                 F.datediff(F.col("day"), F.col("cohort_day"))
+                 .alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .where(F.col("day_offset") <= 7)
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+register(
+    "events_cohort_retention",
+    _cohort_retention,
+    """WITH days AS (
+         SELECT DISTINCT user_id,
+                CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events),
+       first AS (
+         SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
+       SELECT f.cohort_day,
+              CAST(date_diff('day', f.cohort_day, d.day) AS BIGINT)
+                  AS day_offset,
+              COUNT(DISTINCT d.user_id) AS n_users
+       FROM days d JOIN first f ON f.user_id = d.user_id
+       WHERE date_diff('day', f.cohort_day, d.day) <= 7
+       GROUP BY f.cohort_day, day_offset
+       ORDER BY f.cohort_day, day_offset""",
+)
+
+
+def _funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed funnel conversion: users whose first 'signup' is followed
+    by a 'purchase' within 24 hours. Two tiny per-user aggregates + the
+    as-of-style min-after-join; integer microsecond arithmetic."""
+    ev = read_table(spark, f"{sf}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    signup = (ev.where(F.col("event_type") == "signup")
+              .groupBy("user_id").agg(F.min(us).alias("s_us")))
+    purchase = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("p_us"))
+    conv = (
+        signup.join(purchase, "user_id", "left")
+        .groupBy("user_id", "s_us")
+        .agg(F.max(
+            F.when((F.col("p_us") >= F.col("s_us"))
+                   & (F.col("p_us") < F.col("s_us") + 86_400_000_000), 1)
+            .otherwise(0)).alias("converted"))
+    )
+    return (
+        conv.agg(
+            F.count(F.lit(1)).alias("n_signup_users"),
+            F.sum("converted").cast("long").alias("n_converted"),
+            (F.sum("converted").cast("double") / F.count(F.lit(1)))
+            .alias("conversion_rate"))
+    )
+
+
+register(
+    "events_funnel_conversion",
+    _funnel_conversion,
+    """WITH s AS (
+         SELECT user_id, MIN(epoch_us(ts)) AS s_us FROM events
+         WHERE event_type = 'signup' GROUP BY user_id),
+       p AS (
+         SELECT user_id, epoch_us(ts) AS p_us FROM events
+         WHERE event_type = 'purchase'),
+       conv AS (
+         SELECT s.user_id,
+                MAX(CASE WHEN p.p_us >= s.s_us
+                          AND p.p_us < s.s_us + 86400000000
+                         THEN 1 ELSE 0 END) AS converted
+         FROM s LEFT JOIN p ON p.user_id = s.user_id
+         GROUP BY s.user_id, s.s_us)
+       SELECT COUNT(*) AS n_signup_users,
+              CAST(SUM(converted) AS BIGINT) AS n_converted,
+              CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conversion_rate
+       FROM conv""",
+)
