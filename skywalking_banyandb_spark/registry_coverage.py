@@ -1288,3 +1288,92 @@ register(
        GROUP BY window_start, event_type
        ORDER BY window_start, event_type""",
 )
+
+
+# --------------------------------------------------------------------------
+# Streaming HLL materialization: per-window distinct-user registers
+# maintained by Structured Streaming (state O(m) per group instead of
+# O(cardinality) for a streaming COUNT DISTINCT); the re-delivered late
+# slice is absorbed by register-max idempotence. DuckDB recomputes the
+# identical registers + estimates from the raw events.
+# --------------------------------------------------------------------------
+
+def _streaming_hll(spark: SparkSession, sf: str) -> DataFrame:
+    import datetime as dt
+    import shutil
+    import time
+
+    from .sources.parquet import read_table
+    from .streaming.rollup import (
+        read_hll_estimates,
+        start_hll_materialization,
+    )
+
+    t3 = dt.datetime(2024, 1, 3)
+    t5 = dt.datetime(2024, 1, 5)
+    t6 = dt.datetime(2024, 1, 6)
+
+    work = _scratch_dir("hll_stream_entry")
+    src = f"{work}/src"
+    ev = read_table(spark, f"{sf}/events.parquet")
+    ts = F.col("ts")
+    b0 = ev.where((ts >= F.lit(t3)) & (ts < F.lit(t5)))
+    late = ev.where((ts >= F.lit(t3)) & (ts < F.lit(t3 + dt.timedelta(hours=1))))
+    b1 = ev.where((ts >= F.lit(t5)) & (ts < F.lit(t6))).unionByName(late)
+    b0.coalesce(1).write.parquet(f"{src}/b0")
+    time.sleep(1.1)
+    b1.coalesce(1).write.parquet(f"{src}/b1")
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{src}/b0").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = start_hll_materialization(
+        spark, stream, ts_col="ts", key_col="user_id",
+        group_cols=["event_type"],
+        output_path=f"{work}/out", checkpoint_path=f"{work}/ckpt",
+        window="1 hour", lateness="10 minutes", trigger_once=True,
+    )
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise RuntimeError("streaming hll entry timed out after 300s")
+    shutil.rmtree(f"{work}/src", ignore_errors=True)
+    shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+    return (
+        read_hll_estimates(spark, f"{work}/out", ["event_type"])
+        .orderBy("window_start", "event_type")
+    )
+
+
+from .functions.sketches import hll_estimate_sql as _hll_est_sql  # noqa: E402
+
+register(
+    "streaming_hll_distinct_materialized",
+    _streaming_hll,
+    f"""WITH r AS (
+          SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+                 event_type,
+                 CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4)
+                      AS BIGINT) % 64 AS bucket,
+                 CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                               5, 12) AS BIGINT) = 0
+                      THEN 49
+                      ELSE 49 - length(bin(CAST('0x'
+                           || substr(md5(CAST(user_id AS VARCHAR)), 5, 12)
+                           AS BIGINT)))
+                 END AS rho
+          FROM events
+          WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+            AND ts <  TIMESTAMP '2024-01-06 00:00:00'),
+        regs AS (
+          SELECT window_start, event_type, bucket, MAX(rho) AS m
+          FROM r GROUP BY window_start, event_type, bucket),
+        agg AS (
+          SELECT window_start, event_type,
+                 SUM(1::BIGINT << (49 - m)) AS s, COUNT(*) AS nz
+          FROM regs GROUP BY window_start, event_type)
+        SELECT window_start, event_type,
+               {_hll_est_sql('s', 'nz')} AS hll_est
+        FROM agg ORDER BY window_start, event_type""",
+)
