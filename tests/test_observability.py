@@ -113,3 +113,52 @@ def test_asof_matches_brute_force(spark):
             assert pv is None and lag is None, event_id
         else:
             assert pv is not None and lag is not None, event_id
+
+
+def test_chunked_asof_equals_simple(spark):
+    """The skew-resistant chunked as-of join (parallel-prefix over time
+    chunks, operators/asof.py) must produce IDENTICAL results to the
+    single-window union-trick, for several chunk widths including ones
+    far smaller than the data span."""
+    from pyspark.sql import functions as F
+
+    from skywalking_banyandb_spark.operators.asof import (
+        asof_join, asof_join_chunked)
+    from skywalking_banyandb_spark.sources.parquet import read_table
+
+    ev = read_table(spark, f"{SF_SMALL}/events.parquet")
+    left = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("pv"))
+
+    def rows(df):
+        return sorted((r.event_id, r.asof_value) for r in df.collect())
+
+    base = rows(asof_join(left, right, ["user_id"], "ts", "pv"))
+    assert any(v is not None for _, v in base)
+    for chunk_us in (3_600_000_000, 86_400_000_000, 7 * 86_400_000_000):
+        got = rows(asof_join_chunked(left, right, ["user_id"], "ts", "pv",
+                                     chunk_us=chunk_us))
+        assert got == base, chunk_us
+
+
+def test_chunked_asof_no_key_global_window(spark):
+    """Plan shape: the event-bearing window partitions by (key, chunk) —
+    the per-key-only sort touches just the chunk spine. No NLJ anywhere."""
+    from pyspark.sql import functions as F
+
+    from skywalking_banyandb_spark.operators.asof import asof_join_chunked
+    from skywalking_banyandb_spark.sources.parquet import read_table
+
+    ev = read_table(spark, f"{SF_SMALL}/events.parquet")
+    left = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("pv"))
+    df = asof_join_chunked(left, right, ["user_id"], "ts", "pv",
+                           chunk_us=3_600_000_000)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partitionBy=[user_id#" in plan.replace(" ", "") or "user_id" in plan

@@ -80,3 +80,46 @@ def test_ngram_jaccard_df_cap_bounds_hot_shingles(spark):
     assert n_bare == 40 * 39 // 2, n_bare
     # capped: only the genuinely-similar pair survives
     assert got == {(0, 1)}, got
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's skew-join handling is the runtime half of the skew story
+    (operators/skew.py salting is the plan-time half): with a hot key
+    dominating one shuffle partition, the final adaptive plan must mark
+    and split the skewed side (``skew=true``) instead of serializing the
+    join on one task. Thresholds are lowered so the behaviour is
+    observable at test scale; the mechanism is identical at 100 TB."""
+    from pyspark.sql import functions as F
+
+    keep = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": None,
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": None,
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": None,
+        "spark.sql.autoBroadcastJoinThreshold": None,
+    }
+    for k in keep:
+        keep[k] = spark.conf.get(k)
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        hot = spark.range(200000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v"))
+        tail = spark.range(2000).select(
+            (F.col("id") % 50 + 1).alias("k"), F.col("id").alias("v"))
+        right = spark.range(51).select(F.col("id").alias("k"),
+                                       F.lit(1).alias("w"))
+        j = hot.union(tail).join(right, "k").groupBy().agg(F.sum("v").alias("s"))
+        j.collect()  # AQE finalizes the plan at execution
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in keep.items():
+            spark.conf.set(k, v)
