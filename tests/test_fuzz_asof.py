@@ -1,0 +1,68 @@
+"""Property-based differential fuzz for the as-of join: random tiny
+event sets -> the engine's union-trick AND chunked as-of joins vs DuckDB's
+native ASOF LEFT JOIN (an independent implementation). Any divergence in
+(left_id -> matched payload) is a bug in one of the three."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from skywalking_banyandb_spark.operators.asof import (
+    asof_join,
+    asof_join_chunked,
+)
+
+_T0 = dt.datetime(2024, 1, 1)
+
+# (key, minute-offset, payload-or-None); None payload = left row
+_row = st.tuples(
+    st.integers(min_value=0, max_value=3),
+    st.integers(min_value=0, max_value=5000),
+    st.one_of(st.none(), st.integers(min_value=1, max_value=99)),
+)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(_row, min_size=1, max_size=24))
+def test_asof_matches_duckdb_asof(spark, rows):
+    lefts, rights = [], []
+    for i, (k, mins, payload) in enumerate(rows):
+        ts = _T0 + dt.timedelta(minutes=mins)
+        if payload is None:
+            lefts.append((i, k, ts))
+        else:
+            rights.append((k, ts, float(payload)))
+    if not lefts:
+        lefts.append((999, 0, _T0))
+
+    left = spark.createDataFrame(lefts, "lid long, k long, ts timestamp")
+    right = (spark.createDataFrame(rights, "k long, ts timestamp, pv double")
+             if rights else
+             spark.createDataFrame([], "k long, ts timestamp, pv double"))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(lid BIGINT, k BIGINT, ts TIMESTAMP)")
+    con.execute("CREATE TABLE r(k BIGINT, ts TIMESTAMP, pv DOUBLE)")
+    con.executemany("INSERT INTO l VALUES (?, ?, ?)", lefts)
+    if rights:
+        con.executemany("INSERT INTO r VALUES (?, ?, ?)", rights)
+    want = dict(con.execute("""
+        WITH rd AS (SELECT k, ts, MAX(pv) AS pv FROM r GROUP BY k, ts)
+        SELECT l.lid, rd.pv FROM l ASOF LEFT JOIN rd
+          ON l.k = rd.k AND l.ts >= rd.ts
+    """).fetchall())
+
+    got = {r.lid: r.asof_value
+           for r in asof_join(left, right, ["k"], "ts", "pv").collect()}
+    assert got == want, (sorted(got.items()), sorted(want.items()))
+
+    chunked = {r.lid: r.asof_value
+               for r in asof_join_chunked(left, right, ["k"], "ts", "pv",
+                                          chunk_us=3_600_000_000).collect()}
+    assert chunked == want
