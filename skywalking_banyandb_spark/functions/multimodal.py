@@ -305,3 +305,65 @@ def sample_frames_sql(table: str, id_col: str, text_col: str) -> str:
         )
     union = " UNION ALL ".join(frame_rows)
     return f"SELECT * FROM ({union}) ORDER BY doc_id, frame_idx"
+
+
+def resize_nearest(width: int, height: int, rgb: bytes,
+                   new_w: int, new_h: int) -> bytes:
+    """Nearest-neighbor resize of a packed-RGB buffer (dependency-free —
+    the resize stage of the decode → resize → featurize pipeline). Source
+    pixel = floor(dst * src_dim / dst_dim): integer arithmetic, so the
+    mapping is exact and engine/platform-independent."""
+    out = bytearray(new_w * new_h * 3)
+    for y in range(new_h):
+        sy = y * height // new_h
+        for x in range(new_w):
+            sx = x * width // new_w
+            s = (sy * width + sx) * 3
+            d = (y * new_w + x) * 3
+            out[d:d + 3] = rgb[s:s + 3]
+    return bytes(out)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_width", IntegerType()),
+        StructField("src_height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+    ]
+)
+
+
+def resize_and_features(df: DataFrame, new_w: int = 8,
+                        new_h: int = 8) -> DataFrame:
+    """decode → nearest-neighbor resize → channel means, one Arrow batch
+    at a time (same mapInPandas plumbing as extract_decoded_features:
+    declared schema, constant memory per task, no driver round-trip).
+    Pytest-proven (tests/test_multimodal_decode.py) — an SQL oracle cannot
+    decode images, so like the decode path this is not driver-paired."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, payload in zip(b["doc_id"], b["payload"]):
+                w, h, rgb = decode_image(bytes(payload))
+                small = resize_nearest(w, h, rgb, new_w, new_h)
+                n = new_w * new_h
+                rows.append({
+                    "doc_id": int(doc_id),
+                    "src_width": w, "src_height": h,
+                    "width": new_w, "height": new_h,
+                    "mean_r": sum(small[0::3]) / n,
+                    "mean_g": sum(small[1::3]) / n,
+                    "mean_b": sum(small[2::3]) / n,
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA])
+
+    return df.select("doc_id", "payload").mapInPandas(_proc, RESIZED_SCHEMA)

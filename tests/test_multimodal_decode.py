@@ -91,3 +91,26 @@ def test_extract_decoded_features_mixed_formats(spark):
         assert (r["width"], r["height"], r["n_pixels"]) == (3, 2, 6)
         assert (r["mean_r"], r["mean_g"], r["mean_b"]) == (exp_r, exp_g, exp_b)
     assert (out[3]["mean_r"], out[3]["mean_g"], out[3]["mean_b"]) == (8.0, 16.0, 32.0)
+
+
+def test_resize_nearest_exact():
+    """4x2 -> 2x1: floor mapping picks src (0,0) and (0,2)."""
+    pix = [(i, i + 1, i + 2) for i in range(0, 80, 10)]  # 8 pixels, 4x2
+    w, h, rgb = mm.decode_image(make_ppm(4, 2, pix))
+    out = mm.resize_nearest(w, h, rgb, 2, 1)
+    assert out == bytes(pix[0]) + bytes(pix[2])
+    # upscale replicates neighbours: 1x1 -> 2x2 is four copies
+    up = mm.resize_nearest(1, 1, bytes((9, 8, 7)), 2, 2)
+    assert up == bytes((9, 8, 7)) * 4
+
+
+def test_resize_and_features_pipeline(spark):
+    """decode -> resize -> featurize through mapInPandas: a uniform-color
+    PPM keeps its channel means through any resize."""
+    payload = make_ppm(6, 4, [(100, 150, 200)] * 24)
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "doc_id long, payload binary")
+    row = mm.resize_and_features(df, new_w=3, new_h=2).head()
+    assert (row.src_width, row.src_height) == (6, 4)
+    assert (row.width, row.height) == (3, 2)
+    assert (row.mean_r, row.mean_g, row.mean_b) == (100.0, 150.0, 200.0)
