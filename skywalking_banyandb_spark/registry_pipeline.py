@@ -894,3 +894,40 @@ register(
            PARTITION BY source ORDER BY k DESC, doc_id ASC) <= 3
        ORDER BY source, doc_id""",
 )
+
+
+# -- BPE pair statistics (driver-visible core of the tokenizer trainer) -----
+
+def _bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """The frequency-weighted symbol-pair count — the primitive every BPE
+    merge iteration argmaxes over (functions/bpe.py learn_bpe; the full
+    iterative trainer is pytest-proven against a local reference, since
+    SQL cannot replay the merge fold). Top-20 initial pairs with the
+    trainer's exact (count desc, pair asc) determinism order."""
+    from .functions.bpe import _pair_counts, _word_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    return (
+        _pair_counts(_word_table(docs, "text"))
+        .select("pair", F.col("n").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
+register(
+    "bpe_pair_counts",
+    _bpe_pair_counts,
+    """WITH w AS (
+         SELECT word, COUNT(*) AS freq FROM (
+           SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         WHERE length(word) > 0 GROUP BY word),
+       p AS (
+         SELECT substr(w.word, i, 1) || ' ' ||
+                CASE WHEN i = length(w.word) THEN '</w>'
+                     ELSE substr(w.word, i + 1, 1) END AS pair,
+                w.freq
+         FROM w, UNNEST(generate_series(1, length(w.word))) AS u(i))
+       SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM p
+       GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""",
+)
