@@ -52,7 +52,14 @@ def norm(rows, cols):
 
 
 def main():
-    limit = int(sys.argv[1]) if len(sys.argv) > 1 else None
+    # args: a number sweeps the first N (the sweep-order front); any
+    # non-numeric args are entry NAMES to check individually
+    limit, picked = None, []
+    for a in sys.argv[1:]:
+        if a.isdigit():
+            limit = int(a)
+        else:
+            picked.append(a)
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.sql.shuffle.partitions", "8")
              .config("spark.ui.enabled", "false")
@@ -70,7 +77,12 @@ def main():
 
     qs, oracles = em.queries(), em.oracle_sql()
     names = list(qs)
-    if limit:
+    if picked:
+        unknown = [n for n in picked if n not in qs]
+        if unknown:
+            raise SystemExit(f"unknown entries: {unknown}")
+        names = picked
+    elif limit:
         names = names[:limit]
     bad = []
     t0 = time.time()
