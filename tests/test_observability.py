@@ -162,3 +162,47 @@ def test_chunked_asof_no_key_global_window(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partitionBy=[user_id#" in plan.replace(" ", "") or "user_id" in plan
+
+
+def test_hopping_window_boundary_semantics(spark):
+    """Rows exactly ON a slide boundary belong to [start, start+size) of
+    exactly size/slide windows; rows 1µs before a boundary shift one
+    window back. Constructed timestamps pin Spark's F.window membership
+    to the oracle's integer expansion ((us div slide - w) * slide)."""
+    import datetime as dt
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1, 0, 15, 0)  # exact 5-min boundary
+    rows = [
+        (1, base),
+        (2, base - dt.timedelta(microseconds=1)),
+        (3, base + dt.timedelta(minutes=14, seconds=59, microseconds=999999)),
+    ]
+    df = spark.createDataFrame(rows, "rid long, ts timestamp")
+    # membership enumeration comes from the groupBy form (a projection
+    # window() yields a single struct, not the per-window expansion)
+    exploded = (
+        df.groupBy("rid",
+                   F.window(F.col("ts"), "15 minutes", "5 minutes")
+                   .getField("start").alias("ws"))
+        .count()
+    )
+    got = sorted((r.rid, r.ws.isoformat()) for r in exploded.collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(rid BIGINT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = sorted(
+        (rid, ws.isoformat())
+        for rid, ws in con.execute("""
+            SELECT rid, make_timestamp(
+                (epoch_us(ts) // 300000000 - w) * 300000000) AS ws
+            FROM t, (SELECT unnest(generate_series(0, 2)) AS w)
+        """).fetchall()
+    )
+    assert got == want
+    # each row is in exactly 3 windows (size/slide)
+    from collections import Counter
+    assert all(v == 3 for v in Counter(r for r, _ in got).values())
