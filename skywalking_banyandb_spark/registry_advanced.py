@@ -112,6 +112,7 @@ def _dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     labels = docs.select(
         F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
     ).localCheckpoint()
+    converged = False
     for _ in range(8):  # diameter bound for this corpus; loop is driver-side
         neigh = (
             edges.join(labels, edges["b"] == labels["node"])
@@ -129,8 +130,15 @@ def _dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         )
         labels = new.select("node", "label")
         if new.where(F.col("changed")).isEmpty():
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # a component with diameter > the round bound would otherwise get
+        # SILENTLY wrong labels — fail loudly; callers raise the bound
+        raise RuntimeError(
+            "near-dup clustering did not converge within 8 label-propagation "
+            "rounds (component diameter exceeds the bound)")
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
