@@ -57,6 +57,11 @@ def _us(c):
 # ---------------------------------------------------------------------------
 
 def _asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    # The union-trick inline (carrying both value and matched timestamp);
+    # the reusable operator form lives in operators/asof.py (asof_join +
+    # the skew-resistant chunked variant, proven identical in
+    # tests/test_observability.py and fuzzed vs DuckDB ASOF in
+    # tests/test_fuzz_asof.py).
     ev = read_table(spark, f"{sf}/events.parquet")
     left = ev.where(F.col("event_type") == "error").select(
         "user_id", "ts", "event_id", F.col("value").alias("error_value"))
