@@ -144,3 +144,56 @@ def test_far_late_recreation_is_refused(spark):
         assert after == before
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_hll_far_late_recreation_is_refused(spark):
+    """Streaming HLL: register MAX absorbs duplicate re-delivery for
+    free, but a far-late drain AFTER state eviction would re-create
+    registers from partial data and UNDER-estimate; the isWindowLate gate
+    must leave the materialization unchanged."""
+    from skywalking_banyandb_spark.streaming.rollup import (
+        read_hll_estimates,
+        start_hll_materialization,
+    )
+
+    work = tempfile.mkdtemp(prefix="hll_late_")
+    try:
+        ev = read_table(spark, f"{SF_SMALL}/events.parquet")
+        ts = F.col("ts")
+
+        def start(src):
+            ev_schema = spark.read.parquet(glob.glob(f"{src}/b*")[0]).schema
+            stream = (
+                spark.readStream.schema(ev_schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(f"{src}/*")
+            )
+            return start_hll_materialization(
+                spark, stream, ts_col="ts", key_col="user_id",
+                group_cols=["event_type"],
+                output_path=f"{work}/out", checkpoint_path=f"{work}/ckpt",
+                window="1 hour", lateness="10 minutes", trigger_once=True,
+            )
+
+        ev.where((ts >= F.lit(T3)) & (ts < F.lit(T4))).coalesce(1) \
+            .write.parquet(f"{work}/src/b0")
+        _drain(start(f"{work}/src"))
+        before = sorted(
+            (str(r.window_start), r.event_type, r.hll_est)
+            for r in read_hll_estimates(
+                spark, f"{work}/out", ["event_type"]).collect())
+
+        time.sleep(1.1)
+        # re-deliver only half of the first hour — a partial register set
+        ev.where((ts >= F.lit(T3))
+                 & (ts < F.lit(T3 + dt.timedelta(minutes=30)))).coalesce(1) \
+            .write.parquet(f"{work}/src/b1")
+        _drain(start(f"{work}/src"))
+
+        after = sorted(
+            (str(r.window_start), r.event_type, r.hll_est)
+            for r in read_hll_estimates(
+                spark, f"{work}/out", ["event_type"]).collect())
+        assert after == before
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
