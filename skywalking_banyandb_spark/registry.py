@@ -160,19 +160,49 @@ _R3_DRIVER_SEEN = frozenset({
     "tpch_q8_market_share", "trace_spans_payload",
 })
 
-# Round-4 front of the 50-entry driver window:
-# - the three r3 `err` rows — array<string> output crashed the driver's
-#   pandas canonicalizer; fixed this round via array_join (VERDICT r3 #1);
-# - the four entries whose ONLY green row is r1 — they overflowed both the
-#   r2 and r3 windows (ADVICE r3: silent prefix truncation);
-# - entries whose compile path changes in round 4 (sequence_packing shard
-#   derivation, property_apply segment-scoped rewrite, multimodal decode).
-_R4_TOUCHED = (
-    "bydbql_stream_having", "stream_having_derived_tag",
-    "stream_write_roundtrip",
-    "bydbql_stream_select_top", "bydbql_family_qualified_agg",
-    "measure_index_mode_scan", "measure_orderby_field_desc",
-    "sequence_packing", "property_crud_roundtrip", "multimodal_features",
+# Entries the round-4 driver sweep recorded (CORRECTNESS_r04.json): the
+# round-4 window — 50/50 green, first all-green round.
+_R4_DRIVER_SEEN = frozenset({
+    "ann_cosine_topk", "ann_ivfpq_topk", "ann_pq_topk", "bpe_pair_counts",
+    "bydbql_family_qualified_agg", "bydbql_property_match", "bydbql_show_top",
+    "bydbql_stream_having", "bydbql_stream_select_top",
+    "bydbql_trace_orderby_duration", "bydbql_trace_stats",
+    "continuous_rollup_materialized", "corpus_clean_pipeline",
+    "criteria_having_array", "criteria_not_having_array",
+    "decontamination_overlap", "dedup_embedding_cosine", "dedup_exact",
+    "documents_weighted_sample", "domain_mixture_resample",
+    "events_asof_join", "events_cohort_retention", "events_cube_type_day",
+    "events_funnel_conversion", "events_funnel_transitions",
+    "events_pivot_type_counts", "events_range_join_bucketed",
+    "events_session_window", "latency_heatmap",
+    "measure_gap_fill_interpolate", "measure_hopping_window",
+    "measure_index_mode_scan", "measure_latency_percentiles",
+    "measure_moving_avg", "measure_orderby_field_desc", "measure_rate_delta",
+    "measure_zscore_anomalies", "multimodal_features",
+    "property_crud_roundtrip", "quality_repetition", "sequence_packing",
+    "sketch_bloom_membership", "sketch_cms_tokens", "sketch_hll_users",
+    "stream_having_derived_tag", "stream_multigroup_schema_merge",
+    "stream_write_roundtrip", "streaming_hll_distinct_materialized",
+    "trace_multigroup_schema_merge", "write_mixed_roundtrip",
+})
+
+# Round-5 front of the 50-entry driver window: entries whose compile path
+# round 5 changes —
+# - events_cohort_retention: the per-user dim is no longer force-broadcast
+#   (VERDICT r4 wrong #1);
+# - ann_*: probe/centroid ordering now ranks on the UNROUNDED cosine with id
+#   tie-break (round6 kept for display/hash only, VERDICT r4 wrong #4), and
+#   PQ/IVF-PQ builds sample all codebooks in ONE corpus scan (wrong #2);
+# - dedup_embedding_cosine / dedup_embedding_lsh share similarity.py's
+#   ordering helpers;
+# - sketch_cms_tokens: cms_estimate now left-joins the sketch so absent
+#   probes return est=0 (ADVICE r4).
+_R5_TOUCHED = (
+    "events_cohort_retention",
+    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "ann_pq_topk", "ann_ivfpq_topk",
+    "dedup_embedding_cosine", "dedup_embedding_lsh",
+    "sketch_cms_tokens",
 )
 
 _SWEEP_CAP = 50
@@ -180,6 +210,8 @@ _SWEEP_CAP = 50
 
 def _newest_driver_round(k: str) -> int:
     """Most recent round whose sweep recorded this entry (0 = never)."""
+    if k in _R4_DRIVER_SEEN:
+        return 4
     if k in _R3_DRIVER_SEEN:
         return 3
     if k in _R2_DRIVER_SEEN:
@@ -192,11 +224,11 @@ def _newest_driver_round(k: str) -> int:
 def _sweep_order(d: Dict[str, "object"]) -> list:
     """Driver sweeps record the FIRST 50 entries only, so order by need:
     never-driver-seen entries (new this round), then entries whose code
-    changed this round (_R4_TOUCHED), then everything else oldest-driver-row
+    changed this round (_R5_TOUCHED), then everything else oldest-driver-row
     first so no entry's newest row goes stale silently. Warn when the
     priority prefix itself overflows the cap (ADVICE r3)."""
     fresh = [k for k in d if _newest_driver_round(k) == 0]
-    touched = [k for k in _R4_TOUCHED if k in d and k not in fresh]
+    touched = [k for k in _R5_TOUCHED if k in d and k not in fresh]
     front = fresh + touched
     if len(front) > _SWEEP_CAP:
         import warnings
