@@ -151,10 +151,13 @@ def _ann_brute(spark: SparkSession, sf: str) -> DataFrame:
 register(
     "ann_cosine_topk",
     _ann_brute,
+    # ranked on the UNROUNDED cosine (bit-stable across engines — see
+    # functions/similarity.cosine_raw); rounded score is display-only
     f"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-        SELECT vec_id, {sim.cosine_sql('embedding', 'qv')} AS score
-        FROM embeddings, q WHERE vec_id <> 0
-        ORDER BY score DESC, vec_id LIMIT 10""",
+        SELECT vec_id, round(raw, 6) AS score FROM (
+          SELECT vec_id, {sim.cosine_raw_sql('embedding', 'qv')} AS raw
+          FROM embeddings, q WHERE vec_id <> 0
+          ORDER BY raw DESC, vec_id LIMIT 10)""",
 )
 
 
