@@ -96,19 +96,37 @@ def asof_join_chunked(left: DataFrame, right: DataFrame, keys: Sequence[str],
     )
 
     # 3. carry-in over the chunk spine (every chunk any side touched);
-    #    window size = number of chunks per key, never event counts
+    #    window size = number of chunks per key, never event counts.
+    #    NULL-SAFE key match (ADVICE r4): the window formulation groups
+    #    NULL keys into one series, so the spine join must match them too.
     spine = u.select(*keys, "_ck").distinct()
-    spined = spine.join(summaries, [*keys, "_ck"], "left")
+    summ_r = summaries.select(
+        *[F.col(k).alias(f"_s_{k}") for k in keys],
+        F.col("_ck").alias("_s_ck"), "_cl")
+    scond = spine["_ck"] == summ_r["_s_ck"]
+    for k in keys:
+        scond = scond & spine[k].eqNullSafe(summ_r[f"_s_{k}"])
+    spined = spine.join(summ_r, scond, "left").select(*keys, "_ck", "_cl")
     win_carry = (Window.partitionBy(*keys).orderBy("_ck")
                  .rowsBetween(Window.unboundedPreceding, -1))
     carry = spined.withColumn(
         "_carry", F.last("_cl", ignorenulls=True).over(win_carry)
     ).select(*keys, "_ck", "_carry")
 
-    # 4. stitch
+    # 4. stitch — NULL-SAFE on the series keys (ADVICE r4): the window
+    #    formulation groups NULL keys into one series, so the stitch join
+    #    must match them too or NULL-key left rows would silently drop and
+    #    break the 'results IDENTICAL to asof_join' guarantee. `_ck` is
+    #    never null (derived from ts), so plain equality is fine there.
+    lefts = u.where(F.col("_is_left") == 1)
+    carry_r = carry.select(
+        *[F.col(k).alias(f"_r_{k}") for k in keys],
+        F.col("_ck").alias("_r_ck"), "_carry")
+    cond = lefts["_ck"] == carry_r["_r_ck"]
+    for k in keys:
+        cond = cond & lefts[k].eqNullSafe(carry_r[f"_r_{k}"])
     return (
-        u.where(F.col("_is_left") == 1)
-        .join(carry, [*keys, "_ck"])
+        lefts.join(carry_r, cond)
         .select(F.col("_row.*"),
                 F.coalesce(F.col("_within"), F.col("_carry")).alias(out_col))
     )

@@ -66,3 +66,41 @@ def test_asof_matches_duckdb_asof(spark, rows):
                for r in asof_join_chunked(left, right, ["k"], "ts", "pv",
                                           chunk_us=3_600_000_000).collect()}
     assert chunked == want
+
+
+def test_asof_chunked_keeps_null_key_rows(spark):
+    """ADVICE r4: the chunked stitch join must be NULL-SAFE on the series
+    keys — the window formulation groups NULL keys into one series, so a
+    NULL-key left row has well-defined as-of semantics and must not drop.
+    Differential: plain vs chunked vs a sentinel-keyed DuckDB ASOF."""
+    lefts = [(1, None, _T0 + dt.timedelta(minutes=10)),
+             (2, None, _T0 + dt.timedelta(minutes=30)),
+             (3, 1, _T0 + dt.timedelta(minutes=20)),
+             (4, None, _T0 + dt.timedelta(minutes=5))]
+    rights = [(None, _T0 + dt.timedelta(minutes=8), 7.0),
+              (None, _T0 + dt.timedelta(minutes=25), 9.0),
+              (1, _T0 + dt.timedelta(minutes=1), 3.0)]
+    left = spark.createDataFrame(lefts, "lid long, k long, ts timestamp")
+    right = spark.createDataFrame(rights, "k long, ts timestamp, pv double")
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(lid BIGINT, k BIGINT, ts TIMESTAMP)")
+    con.execute("CREATE TABLE r(k BIGINT, ts TIMESTAMP, pv DOUBLE)")
+    con.executemany("INSERT INTO l VALUES (?, ?, ?)", lefts)
+    con.executemany("INSERT INTO r VALUES (?, ?, ?)", rights)
+    want = dict(con.execute("""
+        WITH rd AS (SELECT COALESCE(k, -1) AS k, ts, MAX(pv) AS pv
+                    FROM r GROUP BY COALESCE(k, -1), ts)
+        SELECT l.lid, rd.pv
+        FROM (SELECT lid, COALESCE(k, -1) AS k, ts FROM l) l
+        ASOF LEFT JOIN rd ON l.k = rd.k AND l.ts >= rd.ts
+    """).fetchall())
+    assert want == {1: 7.0, 2: 9.0, 3: 3.0, 4: None}
+
+    got = {r.lid: r.asof_value
+           for r in asof_join(left, right, ["k"], "ts", "pv").collect()}
+    assert got == want
+    chunked = {r.lid: r.asof_value
+               for r in asof_join_chunked(left, right, ["k"], "ts", "pv",
+                                          chunk_us=600_000_000).collect()}
+    assert chunked == want
