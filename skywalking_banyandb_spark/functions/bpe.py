@@ -86,10 +86,28 @@ def learn_bpe(df: DataFrame, text_col: str,
             break
         a, b = top[0]["pair"].split(" ")
         merges.append((a, b, int(top[0]["n"])))
+        prev = vocab
         vocab = vocab.select(
             "word", "freq", _merge_expr(a, b).alias("syms")
         ).localCheckpoint()
+        # free the superseded checkpoint's blocks now that the new one is
+        # materialized (ADVICE r4: otherwise executor storage accumulates
+        # one vocab snapshot per merge — linear leak at realistic 30k+
+        # merge counts)
+        _unpersist_checkpoint(prev)
     return merges
+
+
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Release a localCheckpoint()'d DataFrame's storage blocks. The cached
+    RDD lives inside the plan's LogicalRDD leaf (``DataFrame.rdd`` wraps a
+    NEW derived RDD, so unpersisting that would be a no-op); the expected
+    'lineage has been truncated' warning is fine — the checkpoint is never
+    recomputed after being superseded."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # freeing storage is best-effort; never fail the training loop
 
 
 def apply_bpe(df: DataFrame, text_col: str,

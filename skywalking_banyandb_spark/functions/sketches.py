@@ -74,7 +74,13 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, item_col: str,
                  d: int = CMS_D, w: int = CMS_W) -> DataFrame:
     """Point estimates for the probe items: explode each probe to its D
     (row, cell) addresses, broadcast-join the (tiny) sketch, min over
-    rows. CMS guarantees est >= true count."""
+    rows. CMS guarantees est >= true count.
+
+    A probe whose (row, cell) has no sketch row (item absent from the
+    corpus AND the cell uncollided) means that counter is 0, so the join is
+    a LEFT join with missing ``cnt`` coalesced to 0 (ADVICE r4: an inner
+    join would drop fully-absent probes and over-estimate partially-missing
+    ones by taking the min over fewer rows)."""
     addr = probes.select(
         F.col(item_col),
         F.explode(F.array(*[
@@ -88,9 +94,9 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, item_col: str,
     ).select(item_col, F.col("rc.row").alias("row"),
              F.col("rc.cell").alias("cell"))
     return (
-        addr.join(F.broadcast(sketch), ["row", "cell"])
+        addr.join(F.broadcast(sketch), ["row", "cell"], "left")
         .groupBy(item_col)
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
 
 

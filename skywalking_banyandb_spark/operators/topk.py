@@ -60,16 +60,37 @@ def per_window_top_n(
 # offsets to the spill-safe global Sort + CollectLimit path while small
 # pages keep the optimal bounded-heap plan.
 _TOPK_SAFE_ROWS = 4_000_000
+_TOPK_KEY = "spark.sql.execution.topKSortFallbackThreshold"
+
+
+def ensure_pagination_memory_safety(spark) -> None:
+    """SESSION-LEVEL engine policy (ADVICE r4 made this explicit): cap
+    ``topKSortFallbackThreshold`` at ``_TOPK_SAFE_ROWS`` so any sort+limit
+    whose limit+offset exceeds ~4M rows plans as the spill-safe global
+    Sort + CollectLimit instead of a per-task O(limit+offset) heap.
+
+    The cap PERSISTS for the session — deliberately. It cannot be scoped to
+    one query: physical planning happens lazily at action time, after this
+    function returns, so a set-then-restore would never reach the planner.
+    It is also the plan we'd want for EVERY >4M-row sort+limit in the
+    session, not just paginated ones (a 4M-row per-task heap is worse than
+    a spillable sort regardless of who asks). A user's own LOWER setting is
+    preserved; concurrent callers all write the same constant, so the
+    check-then-set race is benign (last write = same value)."""
+    cur = int(spark.conf.get(_TOPK_KEY))
+    if cur > _TOPK_SAFE_ROWS:  # only ever lower a user's setting
+        spark.conf.set(_TOPK_KEY, str(_TOPK_SAFE_ROWS))
 
 
 def limit_offset(df: DataFrame, limit: Optional[int], offset: int) -> DataFrame:
     """Pagination (``measure_plan.go:37-131``); offset beyond end -> empty.
-    Spark ≥3.4 supports a real OFFSET; both lower into the sort/limit leaf."""
+    Spark ≥3.4 supports a real OFFSET; both lower into the sort/limit leaf.
+
+    Side effect: a limit+offset past ``_TOPK_SAFE_ROWS`` engages the
+    session-wide :func:`ensure_pagination_memory_safety` cap (see its
+    docstring for why it persists)."""
     if offset + (limit or 0) > _TOPK_SAFE_ROWS:
-        key = "spark.sql.execution.topKSortFallbackThreshold"
-        cur = int(df.sparkSession.conf.get(key))
-        if cur > _TOPK_SAFE_ROWS:  # only ever lower a user's setting
-            df.sparkSession.conf.set(key, str(_TOPK_SAFE_ROWS))
+        ensure_pagination_memory_safety(df.sparkSession)
     if offset:
         df = df.offset(offset)
     if limit is not None:

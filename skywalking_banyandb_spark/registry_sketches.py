@@ -58,8 +58,11 @@ register(
                  "FROM (SELECT DISTINCT tok FROM toks) toks")}) a
             ON a.tok = t.tok),
         est AS (
-          SELECT addr.tok AS tok, MIN(s.cnt) AS est_c
-          FROM addr JOIN sketch s ON s.row = addr.row AND s.cell = addr.cell
+          -- LEFT join + COALESCE 0 mirrors cms_estimate (ADVICE r4): an
+          -- unoccupied cell means that counter is 0
+          SELECT addr.tok AS tok, MIN(COALESCE(s.cnt, 0)) AS est_c
+          FROM addr LEFT JOIN sketch s
+            ON s.row = addr.row AND s.cell = addr.cell
           GROUP BY addr.tok)
         SELECT t.tok AS tok, t.true_c AS true_c, e.est_c AS est_c
         FROM true_c t JOIN est e ON e.tok = t.tok

@@ -95,3 +95,20 @@ def test_bpe_no_python_udf(spark):
     df = apply_bpe(docs, "text", merges)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_learn_bpe_releases_superseded_checkpoints(spark):
+    """ADVICE r4: executor storage must hold O(1) vocab snapshots, not one
+    per merge — the training loop unpersists each superseded checkpoint."""
+    sc = spark.sparkContext
+    before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    df = spark.createDataFrame(
+        [("low lower lowest newest new",), ("wide wider widest low new",)],
+        "text string")
+    from skywalking_banyandb_spark.functions.bpe import learn_bpe
+
+    merges = learn_bpe(df, "text", n_merges=6)
+    assert len(merges) >= 4
+    now = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    # only the FINAL vocab checkpoint may remain cached
+    assert len(now - before) <= 1, (before, now)

@@ -57,3 +57,30 @@ def test_bloom_no_false_negatives(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert all(r.in_bloom for r in rows if r.is_member)
+
+
+def test_cms_absent_probe_estimates_zero(spark):
+    """ADVICE r4: probing an item that never entered the sketch must return
+    its CMS estimate (0 when every addressed cell is unoccupied, the cell's
+    collision count otherwise) — not silently vanish from the output, and a
+    partially-missing address set must not over-estimate via min-over-fewer
+    rows."""
+    from skywalking_banyandb_spark.functions.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    corpus = spark.createDataFrame([("alpha",), ("alpha",), ("beta",)],
+                                   "tok string")
+    sketch = cms_build(corpus, "tok")
+    probes = spark.createDataFrame(
+        [("alpha",), ("never-in-corpus-xyzzy",)], "tok string")
+    got = {r.tok: r.est for r in
+           cms_estimate(sketch, probes, "tok").collect()}
+    assert set(got) == {"alpha", "never-in-corpus-xyzzy"}
+    assert got["alpha"] >= 2          # one-sided error
+    # 2 corpus tokens × D=8 rows occupy ≤16 of 1024 cells: the absent
+    # probe's 8 addresses are almost surely all empty -> est 0; even under
+    # a freak collision CMS only over-estimates, never drops the row
+    assert got["never-in-corpus-xyzzy"] >= 0
+    assert got["never-in-corpus-xyzzy"] <= 3
