@@ -50,7 +50,7 @@ def test_streaming_topn_matches_batch(spark):
             window="1 hour", lateness="30 days",  # keep all windows live
             sort=Sort.DESC, trigger_once=True,
         )
-        q.awaitTermination(timeout=300)
+        assert q.awaitTermination(timeout=300), "stream did not drain in 300s"
 
         got = sorted(
             (str(r.window_start), r.user_id, r.value)
@@ -111,7 +111,7 @@ def test_watermark_drops_events_older_than_lateness(spark):
             window="1 hour", lateness="1 hour",
             sort=Sort.DESC, trigger_once=True,
         )
-        q.awaitTermination(timeout=300)
+        assert q.awaitTermination(timeout=300), "stream did not drain in 300s"
 
         wins = {str(r.window_start) for r in
                 spark.read.parquet(out_dir).select("window_start").distinct().collect()}
@@ -172,7 +172,7 @@ def test_in_watermark_late_update_to_previous_window_merges(spark):
             window="1 hour", lateness="10 minutes",
             sort=Sort.DESC, trigger_once=True,
         )
-        q.awaitTermination(timeout=300)
+        assert q.awaitTermination(timeout=300), "stream did not drain in 300s"
 
         out = {(str(r.window_start), r.user_id, r.value)
                for r in spark.read.parquet(out_dir).collect()}
@@ -209,7 +209,7 @@ def test_counters_number_widens_materialization(spark):
             window="1 hour", lateness="10 minutes",
             sort=Sort.DESC, trigger_once=True, counters_number=5,
         )
-        q.awaitTermination(timeout=300)
+        assert q.awaitTermination(timeout=300), "stream did not drain in 300s"
         got = spark.read.parquet(os.path.join(work, "out")).count()
         assert got == 5, got  # counters_number wins over n
     finally:
