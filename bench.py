@@ -41,6 +41,22 @@ HEADLINE = [
     "json_extract_agg",
 ]
 
+# Second, NON-frozen section (VERDICT r4 next #8): the round-4+ operator
+# families, tracked separately so their perf movement is visible without
+# perturbing the frozen 19-query headline series (r1..r4 comparability).
+# Reported under "extended" in the same JSON line; the headline metric/value
+# stay the frozen list's.
+EXTENDED = [
+    "events_asof_join",
+    "measure_latency_percentiles",
+    "events_session_window",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "events_cohort_retention",
+    "sketch_hll_users",
+    "quality_repetition",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,6 +68,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
+    ext_names = [n for n in EXTENDED if n in qs]
 
     # Steady-state methodology (matches BASELINE.md: the reference reports
     # latencies under sustained load, i.e. warm JVM/codegen/page cache —
@@ -59,18 +76,21 @@ def main() -> None:
     # passes, keeping the per-query minimum — the steady state with
     # scheduler/host noise suppressed (single-JVM local mode shares the
     # machine with whatever else runs on it).
-    for name in names:
-        qs[name](spark, sf_dir).collect()
-
-    timings: dict[str, float] = {}
-    for _ in range(2):
-        for name in names:
-            t0 = time.perf_counter()
+    def steady_state(run_names):
+        for name in run_names:
             qs[name](spark, sf_dir).collect()
-            dt = time.perf_counter() - t0
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
-    timings = {n: round(v, 4) for n, v in timings.items()}
+        t: dict[str, float] = {}
+        for _ in range(2):
+            for name in run_names:
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).collect()
+                dt = time.perf_counter() - t0
+                if name not in t or dt < t[name]:
+                    t[name] = dt
+        return {n: round(v, 4) for n, v in t.items()}
+
+    timings = steady_state(names)
+    extended = steady_state(ext_names)
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({
@@ -78,6 +98,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extended": extended,
+        "extended_total": round(sum(extended.values()), 4),
         "sf": sf,
     }))
 
