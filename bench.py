@@ -55,6 +55,10 @@ EXTENDED = [
     "events_cohort_retention",
     "sketch_hll_users",
     "quality_repetition",
+    # round-5 additions (the streaming interval join entry is deliberately
+    # absent: its wall time is dominated by stream drain orchestration)
+    "measure_ohlc_window",
+    "dedup_substring_winnow",
 ]
 
 

@@ -349,3 +349,144 @@ SELECT id AS {id_col}, COUNT(*) AS n_overlap
 FROM corpus JOIN bench USING (sh)
 GROUP BY id HAVING COUNT(*) >= {min_overlap}
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing substring fingerprints (Schleimer, Wilkerson, Aiken 2003 — the
+# MOSS algorithm): local document fingerprinting that GUARANTEES any shared
+# substring of length >= k + w - 1 produces at least one shared selected
+# fingerprint. The exact-substring dedup family (Lee et al. 2022 found
+# training corpora full of long verbatim repeats) beside the set-similarity
+# families (MinHash/Jaccard/SimHash): those miss a long copied span inside
+# otherwise-different documents; winnowing is built for exactly that.
+# ---------------------------------------------------------------------------
+
+def winnow_kgram_hashes(col: Column, k: int = 8) -> Column:
+    """Per-document char k-gram hash list (bigint from the md5 prefix —
+    engine-portable), pure Catalyst. NOTE: consumers must NOT wrap this in
+    another per-position higher-order lambda — Catalyst re-evaluates an
+    inlined outer expression per lambda element, turning O(n) md5 calls
+    into O(n²) (the first winnowing draft hung exactly this way). The
+    window-min selection therefore runs over EXPLODED rows with a frame
+    window (:func:`winnow_doc_fingerprints`)."""
+    txt = F.lower(col)
+    n = F.length(txt)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: txt.substr(i, F.lit(k)),
+    )
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint"),
+    )
+    return F.when(n >= k, hashes).otherwise(F.array().cast("array<bigint>"))
+
+
+def winnow_doc_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 6,
+) -> DataFrame:
+    """Distinct winnowing fingerprints per document as (id, fp) rows:
+    hash every k-gram once (one scan-stage projection), posexplode to
+    (id, pos, hash) rows, take each complete w-window's MINIMUM via a
+    sliding ROWS frame — linear work, whole-stage-codegen'd, one shuffle
+    on the document id. Documents shorter than k + w - 1 chars have no
+    complete window and yield no fingerprints (the winnowing guarantee
+    threshold)."""
+    from pyspark.sql.window import Window
+
+    # ONLY the generator consumes the hash expression: any sibling column
+    # referencing it (e.g. size(hashes)) would be re-evaluated once per
+    # GENERATED row — O(n²) md5 calls per doc. Window completeness is
+    # instead read off the frame itself: a window is complete iff the
+    # frame holds exactly w rows.
+    h = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(winnow_kgram_hashes(F.col(text_col), k))
+        .alias("pos", "h"),
+    )
+    win = (Window.partitionBy("id").orderBy("pos")
+           .rowsBetween(Window.currentRow, w - 1))
+    return (
+        h.select(
+            "id",
+            F.min("h").over(win).alias("fp"),
+            F.count(F.lit(1)).over(win).alias("_wn"),
+        )
+        .where(F.col("_wn") == w)  # complete windows only
+        .select("id", "fp")
+        .distinct()
+    )
+
+
+def winnow_hashes_sql(expr: str, k: int = 8) -> str:
+    """DuckDB fragment: the per-document k-gram hash list (substr is
+    1-based in both engines; the md5-prefix bigint matches ``F.conv``)."""
+    t = f"lower({expr})"
+    grams = (f"[substr({t}, i, {k}) "
+             f"FOR i IN generate_series(1, len({t}) - {k - 1})]")
+    return (f"[CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) "
+            f"FOR g IN {grams}]")
+
+
+def winnow_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    k: int = 8, w: int = 6, min_shared: int = 2,
+    df_cap: int = 20,
+) -> DataFrame:
+    """Candidate near-duplicate pairs sharing >= ``min_shared`` winnowing
+    fingerprints (ids ordered a < b, shared count attached).
+
+    Scale shape — the same bounded bucket-join as the other dedup
+    discovery paths: one scan computes fingerprints (Catalyst-only),
+    explodes to (fingerprint, doc) posting rows, drops "stop fingerprints"
+    present in more than ``df_cap`` documents (boilerplate — every pair
+    sharing one meets in a single reducer; high-df fingerprints are few,
+    so the drop is a broadcast anti-join), then a self equi-join on the
+    fingerprint meets only within-posting-list rows. Per-key fan-out is
+    bounded by df_cap², never corpus size."""
+    fp = winnow_doc_fingerprints(df, id_col, text_col, k, w)
+    hot = (
+        fp.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > df_cap)
+        .select("fp")
+    )
+    fp = fp.join(F.broadcast(hot), "fp", "left_anti")
+    pairs = (
+        fp.alias("x").join(fp.alias("y"), on="fp")
+        .where(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+        .orderBy("a", "b")
+    )
+    return pairs
+
+
+def winnow_pairs_sql(
+    table: str, id_col: str, text_col: str,
+    k: int = 8, w: int = 6, min_shared: int = 2, df_cap: int = 20,
+) -> str:
+    """DuckDB twin of :func:`winnow_pairs`: hashes computed once per row in
+    a CTE, then the identical window-min selection, stop-fingerprint cap
+    and posting-list self-join (list slicing ``h[j : j+w-1]`` is 1-based
+    inclusive in DuckDB = ``F.slice(h, j, w)``)."""
+    return f"""
+WITH h AS (
+  SELECT {id_col} AS id,
+         CASE WHEN len(lower({text_col})) >= {k + w - 1}
+              THEN {winnow_hashes_sql(text_col, k)} ELSE [] END AS hs
+  FROM {table}),
+fp AS (
+  SELECT id,
+         unnest(list_distinct([list_min(hs[j : j + {w - 1}])
+                FOR j IN generate_series(1, len(hs) - {w - 1})])) AS fp
+  FROM h),
+capped AS (
+  SELECT id, fp FROM fp
+  WHERE fp NOT IN (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) > {df_cap}))
+SELECT x.id AS a, y.id AS b, COUNT(*) AS shared
+FROM capped x JOIN capped y ON x.fp = y.fp AND x.id < y.id
+GROUP BY x.id, y.id
+HAVING COUNT(*) >= {min_shared}
+ORDER BY a, b
+"""

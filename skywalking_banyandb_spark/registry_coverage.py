@@ -1377,3 +1377,83 @@ register(
                {_hll_est_sql('s', 'nz')} AS hll_est
         FROM agg ORDER BY window_start, event_type""",
 )
+
+
+# --------------------------------------------------------------------------
+# Stream-stream interval join (NEW r5): purchases within 24h after each
+# signup by the same user, materialized by Structured Streaming's
+# watermarked symmetric hash join (streaming/interval_join.py). The
+# reference's flow DSL is single-stream; this is the "attribution" shape
+# its users compute client-side. Drained over a two-batch file source with
+# availableNow; DuckDB recomputes the identical pairs with a batch join.
+# --------------------------------------------------------------------------
+
+def _streaming_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    import datetime as dt
+    import shutil
+    import time
+
+    from .sources.parquet import read_table
+    from .streaming.interval_join import start_interval_join_materialization
+
+    t3 = dt.datetime(2024, 1, 3)
+    t5 = dt.datetime(2024, 1, 5)
+    t6 = dt.datetime(2024, 1, 6)
+
+    work = _scratch_dir("interval_join_entry")
+    src = f"{work}/src"
+    ev = read_table(spark, f"{sf}/events.parquet")
+    ts = F.col("ts")
+    # time-ordered batches (no far-late redelivery: an append-mode inner
+    # join would emit a re-delivered match twice by design — replay dedup
+    # belongs to the ingest path, tests/test_streaming_ingest.py)
+    b0 = ev.where((ts >= F.lit(t3)) & (ts < F.lit(t5)))
+    b1 = ev.where((ts >= F.lit(t5)) & (ts < F.lit(t6)))
+    b0.coalesce(1).write.parquet(f"{src}/b0")
+    time.sleep(1.1)  # file-source ordering is by modification time
+    b1.coalesce(1).write.parquet(f"{src}/b1")
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{src}/b0").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = start_interval_join_materialization(
+        spark, stream,
+        output_path=f"{work}/out", checkpoint_path=f"{work}/ckpt",
+        left_type="signup", right_type="purchase",
+        horizon="24 hours", lateness="1 hour", trigger_once=True,
+    )
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise RuntimeError("streaming interval join entry timed out")
+    shutil.rmtree(f"{work}/src", ignore_errors=True)
+    shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+    return (
+        spark.read.parquet(f"{work}/out")
+        .select(
+            "user_id", "s_event_id", "p_event_id",
+            F.col("s_ts").cast("timestamp").alias("s_ts"),
+            F.col("p_ts").cast("timestamp").alias("p_ts"),
+            "p_value",
+        )
+        .orderBy("user_id", "s_event_id", "p_event_id")
+    )
+
+
+register(
+    "streaming_interval_join_materialized",
+    _streaming_interval_join,
+    """SELECT s.user_id AS user_id, s.event_id AS s_event_id,
+              p.event_id AS p_event_id, s.ts AS s_ts, p.ts AS p_ts,
+              p.value AS p_value
+       FROM events s JOIN events p
+         ON p.user_id = s.user_id
+        AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS
+       WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+         AND s.ts >= TIMESTAMP '2024-01-03 00:00:00'
+         AND s.ts <  TIMESTAMP '2024-01-06 00:00:00'
+         AND p.ts >= TIMESTAMP '2024-01-03 00:00:00'
+         AND p.ts <  TIMESTAMP '2024-01-06 00:00:00'
+       ORDER BY user_id, s_event_id, p_event_id""",
+)

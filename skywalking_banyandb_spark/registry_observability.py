@@ -586,3 +586,57 @@ register(
                  / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))) > 3
        ORDER BY e.event_id""",
 )
+
+
+# ---------------------------------------------------------------------------
+# OHLC / first-last windows: candlestick downsampling (open = first value in
+# the window by (ts, event_id), close = last, high/low = max/min). The
+# canonical TSDB "first()/last()" aggregate pair — one partial+final
+# aggregation, no window function, no second shuffle: open/close are
+# min_by/max_by over a zero-padded "micros|event_id" string key, which is a
+# TOTAL order (lexicographic on fixed-width digits = numeric order), so the
+# result is deterministic and engine-portable. At 100 TB this is the same
+# single-shuffle plan as any group-by.
+# ---------------------------------------------------------------------------
+
+def _ohlc_window(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_table(spark, f"{sf}/events.parquet").where(
+        F.col("event_type").isin("click", "purchase"))
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+               20, "0"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+register(
+    "measure_ohlc_window",
+    _ohlc_window,
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+              arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                             || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                  AS open,
+              MAX(value) AS high,
+              MIN(value) AS low,
+              arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                             || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                  AS close,
+              COUNT(*) AS n
+       FROM events WHERE event_type IN ('click', 'purchase')
+       GROUP BY date_trunc('hour', ts), event_type
+       ORDER BY hour, event_type""",
+)

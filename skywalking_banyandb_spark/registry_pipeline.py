@@ -97,6 +97,25 @@ register(
 )
 
 
+def _dedup_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    # Winnowing (MOSS) substring fingerprints — the EXACT-substring dedup
+    # family (Lee et al. 2022): any shared run of >= k+w-1 = 23 chars
+    # guarantees a shared selected fingerprint, so long verbatim repeats
+    # inside otherwise-different documents are caught where set-similarity
+    # (MinHash/Jaccard/SimHash) dilutes them. Bounded posting-list join,
+    # stop-fingerprint df-cap — NEW r5.
+    return dd.winnow_pairs(_docs(spark, sf), "doc_id", "text",
+                           k=16, w=8, min_shared=2, df_cap=20)
+
+
+register(
+    "dedup_substring_winnow",
+    _dedup_winnow,
+    dd.winnow_pairs_sql("documents", "doc_id", "text",
+                        k=16, w=8, min_shared=2, df_cap=20),
+)
+
+
 def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     return dd.minhash_lsh_pairs(_docs(spark, sf), "doc_id", "text", n=1, threshold=0.5)
 

@@ -1,0 +1,84 @@
+"""Stream-stream interval join — windowed attribution as a Structured
+Streaming join.
+
+The reference's flow DSL is single-stream (Filter→Map→Window→TopN →Sink,
+``pkg/flow/streaming/flow.go``); correlating two live streams ("purchases
+within 24 h after a signup") is something its users do client-side today.
+Spark gives the distributed streaming join for free, so this engine exposes
+it Spark-first:
+
+- both sides carry a watermark; the join condition is an equi-key
+  (``user_id``) PLUS a two-sided time bound (``s.ts < p.ts <= s.ts + Δ``),
+  which is exactly what lets Spark bound the join STATE: a left row is
+  evicted once the watermark passes ``s.ts + Δ``, a right row once it
+  passes ``p.ts`` — state is (arrival-rate × Δ), independent of history;
+- inner join in append mode: each match is emitted exactly once when
+  found; the parquet sink + checkpoint give end-to-end exactly-once for a
+  fresh output directory;
+- at 100 TB/day the plan is the streaming symmetric hash join partitioned
+  by ``user_id`` — the same single-shuffle shape as the batch equi-join,
+  plus the watermark-bounded state store.
+
+The driver entry (``streaming_interval_join_materialized``) drains a
+two-batch file source with ``availableNow`` and is oracle-recomputed by a
+plain DuckDB batch join over the same rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .topn_stream import ensure_event_time
+
+
+def start_interval_join_materialization(
+    spark: SparkSession,
+    source: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    left_type: str = "signup",
+    right_type: str = "purchase",
+    horizon: str = "24 hours",
+    lateness: str = "1 hour",
+    trigger_once: bool = False,
+):
+    """Materialize (left event, right event within (ts, ts+horizon]) pairs
+    for the same user. ``source`` is one event stream; both sides are
+    filtered views of it (the common CDC/topic shape)."""
+    ev = ensure_event_time(source, "ts")
+    left = (
+        ev.where(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("s_event_id"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", lateness)
+    )
+    right = (
+        ev.where(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("p_event_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", lateness)
+    )
+    joined = left.join(
+        right,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("user_id", "s_event_id", "p_event_id", "s_ts", "p_ts", "p_value")
+    writer = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

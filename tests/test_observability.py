@@ -218,3 +218,30 @@ def test_hopping_window_boundary_semantics(spark):
     # each row is in exactly 3 windows (size/slide)
     from collections import Counter
     assert all(v == 3 for v in Counter(r for r, _ in got).values())
+
+
+def test_ohlc_is_single_aggregation(spark):
+    """OHLC compiles to one partial/final hash aggregate — no window
+    function, no join, one data Exchange on the group key."""
+    from skywalking_banyandb_spark import registry_observability as obs
+
+    plan = _plan(obs._ohlc_window(spark, SF_SMALL))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 2, plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan, plan
+
+
+def test_winnow_pairs_plan_bounded(spark):
+    """The winnowing posting-list self-join must be an equi-join on the
+    fingerprint (bounded per-key fan-out via the df-cap broadcast
+    anti-join), never a Cartesian/NLJ, with no Python UDF anywhere."""
+    from skywalking_banyandb_spark.functions.dedup import winnow_pairs
+    from skywalking_banyandb_spark.sources.parquet import read_table
+
+    docs = read_table(spark, f"{SF_SMALL}/documents.parquet")
+    plan = _plan(winnow_pairs(docs, "doc_id", "text", k=16, w=8))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # df-cap drop ships as a broadcast anti-join, not a shuffle
+    assert "BroadcastHashJoin" in plan, plan
