@@ -116,6 +116,112 @@ register(
 )
 
 
+def _dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup RESOLUTION — what a training pipeline does after discovery:
+    among near-duplicates keep the best copy. Policy: neighbor-dominance —
+    a document in the near-dup graph survives iff no neighbor beats it on
+    (quality_score DESC, doc_id ASC). One pass over the pair list (no
+    iterative clustering in the hot path), deterministic because quality
+    is the engine's 6dp-rounded score and ties break on id. Scale: the
+    pair graph is the winnowing discovery output (bounded posting join);
+    dominance is one aggregation over edges — NEW r5."""
+    docs = _docs(spark, sf)
+    pairs = dd.winnow_pairs(docs, "doc_id", "text",
+                            k=16, w=8, min_shared=2, df_cap=20)
+    q = docs.select(F.col("doc_id").alias("node"),
+                    tx.quality_score(F.col("text")).alias("q"))
+    edges = (pairs.select(F.col("a").alias("node"), F.col("b").alias("nb"))
+             .unionByName(pairs.select(F.col("b").alias("node"),
+                                       F.col("a").alias("nb"))))
+    qn = q.select(F.col("node").alias("nb"), F.col("q").alias("q_nb"))
+    dom = (
+        edges.join(q, "node").join(qn, "nb")
+        .groupBy("node", "q")
+        .agg(F.max(
+            (F.col("q_nb") > F.col("q"))
+            | ((F.col("q_nb") == F.col("q")) & (F.col("nb") < F.col("node")))
+        ).alias("dominated"))
+    )
+    return (
+        dom.where(~F.col("dominated"))
+        .select(F.col("node").alias("doc_id"), F.col("q").alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "dedup_resolution_keep_best",
+    _dedup_keep_best,
+    f"""WITH pairs AS ({dd.winnow_pairs_sql("documents", "doc_id", "text",
+                                           k=16, w=8, min_shared=2, df_cap=20)}),
+        q AS (SELECT doc_id AS node,
+                     {tx.quality_score_sql('text')} AS q FROM documents),
+        edges AS (
+          SELECT a AS node, b AS nb FROM pairs
+          UNION ALL SELECT b AS node, a AS nb FROM pairs),
+        dom AS (
+          SELECT e.node AS node, qd.q AS q,
+                 MAX(CASE WHEN qn.q > qd.q
+                          OR (qn.q = qd.q AND e.nb < e.node)
+                     THEN 1 ELSE 0 END) AS dominated
+          FROM edges e
+          JOIN q qd ON qd.node = e.node
+          JOIN q qn ON qn.node = e.nb
+          GROUP BY e.node, qd.q)
+        SELECT node AS doc_id, q AS quality FROM dom
+        WHERE dominated = 0 ORDER BY doc_id""",
+)
+
+
+def _quality_rare_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Rare-token ratio — the gibberish/OCR-noise quality signal: the
+    fraction of a document's tokens whose CORPUS document frequency is
+    <= 2 (hapax/dis legomena). Everything is integer counting plus one
+    exact bigint division, so the value is bit-identical at any
+    parallelism (no float accumulation at all). Two shuffles: the corpus
+    token-frequency aggregation and the per-doc rollup — NEW r5."""
+    docs = _docs(spark, sf)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.col("text"), " "),
+                           lambda t: F.length(t) > 0)).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("cnt") <= 2, 1).otherwise(0)).cast("bigint")
+            .alias("n_rare"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_rare",
+            (F.col("n_rare").cast("double")
+             / F.col("n_tokens").cast("double")).alias("rare_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "quality_rare_token_ratio",
+    _quality_rare_tokens,
+    """WITH toks AS (
+         SELECT doc_id, t AS tok
+         FROM documents, unnest(string_split(text, ' ')) AS u(t)
+         WHERE len(t) > 0),
+       freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+       SELECT t.doc_id AS doc_id, COUNT(*) AS n_tokens,
+              CAST(SUM(CASE WHEN f.cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_rare,
+              CAST(SUM(CASE WHEN f.cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) AS rare_ratio
+       FROM toks t JOIN freq f ON f.tok = t.tok
+       GROUP BY t.doc_id ORDER BY doc_id""",
+)
+
+
 def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     return dd.minhash_lsh_pairs(_docs(spark, sf), "doc_id", "text", n=1, threshold=0.5)
 
