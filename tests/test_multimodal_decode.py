@@ -62,8 +62,9 @@ def test_decode_bmp_matches_ppm(top_down):
 
 
 def test_decode_unknown_magic_is_gated():
+    # JPEG: genuinely gated (PNG gained a real pure-Python branch in r5)
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG\r\n\x1a\nrest")
+        mm.decode_image(b"\xff\xd8\xff\xe0rest-of-jpeg")
 
 
 def test_decode_truncated_ppm_raises():
@@ -114,3 +115,133 @@ def test_resize_and_features_pipeline(spark):
     assert (row.src_width, row.src_height) == (6, 4)
     assert (row.width, row.height) == (3, 2)
     assert (row.mean_r, row.mean_g, row.mean_b) == (100.0, 150.0, 200.0)
+
+
+# ---------------------------------------------------------------------------
+# PNG: the test side ENCODES (independent implementation direction) with
+# explicit per-row filters; the production side decodes. Round-trip equality
+# over every filter type and color type proves the unfilter math.
+# ---------------------------------------------------------------------------
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def _encode_png(width, height, rgb, color=2, filters=None, palette=None):
+    """Minimal test-side PNG encoder. ``rgb`` is the raw channel bytes for
+    the given color type; ``filters[row]`` picks the filter each row is
+    ENCODED with (the decoder must invert it)."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+    stride = width * channels
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytearray(stride)
+    for row in range(height):
+        cur = bytearray(rgb[row * stride:(row + 1) * stride])
+        f = filters[row]
+        enc = bytearray(cur)
+        for i in range(stride):
+            a = cur[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if f == 1:
+                enc[i] = (cur[i] - a) & 0xFF
+            elif f == 2:
+                enc[i] = (cur[i] - b) & 0xFF
+            elif f == 3:
+                enc[i] = (cur[i] - ((a + b) >> 1)) & 0xFF
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (cur[i] - pr) & 0xFF
+        raw += bytes([f]) + enc
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", palette)
+    out += _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += _png_chunk(b"IEND", b"")
+    return out
+
+
+def _test_pixels(width, height, channels):
+    import hashlib
+
+    n = width * height * channels
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out += hashlib.md5(f"px{i}".encode()).digest()
+        i += 1
+    return bytes(out[:n])
+
+
+def test_decode_png_rgb_every_filter():
+    w, h = 5, 5
+    rgb = _test_pixels(w, h, 3)
+    payload = _encode_png(w, h, rgb, color=2, filters=[0, 1, 2, 3, 4])
+    assert mm.decode_image(payload) == (w, h, rgb)
+
+
+def test_decode_png_grayscale_and_rgba():
+    w, h = 4, 3
+    gray = _test_pixels(w, h, 1)
+    gw, gh, grgb = mm.decode_image(
+        _encode_png(w, h, gray, color=0, filters=[4, 1, 3]))
+    assert (gw, gh) == (w, h)
+    assert grgb == bytes(b for v in gray for b in (v, v, v))
+
+    rgba = _test_pixels(w, h, 4)
+    aw, ah, argb = mm.decode_image(
+        _encode_png(w, h, rgba, color=6, filters=[2, 4, 0]))
+    assert (aw, ah) == (w, h)
+    want = bytearray()
+    for i in range(w * h):
+        want += rgba[4 * i:4 * i + 3]
+    assert argb == bytes(want)
+
+
+def test_decode_png_palette():
+    w, h = 4, 2
+    palette = _test_pixels(256, 1, 3)
+    idx = bytes([0, 1, 2, 3, 250, 251, 252, 255])
+    pw, ph, prgb = mm.decode_image(
+        _encode_png(w, h, idx, color=3, filters=[1, 4], palette=palette))
+    assert (pw, ph) == (w, h)
+    want = bytearray()
+    for v in idx:
+        want += palette[3 * v:3 * v + 3]
+    assert prgb == bytes(want)
+
+
+def test_decode_png_gates_interlace_and_16bit():
+    import struct
+    import zlib as _z
+
+    import pytest
+
+    w, h = 2, 2
+    rgb = _test_pixels(w, h, 3)
+    good = _encode_png(w, h, rgb)
+    # flip interlace byte inside IHDR (offset: 8 sig + 8 hdr + 12th byte)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    bad = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", _z.compress(b"\x00" * 100))
+           + _png_chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(bad)
+    ihdr16 = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    bad16 = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr16)
+             + _png_chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(bad16)
+    assert mm.decode_image(good)[2] == rgb
