@@ -140,3 +140,69 @@ def test_streaming_session_window_matches_batch(spark):
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.catalog.dropTempView("sess_out")
+
+
+def test_interval_join_restart_resume(spark):
+    """The stream-stream interval join must resume from its checkpoint:
+    drain batch 0, STOP the query, add batch 1, start a NEW query on the
+    same checkpoint/output — the union of appends must equal the batch
+    join over all data, with no duplicated matches from re-processing."""
+    import shutil
+    import tempfile
+    import time
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from skywalking_banyandb_spark.sources.parquet import read_table
+    from skywalking_banyandb_spark.streaming.interval_join import (
+        start_interval_join_materialization,
+    )
+
+    import datetime as dt
+
+    t3, t5, t6 = (dt.datetime(2024, 1, 3), dt.datetime(2024, 1, 5),
+                  dt.datetime(2024, 1, 6))
+    work = tempfile.mkdtemp(prefix="ij_restart_")
+    try:
+        ev = read_table(spark, f"{SF_SMALL}/events.parquet")
+        ts = F.col("ts")
+        b0 = ev.where((ts >= F.lit(t3)) & (ts < F.lit(t5)))
+        b1 = ev.where((ts >= F.lit(t5)) & (ts < F.lit(t6)))
+        b0.coalesce(1).write.parquet(f"{work}/src/b0")
+        schema = spark.read.parquet(f"{work}/src/b0").schema
+
+        def run_once():
+            stream = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", "1")
+                      .parquet(f"{work}/src/*"))
+            q = start_interval_join_materialization(
+                spark, stream, output_path=f"{work}/out",
+                checkpoint_path=f"{work}/ckpt", trigger_once=True)
+            assert q.awaitTermination(timeout=300), "drain timed out"
+
+        run_once()                      # first incarnation: batch 0 only
+        time.sleep(1.1)
+        b1.coalesce(1).write.parquet(f"{work}/src/b1")
+        run_once()                      # restart: resumes, processes b1
+
+        got = sorted(
+            (r.user_id, r.s_event_id, r.p_event_id)
+            for r in spark.read.parquet(f"{work}/out").collect())
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{SF_SMALL}/events.parquet'")
+        want = sorted(con.execute("""
+            SELECT s.user_id, s.event_id, p.event_id
+            FROM events s JOIN events p
+              ON p.user_id = s.user_id
+             AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS
+            WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+              AND s.ts >= TIMESTAMP '2024-01-03' AND s.ts < TIMESTAMP '2024-01-06'
+              AND p.ts >= TIMESTAMP '2024-01-03' AND p.ts < TIMESTAMP '2024-01-06'
+        """).fetchall())
+        assert got == [tuple(r) for r in want]
+        assert len(got) == len(set(got)), "restart duplicated matches"
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
