@@ -394,6 +394,19 @@ def winnow_doc_fingerprints(
     threshold)."""
     from pyspark.sql.window import Window
 
+    # Spread the md5-heavy gram hashing across the cluster even when the
+    # input arrives in few splits (a single parquet row group = one task
+    # otherwise): repartition the RAW docs by id first — tiny shuffle
+    # (just the text), deterministic hash distribution, and it pre-aligns
+    # the window's partitionBy("id") so the heavy exploded rows need no
+    # second full shuffle.
+    # EXPLICIT partition count (an advisory repartition(col) would be
+    # AQE-coalesced back to one task for a small doc table — observed);
+    # matching spark.sql.shuffle.partitions means the exchange BELOW the
+    # generate already satisfies the window's required hash distribution,
+    # so the heavy exploded rows never shuffle at all.
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    df = df.repartition(n_shuffle, F.col(id_col))
     # ONLY the generator consumes the hash expression: any sibling column
     # referencing it (e.g. size(hashes)) would be re-evaluated once per
     # GENERATED row — O(n²) md5 calls per doc. Window completeness is
