@@ -734,3 +734,112 @@ SELECT {id_col}, round(raw, 6) AS score FROM (
   FROM {table} e JOIN cand ON e.{id_col} = cand.vid, q
   ORDER BY raw DESC, e.{id_col} ASC LIMIT {k})
 """
+
+
+def ivfpq_residual_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int,
+    k_clusters: int = 8,
+    nprobe: int = 4,
+    m_sub: int = 16,
+    k_cw: int = 32,
+    dim: int = 64,
+    candidates: int = 0,
+) -> str:
+    """Exact DuckDB recomputation of the RESIDUAL IVF-PQ probe
+    (``sources/ann_index.ivfpq_residual_probe_topk`` — FAISS ``IVFx,PQy``
+    semantics): vectors quantize the residual r = v̂ − ĉ(assign(v))
+    against the assigned UNIT centroid, codebooks are hash samples of the
+    residuals, and the ADC lookup table is PER PROBED CLUSTER (the query
+    residual changes with the cluster). Every ranking is the unrounded
+    double (bit-stable across engines, see :func:`cosine_raw`); the
+    integer micro-unit LUT keeps the ADC sum exact and order-independent."""
+    sub = dim // m_sub
+    c_n = candidates or max(4 * k, 32)
+    cosc = cosine_raw_sql("ev.v", "c.cv")
+    cosp = cosine_raw_sql("cent.cv", "q.qv")
+    cosf = cosine_raw_sql(f"e.{vec_col}", "q.qv")
+    diff_e = f"(rs.rv[cb.m * {sub} + i] - cb.cw[i])"
+    diff_q = f"(qr.qrv[cb.m * {sub} + i] - cb.cw[i])"
+    return f"""
+WITH q AS (
+  SELECT CAST({vec_col} AS DOUBLE[]) AS qv FROM {table}
+  WHERE {id_col} = {query_id}),
+nq AS (
+  SELECT [qv[i] / sqrt(list_sum([qv[j2] * qv[j2]
+            FOR j2 IN generate_series(1, {dim})]))
+          FOR i IN generate_series(1, {dim})] AS nqv
+  FROM q),
+ev AS (
+  SELECT {id_col} AS eid, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}),
+en AS (
+  SELECT eid, [v[i] / sqrt(list_sum([v[j2] * v[j2]
+                 FOR j2 IN generate_series(1, {dim})]))
+               FOR i IN generate_series(1, {dim})] AS nv
+  FROM ev),
+cent AS (
+  SELECT eid AS cid, v AS cv FROM ev
+  ORDER BY md5(CAST(eid AS VARCHAR)), eid LIMIT {k_clusters}),
+ncent AS (
+  SELECT cid, [cv[i] / sqrt(list_sum([cv[j2] * cv[j2]
+                 FOR j2 IN generate_series(1, {dim})]))
+               FOR i IN generate_series(1, {dim})] AS ncv
+  FROM cent),
+probe AS (
+  SELECT cid FROM cent, q
+  ORDER BY {cosp} DESC, cid ASC LIMIT {nprobe}),
+assign AS (
+  SELECT vid, cid FROM (
+    SELECT ev.eid AS vid, c.cid AS cid,
+           row_number() OVER (PARTITION BY ev.eid
+             ORDER BY {cosc} DESC, c.cid ASC) AS rn
+    FROM ev, cent c) WHERE rn = 1),
+resid AS (
+  SELECT en.eid AS eid, a.cid AS cid,
+         [en.nv[i] - nc.ncv[i] FOR i IN generate_series(1, {dim})] AS rv
+  FROM en JOIN assign a ON a.vid = en.eid
+  JOIN ncent nc ON nc.cid = a.cid),
+mm AS (SELECT unnest(generate_series(0, {m_sub - 1})) AS m),
+cb AS (
+  SELECT m, j, cw FROM (
+    SELECT mm.m AS m,
+           row_number() OVER (PARTITION BY mm.m
+             ORDER BY md5(CAST(mm.m AS VARCHAR) || '|'
+                          || CAST(rs.eid AS VARCHAR)), rs.eid)
+             - 1 AS j,
+           [rs.rv[mm.m * {sub} + i]
+            FOR i IN generate_series(1, {sub})] AS cw
+    FROM resid rs, mm) WHERE j < {k_cw}),
+enc AS (
+  SELECT vid, cid, m, j FROM (
+    SELECT rs.eid AS vid, rs.cid AS cid, cb.m AS m, cb.j AS j,
+           row_number() OVER (PARTITION BY rs.eid, cb.m
+             ORDER BY list_sum([ {diff_e} * {diff_e}
+                        FOR i IN generate_series(1, {sub}) ]) ASC,
+                      cb.j ASC) AS rn
+    FROM resid rs CROSS JOIN cb
+    WHERE rs.cid IN (SELECT cid FROM probe) AND rs.eid <> {query_id})
+  WHERE rn = 1),
+qres AS (
+  SELECT p.cid AS cid,
+         [nq.nqv[i] - nc.ncv[i] FOR i IN generate_series(1, {dim})] AS qrv
+  FROM probe p JOIN ncent nc ON nc.cid = p.cid, nq),
+lut AS (
+  SELECT qr.cid AS cid, cb.m AS m, cb.j AS j,
+         CAST(ROUND(list_sum([ {diff_q} * {diff_q}
+                FOR i IN generate_series(1, {sub}) ]) * 1e6, 0) AS BIGINT)
+             AS d
+  FROM cb, qres qr),
+adc AS (
+  SELECT enc.vid AS vid, SUM(lut.d) AS adc
+  FROM enc JOIN lut ON lut.cid = enc.cid AND lut.m = enc.m AND lut.j = enc.j
+  GROUP BY enc.vid),
+cand AS (SELECT vid FROM adc ORDER BY adc ASC, vid ASC LIMIT {c_n})
+SELECT {id_col}, round(raw, 6) AS score FROM (
+  SELECT e.{id_col} AS {id_col}, {cosf} AS raw
+  FROM {table} e JOIN cand ON e.{id_col} = cand.vid, q
+  ORDER BY raw DESC, e.{id_col} ASC LIMIT {k})
+"""

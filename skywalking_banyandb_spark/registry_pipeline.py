@@ -973,6 +973,24 @@ def _ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     return ivfpq_probe_topk(spark, sf, q, 10, exclude_id=0)
 
 
+def _ann_ivfpq_residual(spark: SparkSession, sf: str) -> DataFrame:
+    # FAISS-parity RESIDUAL IVF-PQ (NEW r5): quantize r = v-hat minus the
+    # assigned unit centroid; per-cluster query-residual ADC LUTs. Same
+    # partition pruning and integer-LUT exactness as the direct variant;
+    # recall >= direct is additionally pytest-gated (tests/test_ann_pq.py).
+    from .sources.ann_index import ivfpq_residual_probe_topk
+
+    q = _query_vec(spark, sf)
+    return ivfpq_residual_probe_topk(spark, sf, q, 10, exclude_id=0)
+
+
+register(
+    "ann_ivfpq_residual_topk",
+    _ann_ivfpq_residual,
+    sim.ivfpq_residual_topk_sql("embeddings", "vec_id", "embedding", 0, 10),
+)
+
+
 register(
     "ann_ivfpq_topk",
     _ann_ivfpq,
