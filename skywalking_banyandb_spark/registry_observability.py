@@ -640,3 +640,145 @@ register(
        GROUP BY date_trunc('hour', ts), event_type
        ORDER BY hour, event_type""",
 )
+
+
+# ---------------------------------------------------------------------------
+# PromQL-style histogram_quantile: quantiles estimated from CUMULATIVE
+# le-bucket counters — the shape every Prometheus-compatible backend stores
+# and the ONLY quantile that is mergeable across 1000 executors/scrapes
+# (bucket counts are associative sums; exact per-series quantiles are not).
+# Linear interpolation inside the owning bucket, +Inf clamps to the last
+# finite boundary (the PromQL convention). All arithmetic is the same
+# expression shape on both engines -> bit-identical doubles.
+# ---------------------------------------------------------------------------
+
+_HQ_BOUNDS = [25.0, 50.0, 100.0, 200.0, 400.0]  # +Inf implicit
+
+
+def _histogram_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_table(spark, f"{sf}/events.parquet")
+    v = F.col("value")
+    aggs = [
+        F.sum(F.when(v <= b, 1).otherwise(0)).cast("double").alias(f"le_{i}")
+        for i, b in enumerate(_HQ_BOUNDS)
+    ]
+    g = ev.groupBy("event_type").agg(
+        *aggs, F.count(F.lit(1)).cast("double").alias("total"))
+
+    def quantile(q: float):
+        rank = F.lit(q) * F.col("total")
+        # walk buckets highest-first so the LAST when that matches is the
+        # first bucket whose cumulative count >= rank
+        expr = F.lit(float(_HQ_BOUNDS[-1]))  # +Inf bucket -> clamp
+        for i in range(len(_HQ_BOUNDS) - 1, -1, -1):
+            lo = F.lit(0.0) if i == 0 else F.lit(float(_HQ_BOUNDS[i - 1]))
+            hi = F.lit(float(_HQ_BOUNDS[i]))
+            cum = F.col(f"le_{i}")
+            prev = F.lit(0.0) if i == 0 else F.col(f"le_{i-1}")
+            inside = F.when(
+                cum - prev > 0,
+                lo + (hi - lo) * (rank - prev) / (cum - prev),
+            ).otherwise(hi)
+            expr = F.when(cum >= rank, inside).otherwise(expr)
+        return F.round(expr, 6)
+
+    return (
+        g.select(
+            "event_type",
+            quantile(0.5).alias("q50"),
+            quantile(0.9).alias("q90"),
+            quantile(0.99).alias("q99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _hq_sql() -> str:
+    bounds = _HQ_BOUNDS
+    les = ", ".join(
+        f"CAST(SUM(CASE WHEN value <= {b} THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" AS le_{i}" for i, b in enumerate(bounds))
+
+    def q_expr(q: float) -> str:
+        expr = repr(float(bounds[-1]))
+        for i in range(len(bounds) - 1, -1, -1):
+            lo = "0.0" if i == 0 else repr(float(bounds[i - 1]))
+            hi = repr(float(bounds[i]))
+            cum, prev = f"le_{i}", ("0.0" if i == 0 else f"le_{i-1}")
+            inside = (f"CASE WHEN {cum} - {prev} > 0 THEN "
+                      f"{lo} + ({hi} - {lo}) * (({q} * total) - {prev})"
+                      f" / ({cum} - {prev}) ELSE {hi} END")
+            expr = f"CASE WHEN {cum} >= ({q} * total) THEN ({inside}) ELSE ({expr}) END"
+        return f"round({expr}, 6)"
+
+    return f"""WITH g AS (
+         SELECT event_type, {les},
+                CAST(COUNT(*) AS DOUBLE) AS total
+         FROM events GROUP BY event_type)
+       SELECT event_type, {q_expr(0.5)} AS q50, {q_expr(0.9)} AS q90,
+              {q_expr(0.99)} AS q99
+       FROM g ORDER BY event_type"""
+
+
+register("measure_histogram_quantile", _histogram_quantile, _hq_sql())
+
+
+# ---------------------------------------------------------------------------
+# Alerting-rule evaluation: threshold breach detection + contiguous-breach
+# merging (the "for:" duration semantics of an alert rule). Gaps-and-islands:
+# consecutive breached hourly buckets collapse to one alert interval via
+# bucket_index - row_number (pure integer arithmetic). One shuffle on the
+# series key for the bucket agg, one bounded window over breached buckets
+# only — evaluation cost tracks breach count, not corpus size.
+# ---------------------------------------------------------------------------
+
+def _alert_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = read_table(spark, f"{sf}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bucket = (us / F.lit(3_600_000_000)).cast("bigint")
+    per = (
+        ev.groupBy(F.col("event_type"), bucket.alias("bk"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 8)  # the alert threshold (non-vacuous at sf0.01)
+    )
+    w = Window.partitionBy("event_type").orderBy("bk")
+    islands = per.withColumn(
+        "island", F.col("bk") - F.row_number().over(w))
+    return (
+        islands.groupBy("event_type", "island")
+        .agg(
+            F.timestamp_micros(F.min("bk") * 3_600_000_000).alias("alert_start"),
+            F.timestamp_micros((F.max("bk") + 1) * 3_600_000_000)
+            .alias("alert_end"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("n").alias("peak"),
+        )
+        .drop("island")
+        .orderBy("event_type", "alert_start")
+    )
+
+
+register(
+    "events_alert_intervals",
+    _alert_intervals,
+    """WITH per AS (
+         SELECT event_type,
+                CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bk,
+                COUNT(*) AS n
+         FROM events
+         GROUP BY event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+         HAVING COUNT(*) >= 8),
+       isl AS (
+         SELECT event_type, bk, n,
+                bk - row_number() OVER (
+                    PARTITION BY event_type ORDER BY bk) AS island
+         FROM per)
+       SELECT event_type,
+              make_timestamp(MIN(bk) * 3600000000) AS alert_start,
+              make_timestamp((MAX(bk) + 1) * 3600000000) AS alert_end,
+              COUNT(*) AS n_buckets, MAX(n) AS peak
+       FROM isl GROUP BY event_type, island
+       ORDER BY event_type, alert_start""",
+)
