@@ -8,8 +8,9 @@ Scale design (the point of each variant):
   means byte/token-identical.
 - **n-gram Jaccard**: exact set similarity via shingle explode + self-join.
   Bare form is quadratic on hot shingles — the *verification* primitive;
-  with ``df_cap_frac`` set, stop-shingles are dropped (broadcast anti-join)
-  and per-key fan-out is bounded, making it usable for discovery too.
+  with ``df_cap_frac`` set, stop-shingles are dropped (anti-join; AQE
+  broadcasts the small stop set) and per-key fan-out is bounded, making it
+  usable for discovery too.
 - **MinHash + LSH**: the discovery primitive. Shingle -> k md5-minhashes ->
   band buckets -> candidates only where a band collides (join on band hash,
   linear shuffle), then exact-Jaccard verify on the small candidate set.
@@ -88,9 +89,10 @@ def ngram_jaccard_pairs(
     more than that fraction of documents ("stop shingles" — every pair of
     docs sharing 'the cat' meets in one reducer) are dropped from the
     shingle SETS on both sides of the ratio, so each join key fans out to
-    at most cap² pairs. The hot set is tiny by construction (high-df ⇒
-    few), so removing it is a broadcast anti-join, and the per-key work
-    bound makes the discovery cost candidate-linear. With ``None`` the
+    at most cap² pairs. The hot set is tiny in realistic corpora (high-df
+    ⇒ few), so AQE ships the anti-join broadcast — but its size is
+    data-dependent, so the hint is deliberately NOT forced; the per-key
+    work bound makes the discovery cost candidate-linear. With ``None`` the
     full-vocabulary semantics are kept (verification primitive).
     """
     sh = df.select(
@@ -105,7 +107,11 @@ def ngram_jaccard_pairs(
             .where(F.col("_df") > cap)
             .select("sh")
         )
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+        # hot-set size is data-dependent (≤ postings/cap but unbounded in
+        # absolute terms) — no forced broadcast; AQE ships it broadcast
+        # while it is small and falls back to a shuffle anti-join if a
+        # pathological corpus makes it big
+        sh = sh.join(hot, "sh", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     common = (
         sh.alias("x")
@@ -223,7 +229,10 @@ def minhash_lsh_pairs(
             F.col(id_col).alias("id"),
             F.explode(_shingles(F.col(text_col), n)).alias("sh"),
         )
-        .join(F.broadcast(ids), "id", "left_semi")
+        # candidate-id cardinality is data-dependent (could approach the
+        # corpus in a dup-heavy crawl), so no forced broadcast — AQE
+        # broadcasts the semi-join side when it is actually small
+        .join(ids, "id", "left_semi")
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     common = (
@@ -463,7 +472,9 @@ def winnow_pairs(
         .where(F.col("_df") > df_cap)
         .select("fp")
     )
-    fp = fp.join(F.broadcast(hot), "fp", "left_anti")
+    # no forced broadcast (same rationale as ngram_jaccard_pairs: the
+    # stop set is data-dependent); AQE broadcasts it while small
+    fp = fp.join(hot, "fp", "left_anti")
     pairs = (
         fp.alias("x").join(fp.alias("y"), on="fp")
         .where(F.col("x.id") < F.col("y.id"))

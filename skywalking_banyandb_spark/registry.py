@@ -197,6 +197,13 @@ _R4_DRIVER_SEEN = frozenset({
 #   ordering helpers;
 # - sketch_cms_tokens: cms_estimate now left-joins the sketch so absent
 #   probes return est=0 (ADVICE r4).
+# NOT listed despite r5 code touches: corpus_clean_pipeline and
+# dedup_near_dup_clusters (the r5 change removed data-dependent broadcast
+# HINTS only — join strategy, zero semantic surface; both re-verified
+# green against their oracles locally). Listing them would displace two
+# r2-stale entries from the 50-row window, and full stale rotation is the
+# round's #1 priority (VERDICT r4). dedup_ngram_jaccard/dedup_minhash_lsh
+# had the same hint change but are r2-stale, so they re-verify anyway.
 _R5_TOUCHED = (
     "events_cohort_retention",
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
