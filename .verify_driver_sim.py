@@ -17,7 +17,7 @@ from pyspark.sql import SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as em
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
 
