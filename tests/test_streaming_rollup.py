@@ -229,9 +229,15 @@ def test_continuous_trigger_soak_state_bounded(spark):
             window="5 seconds", lateness="5 seconds", trigger_once=False,
         )
         try:
-            deadline = time.time() + 40
+            # run at least 40s for the settle/eviction dynamics, then keep
+            # going (up to 150s) until enough micro-batches accumulated —
+            # deadline-looped so a loaded machine slows the test rather
+            # than flaking it
+            t0 = time.time()
+            hard_deadline = t0 + 150
             settled_mtimes = {}
-            while time.time() < deadline:
+            while time.time() < hard_deadline and (
+                    time.time() - t0 < 40 or len(q.recentProgress) < 15):
                 time.sleep(2)
                 # snapshot mtimes of window dirs older than the horizon;
                 # once settled they must never change again

@@ -263,7 +263,11 @@ def test_topn_continuous_trigger_soak_state_bounded(spark):
             sort=Sort.DESC, trigger_once=False,
         )
         try:
-            time.sleep(40)
+            # wait until enough micro-batches accumulated (deadline-looped
+            # so a loaded machine slows the test instead of flaking it)
+            deadline = time.time() + 150
+            while time.time() < deadline and len(q.recentProgress) < 15:
+                time.sleep(2)
             progress = q.recentProgress
             assert len(progress) >= 15, f"only {len(progress)} micro-batches"
             state_rows = [
