@@ -59,6 +59,9 @@ EXTENDED = [
     # absent: its wall time is dominated by stream drain orchestration)
     "measure_ohlc_window",
     "dedup_substring_winnow",
+    "ann_ivfpq_residual_topk",
+    "measure_histogram_quantile",
+    "events_alert_intervals",
 ]
 
 
