@@ -21,6 +21,17 @@ one task. Chunking is the classic parallel-prefix (scan) decomposition:
 Each phase is a bounded shuffle; no partition's size depends on a key's
 total row count — only on rows-per-(key, chunk). Results are IDENTICAL to
 ``asof_join`` (asserted in tests/test_observability.py).
+
+Both operators support the standard TSDB as-of options (r5):
+
+- ``direction`` — ``"backward"`` (latest right at-or-before, the default)
+  or ``"forward"`` (earliest right at-or-after). Internally forward is
+  backward on NEGATED event-time microseconds — one sign flip, the same
+  proven carry machinery.
+- ``tolerance_us`` — maximum staleness: a carried match further than this
+  from the left row's ts yields NULL (TimescaleDB/pandas ``merge_asof``
+  tolerance semantics). The carry transports (right_ts, payload) structs
+  so the check is a post-carry projection, not a join.
 """
 
 from __future__ import annotations
@@ -36,63 +47,105 @@ def _us(c):
     return F.unix_micros(c.cast("timestamp"))
 
 
+def _sign(direction: str) -> int:
+    if direction == "backward":
+        return 1
+    if direction == "forward":
+        return -1
+    raise ValueError(f"direction must be 'backward' or 'forward', "
+                     f"got {direction!r}")
+
+
 def _prep(left: DataFrame, right: DataFrame, keys: Sequence[str],
-          ts_col: str, payload_col: str):
-    """Tag and union the two sides; right is pre-deduped to one row per
-    (keys, ts) keeping the max payload (well-defined ASOF tie semantics)."""
+          ts_col: str, payload_col: str, sign: int):
+    """Tag and union the two sides on a SIGNED microsecond axis (sign=-1
+    flips time so the forward join reuses the backward carry); right is
+    pre-deduped to one row per (keys, ts) keeping the max payload
+    (well-defined ASOF tie semantics). The carried value is a
+    (ts_us, payload) struct so tolerance can be checked post-carry."""
     lcols = [c for c in left.columns]
     r = (right.groupBy(*keys, ts_col)
          .agg(F.max(payload_col).alias(payload_col)))
+    pv_type = dict(r.dtypes)[payload_col]
     tagged_l = left.select(
-        *keys, ts_col, F.lit(1).alias("_is_left"),
-        F.lit(None).cast(dict(r.dtypes)[payload_col]).alias("_pv_in"),
+        *keys, (F.lit(sign) * _us(F.col(ts_col))).alias("_sus"),
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast(f"struct<_rus:bigint,_pv:{pv_type}>").alias("_pv_in"),
         F.struct(*[F.col(c) for c in lcols]).alias("_row"),
     )
     tagged_r = r.select(
-        *keys, ts_col, F.lit(0).alias("_is_left"),
-        F.col(payload_col).alias("_pv_in"),
+        *keys, (F.lit(sign) * _us(F.col(ts_col))).alias("_sus"),
+        F.lit(0).alias("_is_left"),
+        F.struct(_us(F.col(ts_col)).alias("_rus"),
+                 F.col(payload_col).alias("_pv")).alias("_pv_in"),
         F.lit(None).cast(tagged_l.schema["_row"].dataType).alias("_row"),
     )
     return tagged_l.unionByName(tagged_r)
 
 
+def _emit(matched, ts_col: str, out_col: str,
+          tolerance_us: Optional[int], sign: int):
+    """Project the carried struct to the output payload, applying the
+    tolerance gate (|right_ts - left_ts| <= tolerance on the real axis)."""
+    pv = matched["_pv"]
+    if tolerance_us is not None:
+        lus = _us(F.col(f"_row.{ts_col}"))
+        dist = (lus - matched["_rus"]) * sign  # >= 0 by construction
+        pv = F.when(dist <= tolerance_us, pv)
+    return pv.alias(out_col)
+
+
 def asof_join(left: DataFrame, right: DataFrame, keys: Sequence[str],
               ts_col: str, payload_col: str,
-              out_col: str = "asof_value") -> DataFrame:
-    """Latest right ``payload_col`` at-or-before each left row's ts."""
-    u = _prep(left, right, keys, ts_col, payload_col)
-    w = (Window.partitionBy(*keys).orderBy(ts_col, "_is_left")
+              out_col: str = "asof_value",
+              direction: str = "backward",
+              tolerance_us: Optional[int] = None) -> DataFrame:
+    """Right ``payload_col`` as of each left row's ts — latest at-or-before
+    (backward, default) or earliest at-or-after (forward), optionally
+    within ``tolerance_us``."""
+    sign = _sign(direction)
+    u = _prep(left, right, keys, ts_col, payload_col, sign)
+    w = (Window.partitionBy(*keys).orderBy("_sus", "_is_left")
          .rowsBetween(Window.unboundedPreceding, 0))
+    matched = F.last("_pv_in", ignorenulls=True).over(w)
     return (
-        u.withColumn(out_col, F.last("_pv_in", ignorenulls=True).over(w))
+        u.withColumn("_m", matched)
         .where(F.col("_is_left") == 1)
-        .select(F.col("_row.*"), out_col)
+        .select(F.col("_row.*"),
+                _emit(F.col("_m"), ts_col, out_col, tolerance_us, sign))
     )
 
 
 def asof_join_chunked(left: DataFrame, right: DataFrame, keys: Sequence[str],
                       ts_col: str, payload_col: str,
                       out_col: str = "asof_value",
-                      chunk_us: int = 86_400_000_000) -> DataFrame:
+                      chunk_us: int = 86_400_000_000,
+                      direction: str = "backward",
+                      tolerance_us: Optional[int] = None) -> DataFrame:
     """Skew-resistant as-of join (see module docstring). ``chunk_us`` is
     the time-chunk width in microseconds (default 1 day) — choose it so
     rows-per-(key, chunk) fits a task; correctness is chunk-invariant."""
-    u = _prep(left, right, keys, ts_col, payload_col).withColumn(
-        "_ck", F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) "
-                      f"div {chunk_us}"))
-    kl = [F.col(k) for k in keys]
+    sign = _sign(direction)
+    # exact FLOOR division on bigints (SQL `div` truncates toward zero,
+    # which would merge the two chunks around 0 on the negated forward
+    # axis; float floor could misround near boundaries): (x - pmod) / c
+    u = _prep(left, right, keys, ts_col, payload_col, sign).withColumn(
+        "_ck",
+        ((F.col("_sus") - F.pmod(F.col("_sus"), F.lit(chunk_us)))
+         / F.lit(chunk_us)).cast("bigint"))
 
     # 1. within-chunk running carry — partitions are (key, chunk)
     win_chunk = (Window.partitionBy(*keys, "_ck")
-                 .orderBy(ts_col, "_is_left")
+                 .orderBy("_sus", "_is_left")
                  .rowsBetween(Window.unboundedPreceding, 0))
     u = u.withColumn("_within", F.last("_pv_in", ignorenulls=True).over(win_chunk))
 
-    # 2. chunk summaries: last right value per non-empty (key, chunk)
+    # 2. chunk summaries: last right value per non-empty (key, chunk) on
+    #    the SIGNED axis
     summaries = (
         u.where(F.col("_is_left") == 0)
         .groupBy(*keys, "_ck")
-        .agg(F.max_by(F.col("_pv_in"), _us(F.col(ts_col))).alias("_cl"))
+        .agg(F.max_by(F.col("_pv_in"), F.col("_sus")).alias("_cl"))
     )
 
     # 3. carry-in over the chunk spine (every chunk any side touched);
@@ -128,5 +181,6 @@ def asof_join_chunked(left: DataFrame, right: DataFrame, keys: Sequence[str],
     return (
         lefts.join(carry_r, cond)
         .select(F.col("_row.*"),
-                F.coalesce(F.col("_within"), F.col("_carry")).alias(out_col))
+                _emit(F.coalesce(F.col("_within"), F.col("_carry")),
+                      ts_col, out_col, tolerance_us, sign))
     )

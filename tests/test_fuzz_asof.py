@@ -104,3 +104,56 @@ def test_asof_chunked_keeps_null_key_rows(spark):
                for r in asof_join_chunked(left, right, ["k"], "ts", "pv",
                                           chunk_us=600_000_000).collect()}
     assert chunked == want
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(_row, min_size=1, max_size=24),
+       tol_mins=st.one_of(st.none(), st.integers(min_value=0, max_value=600)))
+def test_asof_forward_and_tolerance_match_duckdb(spark, rows, tol_mins):
+    """r5 options: direction='forward' (earliest at-or-after) and
+    tolerance_us, differentially vs DuckDB's ASOF with a flipped
+    inequality; tolerance applied to DuckDB's matched ts in Python."""
+    lefts, rights = [], []
+    for i, (k, mins, payload) in enumerate(rows):
+        ts = _T0 + dt.timedelta(minutes=mins)
+        if payload is None:
+            lefts.append((i, k, ts))
+        else:
+            rights.append((k, ts, float(payload)))
+    if not lefts:
+        lefts.append((999, 0, _T0))
+    left = spark.createDataFrame(lefts, "lid long, k long, ts timestamp")
+    right = (spark.createDataFrame(rights, "k long, ts timestamp, pv double")
+             if rights else
+             spark.createDataFrame([], "k long, ts timestamp, pv double"))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(lid BIGINT, k BIGINT, ts TIMESTAMP)")
+    con.execute("CREATE TABLE r(k BIGINT, ts TIMESTAMP, pv DOUBLE)")
+    con.executemany("INSERT INTO l VALUES (?, ?, ?)", lefts)
+    if rights:
+        con.executemany("INSERT INTO r VALUES (?, ?, ?)", rights)
+    raw = con.execute("""
+        WITH rd AS (SELECT k, ts, MAX(pv) AS pv FROM r GROUP BY k, ts)
+        SELECT l.lid, l.ts, rd.ts, rd.pv FROM l ASOF LEFT JOIN rd
+          ON l.k = rd.k AND l.ts <= rd.ts
+    """).fetchall()
+    tol_us = None if tol_mins is None else tol_mins * 60_000_000
+    want = {}
+    for lid, lts, rts, pv in raw:
+        if pv is not None and tol_us is not None:
+            dist = (rts - lts) // dt.timedelta(microseconds=1)
+            if dist > tol_us:
+                pv = None
+        want[lid] = pv
+
+    got = {r.lid: r.asof_value for r in asof_join(
+        left, right, ["k"], "ts", "pv",
+        direction="forward", tolerance_us=tol_us).collect()}
+    assert got == want, (sorted(got.items()), sorted(want.items()))
+
+    chunked = {r.lid: r.asof_value for r in asof_join_chunked(
+        left, right, ["k"], "ts", "pv", chunk_us=3_600_000_000,
+        direction="forward", tolerance_us=tol_us).collect()}
+    assert chunked == want
