@@ -138,3 +138,52 @@ def test_keep_best_dominance_matches_python(spark):
                  em.queries()["dedup_resolution_keep_best"](spark, SF_SMALL)
                  .collect())
     assert got == want
+
+
+def test_histogram_quantile_synthetic_edges(spark):
+    """Edge distributions for the bucket walk: everything in the first
+    bucket, everything past the last finite boundary (+Inf clamp), exact
+    boundary values, and a single-element series."""
+    import duckdb
+
+    cases = {
+        "first": [1.0, 2.0, 3.0],              # all <= 25
+        "inf": [450.0, 460.0, 470.0],          # all > 400 -> clamp to 400
+        "bound": [25.0, 50.0, 100.0, 200.0],   # values ON boundaries
+        "single": [42.0],
+        "mixed": [10.0, 30.0, 60.0, 150.0, 300.0, 500.0],
+    }
+    rows = [(t, v) for t, vals in cases.items() for v in vals]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+
+    # run the same compiled expression over the synthetic frame via a
+    # DuckDB twin of the registry SQL (swap the events source)
+    from skywalking_banyandb_spark import registry_observability as obs
+
+    sql = obs._hq_sql().replace("FROM events", "FROM t")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(event_type VARCHAR, value DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {r[0]: r[1:] for r in con.execute(sql).fetchall()}
+
+    import skywalking_banyandb_spark.sources.parquet as pq
+
+    # drive the Spark side through the same entry code path by
+    # monkeypatching the table read
+    orig = pq.read_table
+    try:
+        pq.read_table = lambda s, p: df  # noqa: E731
+        obs.read_table = pq.read_table
+        got = {r.event_type: (r.q50, r.q90, r.q99)
+               for r in obs._histogram_quantile(spark, "ignored").collect()}
+    finally:
+        pq.read_table = orig
+        obs.read_table = orig
+    assert got == want
+
+    # independent python expectations for the sharp edges
+    assert got["inf"][2] == 400.0                  # +Inf clamp
+    assert 0.0 <= got["first"][0] <= 25.0          # interpolates inside b0
+    # one value in (25,50]: PromQL interpolates ACROSS the owning bucket
+    # by rank fraction (25 + 25*q/1), it does not return the sample
+    assert got["single"] == (37.5, 47.5, 49.75)
