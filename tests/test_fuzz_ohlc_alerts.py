@@ -1,0 +1,106 @@
+"""Differential fuzz for OHLC windows and alert intervals: random tiny
+event sets vs DuckDB (arg_min/arg_max + gaps-and-islands), targeting the
+tie cases the corpus may not produce (same-timestamp rows, single-bucket
+islands, empty results)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_T0 = dt.datetime(2024, 1, 1)
+
+# (hour-offset, minute, type-id, value) — few hours/types so same-ts and
+# same-bucket collisions are common
+_ev = st.tuples(
+    st.integers(min_value=0, max_value=3),
+    st.integers(min_value=0, max_value=3),   # few minutes -> ts ties
+    st.integers(min_value=0, max_value=1),
+    st.integers(min_value=0, max_value=9),
+)
+
+
+def _frame(spark, rows):
+    data = [
+        (i, _T0 + dt.timedelta(hours=h, minutes=m), f"t{t}", float(v))
+        for i, (h, m, t, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, event_type string, value double")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(event_id BIGINT, ts TIMESTAMP, "
+                "event_type VARCHAR, value DOUBLE)")
+    if data:
+        con.executemany("INSERT INTO e VALUES (?, ?, ?, ?)", data)
+    return df, con
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(_ev, min_size=1, max_size=20))
+def test_ohlc_fuzz_vs_duckdb(spark, rows):
+    df, con = _frame(spark, rows)
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+               20, "0"),
+        F.lit("|"), F.lpad(F.col("event_id").cast("string"), 12, "0"))
+    got = sorted(
+        (str(r.hour), r.event_type, r.open, r.high, r.low, r.close, r.n)
+        for r in df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(F.min_by("value", key).alias("open"),
+             F.max("value").alias("high"),
+             F.min("value").alias("low"),
+             F.max_by("value", key).alias("close"),
+             F.count(F.lit(1)).alias("n"))
+        .collect())
+    want = sorted(
+        (str(r[0]), r[1], r[2], r[3], r[4], r[5], r[6])
+        for r in con.execute("""
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP), event_type,
+                   arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                           || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0')),
+                   MAX(value), MIN(value),
+                   arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                           || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0')),
+                   COUNT(*)
+            FROM e GROUP BY 1, 2""").fetchall())
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(_ev, min_size=0, max_size=20),
+       threshold=st.integers(min_value=1, max_value=4))
+def test_alert_islands_fuzz_vs_duckdb(spark, rows, threshold):
+    from pyspark.sql.window import Window
+
+    df, con = _frame(spark, rows)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per = (df.groupBy("event_type",
+                      (us / F.lit(3_600_000_000)).cast("bigint").alias("bk"))
+           .agg(F.count(F.lit(1)).alias("n"))
+           .where(F.col("n") >= threshold))
+    w = Window.partitionBy("event_type").orderBy("bk")
+    got = sorted(
+        (r.event_type, r.s, r.e, r.nb, r.peak)
+        for r in per.withColumn("island", F.col("bk") - F.row_number().over(w))
+        .groupBy("event_type", "island")
+        .agg(F.min("bk").alias("s"), (F.max("bk") + 1).alias("e"),
+             F.count(F.lit(1)).alias("nb"), F.max("n").alias("peak"))
+        .collect())
+    want = sorted(tuple(r) for r in con.execute(f"""
+        WITH per AS (
+          SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) bk,
+                 COUNT(*) n
+          FROM e GROUP BY 1, 2 HAVING COUNT(*) >= {threshold}),
+        isl AS (
+          SELECT *, bk - row_number() OVER (
+              PARTITION BY event_type ORDER BY bk) AS island FROM per)
+        SELECT event_type, MIN(bk), MAX(bk) + 1, COUNT(*), MAX(n)
+        FROM isl GROUP BY event_type, island""").fetchall())
+    assert got == want
