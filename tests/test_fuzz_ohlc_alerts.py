@@ -104,3 +104,30 @@ def test_alert_islands_fuzz_vs_duckdb(spark, rows, threshold):
         SELECT event_type, MIN(bk), MAX(bk) + 1, COUNT(*), MAX(n)
         FROM isl GROUP BY event_type, island""").fetchall())
     assert got == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(
+    st.floats(min_value=0.01, max_value=500.0,
+              allow_nan=False, allow_infinity=False),
+    min_size=1, max_size=30))
+def test_histogram_quantile_fuzz_vs_python(spark, vals):
+    """Random distributions through the registry's compiled bucket-walk
+    expression vs the independent Python reimplementation (from the PromQL
+    definition) — nails the CASE-walk equivalence beyond fixed cases."""
+    from test_r5_semantics import _hq_python
+    from skywalking_banyandb_spark import registry_observability as obs
+    import skywalking_banyandb_spark.sources.parquet as pq
+
+    df = spark.createDataFrame(
+        [("x", float(v)) for v in vals], "event_type string, value double")
+    orig = pq.read_table
+    try:
+        obs.read_table = lambda s, p: df  # noqa: E731
+        row = obs._histogram_quantile(spark, "ignored").collect()[0]
+    finally:
+        obs.read_table = orig
+    for got, q in ((row.q50, 0.5), (row.q90, 0.9), (row.q99, 0.99)):
+        want = _hq_python(list(vals), q)
+        assert abs(got - want) < 1e-6, (q, got, want, sorted(vals))
