@@ -42,10 +42,21 @@ def start_interval_join_materialization(
     horizon: str = "24 hours",
     lateness: str = "1 hour",
     trigger_once: bool = False,
+    join_type: str = "inner",
 ):
     """Materialize (left event, right event within (ts, ts+horizon]) pairs
     for the same user. ``source`` is one event stream; both sides are
-    filtered views of it (the common CDC/topic shape)."""
+    filtered views of it (the common CDC/topic shape).
+
+    ``join_type="leftOuter"`` additionally emits each UNMATCHED left event
+    once — with NULL right columns — after the watermark passes its join
+    horizon (Spark holds the left row in state until no future right row
+    could match, then emits the null-padded result; the "signups that
+    never purchased" attribution shape). Matched pairs still emit eagerly;
+    state stays bounded by arrival-rate × horizon either way."""
+    if join_type not in ("inner", "leftOuter"):
+        raise ValueError(
+            f"join_type must be 'inner' or 'leftOuter', got {join_type!r}")
     ev = ensure_event_time(source, "ts")
     left = (
         ev.where(F.col("event_type") == left_type)
@@ -71,7 +82,7 @@ def start_interval_join_materialization(
         (F.col("user_id") == F.col("p_user_id"))
         & (F.col("p_ts") > F.col("s_ts"))
         & (F.col("p_ts") <= F.col("s_ts") + F.expr(f"INTERVAL {horizon}")),
-        "inner",
+        join_type,
     ).select("user_id", "s_event_id", "p_event_id", "s_ts", "p_ts", "p_value")
     writer = (
         joined.writeStream.outputMode("append")

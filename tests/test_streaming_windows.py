@@ -206,3 +206,89 @@ def test_interval_join_restart_resume(spark):
         assert len(got) == len(set(got)), "restart duplicated matches"
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_interval_join_left_outer_unmatched_emitted(spark):
+    """leftOuter mode: every signup appears exactly once per match OR once
+    null-padded if no purchase followed within the horizon; the matched
+    subset equals the inner join; unmatched = batch anti-join."""
+    import shutil
+    import tempfile
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from skywalking_banyandb_spark.sources.parquet import read_table
+    from skywalking_banyandb_spark.streaming.interval_join import (
+        start_interval_join_materialization,
+    )
+
+    import datetime as dt
+
+    t3, t6 = dt.datetime(2024, 1, 3), dt.datetime(2024, 1, 6)
+    work = tempfile.mkdtemp(prefix="ij_louter_")
+    try:
+        ev = read_table(spark, f"{SF_SMALL}/events.parquet")
+        ts = F.col("ts")
+        # one batch + far-future watermark flushers so every left row's
+        # horizon closes and unmatched rows actually emit in availableNow.
+        # The flushers must SURVIVE the type filters (one signup + one
+        # purchase — outer emission waits on the MIN of both sides'
+        # watermarks) and carry sentinel ids outside the asserted domain.
+        b0 = ev.where((ts >= F.lit(t3)) & (ts < F.lit(t6)))
+        far = F.lit(dt.datetime(2024, 3, 1)).cast("timestamp")
+        flush = (ev.limit(1)
+                 .withColumn("ts", far)
+                 .withColumn("user_id", F.lit(-1).cast("long"))
+                 .withColumn("event_id", F.lit(10**9).cast("long")))
+        flushers = (flush.withColumn("event_type", F.lit("signup"))
+                    .unionByName(
+                        flush.withColumn("event_type", F.lit("purchase"))
+                        .withColumn("event_id", F.lit(10**9 + 1).cast("long"))))
+        b0.unionByName(flushers).coalesce(1).write.parquet(f"{work}/src/b0")
+        schema = spark.read.parquet(f"{work}/src/b0").schema
+        stream = (spark.readStream.schema(schema)
+                  .parquet(f"{work}/src/*"))
+        q = start_interval_join_materialization(
+            spark, stream, output_path=f"{work}/out",
+            checkpoint_path=f"{work}/ckpt", trigger_once=True,
+            join_type="leftOuter")
+        assert q.awaitTermination(timeout=300), "drain timed out"
+
+        out = spark.read.parquet(f"{work}/out").where(
+            F.col("s_event_id") < 10**9)  # drop the sentinel flushers
+        got_matched = sorted(
+            (r.user_id, r.s_event_id, r.p_event_id)
+            for r in out.where(F.col("p_event_id").isNotNull()).collect())
+        got_unmatched = sorted(
+            r.s_event_id
+            for r in out.where(F.col("p_event_id").isNull()).collect())
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{SF_SMALL}/events.parquet'")
+        inner = con.execute("""
+            SELECT s.user_id, s.event_id, p.event_id
+            FROM events s JOIN events p
+              ON p.user_id = s.user_id
+             AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS
+            WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+              AND s.ts >= TIMESTAMP '2024-01-03' AND s.ts < TIMESTAMP '2024-01-06'
+              AND p.ts >= TIMESTAMP '2024-01-03' AND p.ts < TIMESTAMP '2024-01-06'
+        """).fetchall()
+        anti = con.execute("""
+            SELECT s.event_id FROM events s
+            WHERE s.event_type = 'signup'
+              AND s.ts >= TIMESTAMP '2024-01-03' AND s.ts < TIMESTAMP '2024-01-06'
+              AND NOT EXISTS (
+                SELECT 1 FROM events p
+                WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+                  AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 24 HOURS
+                  AND p.ts >= TIMESTAMP '2024-01-03'
+                  AND p.ts < TIMESTAMP '2024-01-06')
+        """).fetchall()
+        assert got_matched == sorted(tuple(r) for r in inner)
+        assert got_unmatched == sorted(r[0] for r in anti)
+        assert got_unmatched, "test vacuous: every signup matched"
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
