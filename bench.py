@@ -77,15 +77,39 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs]
     ext_names = [n for n in EXTENDED if n in qs]
 
+    # Host-drift canary (VERDICT r5 #3): cross-round BENCH files proved
+    # incomparable without a same-host anchor (r4 vs r5 showed ±30% drift
+    # on byte-identical code). A fixed trivial query — full-scan COUNT of
+    # lineitem — is recorded so later rounds can normalize: the canary
+    # moves with host speed, not with engine changes.
+    from skywalking_banyandb_spark.sources.parquet import read_table
+
+    def canary() -> float:
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            read_table(spark, f"{sf_dir}/lineitem.parquet").count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return round(best, 4)
+
+    canary_warm = canary()
+
     # Steady-state methodology (matches BASELINE.md: the reference reports
     # latencies under sustained load, i.e. warm JVM/codegen/page cache —
-    # not cold-start). One untimed pass warms each query; then two timed
-    # passes, keeping the per-query minimum — the steady state with
-    # scheduler/host noise suppressed (single-JVM local mode shares the
-    # machine with whatever else runs on it).
+    # not cold-start). One pass warms each query (its wall recorded as the
+    # COLD time — for ANN entries this includes the one-time index build,
+    # which disk-caches and is skipped thereafter); then two timed passes,
+    # keeping the per-query minimum — the steady state with scheduler/host
+    # noise suppressed (single-JVM local mode shares the machine with
+    # whatever else runs on it).
+    cold: dict[str, float] = {}
+
     def steady_state(run_names):
         for name in run_names:
+            t0 = time.perf_counter()
             qs[name](spark, sf_dir).collect()
+            cold[name] = round(time.perf_counter() - t0, 4)
         t: dict[str, float] = {}
         for _ in range(2):
             for name in run_names:
@@ -99,6 +123,19 @@ def main() -> None:
     timings = steady_state(names)
     extended = steady_state(ext_names)
 
+    # ANN build/probe split (VERDICT r5 #3): the warm-pass wall of an ann_*
+    # entry on a cold index = build + probe; the steady-state min = probe
+    # only (the index is disk-cached across calls). build_sec is the
+    # difference, clamped at 0 for pre-existing indexes.
+    ann_split = {
+        n: {
+            "cold_sec": cold[n],
+            "probe_sec": (timings | extended)[n],
+            "build_sec": round(max(cold[n] - (timings | extended)[n], 0.0), 4),
+        }
+        for n in (*names, *ext_names) if n.startswith("ann_")
+    }
+
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": "headline_query_total",
@@ -107,6 +144,8 @@ def main() -> None:
         "queries": timings,
         "extended": extended,
         "extended_total": round(sum(extended.values()), 4),
+        "canary": {"query": "count(lineitem)", "sec": canary_warm},
+        "ann_build_probe": ann_split,
         "sf": sf,
     }))
 

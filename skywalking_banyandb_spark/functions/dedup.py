@@ -413,8 +413,14 @@ def winnow_doc_fingerprints(
     # AQE-coalesced back to one task for a small doc table — observed);
     # matching spark.sql.shuffle.partitions means the exchange BELOW the
     # generate already satisfies the window's required hash distribution,
-    # so the heavy exploded rows never shuffle at all.
-    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # so the heavy exploded rows never shuffle at all. The conf may be
+    # non-numeric on platforms with AQE auto-partitioning ("auto") — fall
+    # back to the cluster default parallelism then.
+    try:
+        n_shuffle = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        n_shuffle = df.sparkSession.sparkContext.defaultParallelism
     df = df.repartition(n_shuffle, F.col(id_col))
     # ONLY the generator consumes the hash expression: any sibling column
     # referencing it (e.g. size(hashes)) would be re-evaluated once per
@@ -450,23 +456,56 @@ def winnow_hashes_sql(expr: str, k: int = 8) -> str:
             f"FOR g IN {grams}]")
 
 
+def winnow_posting_table(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, w: int = 6,
+) -> DataFrame:
+    """The (id, fp) winnowing posting table, PERSISTED.
+
+    The md5-heavy k-gram fingerprint subtree is by far the dominant cost
+    of the winnowing family, and :func:`winnow_pairs` references the
+    posting table from multiple plan branches (the hot-fingerprint
+    aggregation and both sides of the posting self-join). Catalyst does
+    not common-subexpression across self-join branches, so without
+    materialization the whole Scan→Generate→Window pipeline runs once PER
+    BRANCH (4× observed in the r5 plan). Persisting here turns that into
+    one computation + InMemoryTableScan for every consumer — at 100 TB
+    this is the difference between one corpus-hashing pass and four.
+    Callers that layer further consumers on top (e.g. keep-best dedup
+    resolution) should build this once and pass it to ``winnow_pairs``
+    via ``fingerprints=``; release with ``.unpersist()`` when done."""
+    return winnow_doc_fingerprints(df, id_col, text_col, k, w).persist()
+
+
 def winnow_pairs(
     df: DataFrame, id_col: str, text_col: str,
     k: int = 8, w: int = 6, min_shared: int = 2,
-    df_cap: int = 20,
+    df_cap: int | None = None, df_cap_frac: float = 0.04,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs sharing >= ``min_shared`` winnowing
     fingerprints (ids ordered a < b, shared count attached).
 
     Scale shape — the same bounded bucket-join as the other dedup
-    discovery paths: one scan computes fingerprints (Catalyst-only),
-    explodes to (fingerprint, doc) posting rows, drops "stop fingerprints"
-    present in more than ``df_cap`` documents (boilerplate — every pair
-    sharing one meets in a single reducer; high-df fingerprints are few,
-    so the drop is a broadcast anti-join), then a self equi-join on the
-    fingerprint meets only within-posting-list rows. Per-key fan-out is
-    bounded by df_cap², never corpus size."""
-    fp = winnow_doc_fingerprints(df, id_col, text_col, k, w)
+    discovery paths: one scan computes fingerprints (persisted — see
+    :func:`winnow_posting_table`), explodes to (fingerprint, doc) posting
+    rows, drops "stop fingerprints" present in more than the df cap
+    documents (boilerplate — every pair sharing one meets in a single
+    reducer; high-df fingerprints are few, so the drop is a broadcast
+    anti-join), then a self equi-join on the fingerprint meets only
+    within-posting-list rows. Per-key fan-out is bounded by cap², never
+    corpus size.
+
+    The cap defaults to ``floor(df_cap_frac × corpus size)`` — the same
+    corpus-scaled derivation as ``ngram_jaccard_pairs`` — so a
+    fingerprint counts as boilerplate when it appears in a fixed
+    *fraction* of documents, which holds from test SFs to 100 TB; pass
+    ``df_cap`` to pin an absolute count instead. ``fingerprints`` accepts
+    a prebuilt (persisted) posting table so several consumers in one
+    session share a single corpus-hashing pass."""
+    if df_cap is None:
+        df_cap = int(df_cap_frac * df.count())
+    fp = (fingerprints if fingerprints is not None
+          else winnow_posting_table(df, id_col, text_col, k, w))
     hot = (
         fp.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
         .where(F.col("_df") > df_cap)
@@ -488,12 +527,17 @@ def winnow_pairs(
 
 def winnow_pairs_sql(
     table: str, id_col: str, text_col: str,
-    k: int = 8, w: int = 6, min_shared: int = 2, df_cap: int = 20,
+    k: int = 8, w: int = 6, min_shared: int = 2,
+    df_cap: int | None = None, df_cap_frac: float = 0.04,
 ) -> str:
     """DuckDB twin of :func:`winnow_pairs`: hashes computed once per row in
     a CTE, then the identical window-min selection, stop-fingerprint cap
-    and posting-list self-join (list slicing ``h[j : j+w-1]`` is 1-based
-    inclusive in DuckDB = ``F.slice(h, j, w)``)."""
+    (the same ``floor(frac × corpus)`` derivation, parameterized as a
+    subquery) and posting-list self-join (list slicing ``h[j : j+w-1]``
+    is 1-based inclusive in DuckDB = ``F.slice(h, j, w)``)."""
+    cap_expr = (str(df_cap) if df_cap is not None else
+                f"CAST(floor({df_cap_frac} * "
+                f"(SELECT COUNT(*) FROM {table})) AS BIGINT)")
     return f"""
 WITH h AS (
   SELECT {id_col} AS id,
@@ -507,7 +551,7 @@ fp AS (
   FROM h),
 capped AS (
   SELECT id, fp FROM fp
-  WHERE fp NOT IN (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) > {df_cap}))
+  WHERE fp NOT IN (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) > {cap_expr}))
 SELECT x.id AS a, y.id AS b, COUNT(*) AS shared
 FROM capped x JOIN capped y ON x.fp = y.fp AND x.id < y.id
 GROUP BY x.id, y.id

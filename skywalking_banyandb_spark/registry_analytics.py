@@ -2,9 +2,13 @@
 
 The reference has NO joins (SURVEY §2.3) — these entries demonstrate the
 capabilities Spark adds for free and serve as the scale-benchmark workload:
-broadcast joins for the small dimensions, decimal-accumulated aggregates,
-total-ordered top-k. Registered into the same driver contract as the
-BanyanDB-parity queries.
+decimal-accumulated aggregates, total-ordered top-k, and dimension joins
+whose physical strategy is LEFT TO THE PLANNER (r6): no `F.broadcast`
+hints — the size-estimate/AQE path broadcasts the small dims at bench SF
+(plan-gate-asserted in tests/test_plan_quality.py) and falls back to a
+shuffle join when a dimension scales with SF, where a forced broadcast
+would OOM at a true 100 TB TPC-H. Registered into the same driver
+contract as the BanyanDB-parity queries.
 """
 
 from __future__ import annotations
@@ -77,9 +81,10 @@ def _tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
             o.where(F.col("o_orderdate") < F.lit(cutoff)),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        # customer is the small side -> broadcast (no shuffle of lineitem)
+        # customer is the small side; the planner broadcasts it at this
+        # size (no hint — AQE decides when customer scales with SF)
         .join(
-            F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+            (c.where(F.col("c_mktsegment") == "BUILDING")),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -114,15 +119,15 @@ def _tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(c),
+            c,
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
         .join(
-            F.broadcast(r.where(F.col("r_name") == "ASIA")),
+            (r.where(F.col("r_name") == "ASIA")),
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
         .where(
@@ -233,8 +238,8 @@ def _tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -271,7 +276,7 @@ def _tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit(dt.datetime(1996, 9, 1)))
             & (F.col("l_shipdate") < F.lit(dt.datetime(1996, 10, 1)))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
                 F.lit(100.0) * F.sum(promo).cast("double")
@@ -309,9 +314,9 @@ def _tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
         .select("l_orderkey")
     )
     return (
-        l.join(F.broadcast(big), "l_orderkey", "left_semi")
+        l.join(big, "l_orderkey", "left_semi")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -396,14 +401,14 @@ def _tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
     # customer-side nation joined to a region filter; supplier-side nation
     # is the market-share subject
     cn = (
-        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        c.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
         .where(F.col("r_name") == "ASIA")
         .select("c_custkey")
     )
     sn = (
         s.join(
-            F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"),
+            (n.select(F.col("n_nationkey").alias("sn_key"),
                                  F.col("n_name").alias("supp_nation"))),
             F.col("s_nationkey") == F.col("sn_key"),
         ).select("s_suppkey", "supp_nation")
@@ -416,10 +421,10 @@ def _tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(p.where(F.col("p_type").startswith("PROMO"))),
+        .join((p.where(F.col("p_type").startswith("PROMO"))),
               F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cn, F.col("o_custkey") == F.col("c_custkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             (
@@ -463,13 +468,13 @@ def _tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
     n = read_table(spark, f"{sf}/nation.parquet")
     vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
     sn = (
-        s.join(F.broadcast(n.select(F.col("n_nationkey").alias("sk"),
+        s.join((n.select(F.col("n_nationkey").alias("sk"),
                                     F.col("n_name").alias("supp_nation"))),
                F.col("s_nationkey") == F.col("sk"))
         .select("s_suppkey", "supp_nation")
     )
     cn = (
-        c.join(F.broadcast(n.select(F.col("n_nationkey").alias("ck"),
+        c.join((n.select(F.col("n_nationkey").alias("ck"),
                                     F.col("n_name").alias("cust_nation"))),
                F.col("c_nationkey") == F.col("ck"))
         .select("c_custkey", "cust_nation")
@@ -485,8 +490,8 @@ def _tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit(dt.datetime(1997, 1, 1)))
         )
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cn, F.col("o_custkey") == F.col("c_custkey"))
         .where(pair)
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").cast("int").alias("l_year"))

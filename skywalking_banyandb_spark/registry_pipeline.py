@@ -97,22 +97,46 @@ register(
 )
 
 
+# One persisted (doc_id, fp) posting table per (session, sf): the
+# md5-heavy fingerprint subtree is the dominant cost of the winnowing
+# family, and BOTH winnow entries (discovery + keep-best resolution)
+# consume the identical table — build it once, share the cache. At most
+# one key is retained (prior table unpersisted) so a sweep over many SFs
+# cannot accumulate executor storage.
+_WINNOW_FP_CACHE: dict = {}
+
+
+def _winnow_fp(spark: SparkSession, sf: str) -> DataFrame:
+    key = (id(spark), os.path.abspath(sf))
+    fp = _WINNOW_FP_CACHE.get(key)
+    if fp is None:
+        for old in _WINNOW_FP_CACHE.values():
+            old.unpersist()
+        _WINNOW_FP_CACHE.clear()
+        fp = dd.winnow_posting_table(
+            _docs(spark, sf), "doc_id", "text", k=16, w=8)
+        _WINNOW_FP_CACHE[key] = fp
+    return fp
+
+
 def _dedup_winnow(spark: SparkSession, sf: str) -> DataFrame:
     # Winnowing (MOSS) substring fingerprints — the EXACT-substring dedup
     # family (Lee et al. 2022): any shared run of >= k+w-1 = 23 chars
     # guarantees a shared selected fingerprint, so long verbatim repeats
     # inside otherwise-different documents are caught where set-similarity
-    # (MinHash/Jaccard/SimHash) dilutes them. Bounded posting-list join,
-    # stop-fingerprint df-cap — NEW r5.
+    # (MinHash/Jaccard/SimHash) dilutes them. Bounded posting-list join;
+    # stop-fingerprint cap derived as floor(0.04 × corpus) (r6 — scales
+    # with the corpus instead of a pinned constant).
     return dd.winnow_pairs(_docs(spark, sf), "doc_id", "text",
-                           k=16, w=8, min_shared=2, df_cap=20)
+                           k=16, w=8, min_shared=2,
+                           fingerprints=_winnow_fp(spark, sf))
 
 
 register(
     "dedup_substring_winnow",
     _dedup_winnow,
     dd.winnow_pairs_sql("documents", "doc_id", "text",
-                        k=16, w=8, min_shared=2, df_cap=20),
+                        k=16, w=8, min_shared=2),
 )
 
 
@@ -123,11 +147,13 @@ def _dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     (quality_score DESC, doc_id ASC). One pass over the pair list (no
     iterative clustering in the hot path), deterministic because quality
     is the engine's 6dp-rounded score and ties break on id. Scale: the
-    pair graph is the winnowing discovery output (bounded posting join);
-    dominance is one aggregation over edges — NEW r5."""
+    pair graph is the winnowing discovery output (bounded posting join,
+    shared persisted posting table — one corpus-hashing pass serves both
+    winnow entries); dominance is one aggregation over edges."""
     docs = _docs(spark, sf)
     pairs = dd.winnow_pairs(docs, "doc_id", "text",
-                            k=16, w=8, min_shared=2, df_cap=20)
+                            k=16, w=8, min_shared=2,
+                            fingerprints=_winnow_fp(spark, sf))
     q = docs.select(F.col("doc_id").alias("node"),
                     tx.quality_score(F.col("text")).alias("q"))
     edges = (pairs.select(F.col("a").alias("node"), F.col("b").alias("nb"))
@@ -153,7 +179,7 @@ register(
     "dedup_resolution_keep_best",
     _dedup_keep_best,
     f"""WITH pairs AS ({dd.winnow_pairs_sql("documents", "doc_id", "text",
-                                           k=16, w=8, min_shared=2, df_cap=20)}),
+                                           k=16, w=8, min_shared=2)}),
         q AS (SELECT doc_id AS node,
                      {tx.quality_score_sql('text')} AS q FROM documents),
         edges AS (

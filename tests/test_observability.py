@@ -239,9 +239,42 @@ def test_winnow_pairs_plan_bounded(spark):
     from skywalking_banyandb_spark.sources.parquet import read_table
 
     docs = read_table(spark, f"{SF_SMALL}/documents.parquet")
-    plan = _plan(winnow_pairs(docs, "doc_id", "text", k=16, w=8))
+    pairs = winnow_pairs(docs, "doc_id", "text", k=16, w=8)
+    plan = _plan(pairs)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # df-cap drop ships as a broadcast anti-join, not a shuffle
     assert "BroadcastHashJoin" in plan, plan
+    # r6: the md5-heavy fingerprint subtree is computed ONCE — every
+    # consumer (hot-set agg + both self-join sides) reads the persisted
+    # posting table, so the physical plan has InMemoryTableScan consumers
+    # and the OUTER plan contains no Generate of its own (the one Generate
+    # lives inside the cached relation, filled exactly once)
+    assert "InMemoryTableScan" in plan, plan
+    outer = plan.split("InMemoryRelation", 1)[0]
+    assert "Generate" not in outer, outer
+    spark.catalog.clearCache()
+
+
+def test_winnow_df_cap_scales_with_corpus(spark):
+    """r6: the stop-fingerprint cap derives from floor(frac × corpus) like
+    ngram_jaccard_pairs — a constant cap is unprincipled at 100 TB. The
+    derived default must equal the historical constant at the 500-doc test
+    corpus (0.04 × 500 = 20) so the driver entry stays hash-identical."""
+    from skywalking_banyandb_spark.functions.dedup import (
+        winnow_pairs, winnow_pairs_sql)
+    from skywalking_banyandb_spark.sources.parquet import read_table
+
+    docs = read_table(spark, f"{SF_SMALL}/documents.parquet")
+    n = docs.count()
+    assert int(0.04 * n) == 20
+    derived = winnow_pairs(docs, "doc_id", "text", k=16, w=8, min_shared=2)
+    pinned = winnow_pairs(docs, "doc_id", "text", k=16, w=8, min_shared=2,
+                          df_cap=20)
+    assert sorted(map(tuple, derived.collect())) == \
+        sorted(map(tuple, pinned.collect()))
+    # the SQL twin parameterizes the same derivation as a subquery
+    sql = winnow_pairs_sql("documents", "doc_id", "text", k=16, w=8)
+    assert "0.04 * (SELECT COUNT(*) FROM documents)" in sql
+    spark.catalog.clearCache()

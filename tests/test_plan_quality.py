@@ -89,10 +89,18 @@ def test_topk_lowered_to_take_ordered(spark):
 
 
 def test_tpch_q3_broadcasts_dimensions(spark):
+    """r6: the broadcast is PLANNER-CHOSEN — the entry carries no
+    `F.broadcast` hint (a forced broadcast OOMs when customer scales with
+    SF at a real 100 TB TPC-H); the size-estimate path must still pick
+    BroadcastHashJoin for the small dim at bench SF."""
+    import inspect
+
+    from skywalking_banyandb_spark import registry_analytics
     from skywalking_banyandb_spark.registry_analytics import _tpch_q3
 
     plan = _plan(_tpch_q3(spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan
+    assert "F.broadcast" not in inspect.getsource(registry_analytics)
 
 
 def test_no_python_udf_in_banyandb_paths(spark):
@@ -111,7 +119,8 @@ def test_no_python_udf_in_banyandb_paths(spark):
 def test_tpch_q10_q14_q18_join_strategies(spark):
     """The new analytics entries keep their intended physical shape:
     dims broadcast (no fact shuffle for them), semi-join filter in q18
-    broadcast, partial aggregation everywhere."""
+    broadcast, partial aggregation everywhere — all hint-free since r6
+    (the planner/AQE picks the strategy from sizes)."""
     from skywalking_banyandb_spark import registry
 
     qs = registry.queries()
