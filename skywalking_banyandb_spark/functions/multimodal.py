@@ -240,6 +240,13 @@ def _decode_png(payload: bytes) -> tuple:
     else:  # palette
         if not palette:
             raise ValueError("palette PNG missing PLTE chunk")
+        # validate up front: an out-of-range index would slice SHORT and
+        # bytearray slice-assignment silently RESIZES `out`, corrupting the
+        # RGB byte length instead of failing on the malformed file
+        if rows and 3 * (max(rows) + 1) > len(palette):
+            raise ValueError(
+                f"palette index {max(rows)} out of range for "
+                f"{len(palette) // 3}-entry PLTE")
         for i, v in enumerate(rows):
             out[3 * i:3 * i + 3] = palette[3 * v:3 * v + 3]
     return w, h, bytes(out)

@@ -599,12 +599,20 @@ register(
 # single-shuffle plan as any group-by.
 # ---------------------------------------------------------------------------
 
+#: Bias added to epoch micros before the zero-pad: a NEGATIVE pre-1970
+#: micros value would render with a '-' prefix, breaking the
+#: lexicographic==numeric property of the padded key. 5e18 keeps any
+#: representable timestamp positive while staying inside int64
+#: (5e18 + |epoch_us| < 9.2e18); both engines apply the same literal.
+_OHLC_KEY_BIAS = 5_000_000_000_000_000_000
+
+
 def _ohlc_window(spark: SparkSession, sf: str) -> DataFrame:
     ev = read_table(spark, f"{sf}/events.parquet").where(
         F.col("event_type").isin("click", "purchase"))
     key = F.concat(
-        F.lpad(F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
-               20, "0"),
+        F.lpad((F.unix_micros(F.col("ts").cast("timestamp"))
+                + F.lit(_OHLC_KEY_BIAS)).cast("string"), 20, "0"),
         F.lit("|"),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )
@@ -626,13 +634,13 @@ def _ohlc_window(spark: SparkSession, sf: str) -> DataFrame:
 register(
     "measure_ohlc_window",
     _ohlc_window,
-    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
-              arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+    f"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+              arg_min(value, lpad(CAST(epoch_us(ts) + {_OHLC_KEY_BIAS} AS VARCHAR), 20, '0')
                              || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0'))
                   AS open,
               MAX(value) AS high,
               MIN(value) AS low,
-              arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+              arg_max(value, lpad(CAST(epoch_us(ts) + {_OHLC_KEY_BIAS} AS VARCHAR), 20, '0')
                              || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0'))
                   AS close,
               COUNT(*) AS n
@@ -737,7 +745,11 @@ def _alert_intervals(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = read_table(spark, f"{sf}/events.parquet")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    bucket = (us / F.lit(3_600_000_000)).cast("bigint")
+    # exact FLOOR division (pmod is non-negative), matching DuckDB's `//`:
+    # a double divide + cast('bigint') truncates toward zero and would put
+    # pre-1970 timestamps in the wrong bucket (same idiom as operators/asof)
+    hour_us = F.lit(3_600_000_000)
+    bucket = ((us - F.pmod(us, hour_us)) / hour_us).cast("bigint")
     per = (
         ev.groupBy(F.col("event_type"), bucket.alias("bk"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -765,10 +777,10 @@ register(
     _alert_intervals,
     """WITH per AS (
          SELECT event_type,
-                CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bk,
+                CAST((epoch_us(ts) - ((epoch_us(ts) % 3600000000) + 3600000000) % 3600000000) // 3600000000 AS BIGINT) AS bk,
                 COUNT(*) AS n
          FROM events
-         GROUP BY event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+         GROUP BY event_type, CAST((epoch_us(ts) - ((epoch_us(ts) % 3600000000) + 3600000000) % 3600000000) // 3600000000 AS BIGINT)
          HAVING COUNT(*) >= 8),
        isl AS (
          SELECT event_type, bk, n,

@@ -204,22 +204,36 @@ def _quality_rare_tokens(spark: SparkSession, sf: str) -> DataFrame:
     fraction of a document's tokens whose CORPUS document frequency is
     <= 2 (hapax/dis legomena). Everything is integer counting plus one
     exact bigint division, so the value is bit-identical at any
-    parallelism (no float accumulation at all). Two shuffles: the corpus
-    token-frequency aggregation and the per-doc rollup — NEW r5."""
+    parallelism (no float accumulation at all).
+
+    Shuffle diet (r6, VERDICT r5 #7): instead of joining the full token
+    STREAM against the full vocabulary dim on the Zipf-skewed token key
+    (hot-key partitions), derive the COMMON-token set (cnt > 2 — far
+    smaller than the vocabulary, which is dominated by hapax types) and
+    mark stream tokens against it; a token with no match is rare. The
+    vocabulary aggregation is map-side-combined (the shuffle carries
+    per-partition distinct tokens, not the stream), the mark join ships
+    the small common set broadcast (AQE decides — size is
+    data-dependent), and the only data shuffle is the per-doc rollup on
+    doc_id."""
     docs = _docs(spark, sf)
     toks = docs.select(
         "doc_id",
         F.explode(F.filter(F.split(F.col("text"), " "),
                            lambda t: F.length(t) > 0)).alias("tok"),
     )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    common = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 2)
+        .select("tok", F.lit(1).alias("_common"))
+    )
     return (
-        toks.join(freq, "tok")
+        toks.join(common, "tok", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.when(F.col("cnt") <= 2, 1).otherwise(0)).cast("bigint")
-            .alias("n_rare"),
+            F.sum(F.when(F.col("_common").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("n_rare"),
         )
         .select(
             "doc_id", "n_tokens", "n_rare",

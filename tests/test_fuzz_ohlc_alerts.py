@@ -1,7 +1,11 @@
 """Differential fuzz for OHLC windows and alert intervals: random tiny
 event sets vs DuckDB (arg_min/arg_max + gaps-and-islands), targeting the
 tie cases the corpus may not produce (same-timestamp rows, single-bucket
-islands, empty results)."""
+islands, empty results). Since r6 the base time sits just after the epoch
+and hour offsets go NEGATIVE, so pre-1970 rows exercise the biased
+open/close key (a bare lpad of negative micros breaks lexicographic
+ordering) and the exact-floor bucket division (double-divide +
+cast('bigint') truncates toward zero)."""
 
 from __future__ import annotations
 
@@ -12,12 +16,12 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-_T0 = dt.datetime(2024, 1, 1)
+_T0 = dt.datetime(1970, 1, 1, 2)
 
 # (hour-offset, minute, type-id, value) — few hours/types so same-ts and
 # same-bucket collisions are common
 _ev = st.tuples(
-    st.integers(min_value=0, max_value=3),
+    st.integers(min_value=-4, max_value=3),   # straddles the 1970 epoch
     st.integers(min_value=0, max_value=3),   # few minutes -> ts ties
     st.integers(min_value=0, max_value=1),
     st.integers(min_value=0, max_value=9),
@@ -43,10 +47,13 @@ def _frame(spark, rows):
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(rows=st.lists(_ev, min_size=1, max_size=20))
 def test_ohlc_fuzz_vs_duckdb(spark, rows):
+    from skywalking_banyandb_spark.registry_observability import \
+        _OHLC_KEY_BIAS as B
+
     df, con = _frame(spark, rows)
     key = F.concat(
-        F.lpad(F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
-               20, "0"),
+        F.lpad((F.unix_micros(F.col("ts").cast("timestamp"))
+                + F.lit(B)).cast("string"), 20, "0"),
         F.lit("|"), F.lpad(F.col("event_id").cast("string"), 12, "0"))
     got = sorted(
         (str(r.hour), r.event_type, r.open, r.high, r.low, r.close, r.n)
@@ -60,12 +67,12 @@ def test_ohlc_fuzz_vs_duckdb(spark, rows):
         .collect())
     want = sorted(
         (str(r[0]), r[1], r[2], r[3], r[4], r[5], r[6])
-        for r in con.execute("""
+        for r in con.execute(f"""
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP), event_type,
-                   arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                   arg_min(value, lpad(CAST(epoch_us(ts) + {B} AS VARCHAR), 20, '0')
                            || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0')),
                    MAX(value), MIN(value),
-                   arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                   arg_max(value, lpad(CAST(epoch_us(ts) + {B} AS VARCHAR), 20, '0')
                            || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0')),
                    COUNT(*)
             FROM e GROUP BY 1, 2""").fetchall())
@@ -81,8 +88,10 @@ def test_alert_islands_fuzz_vs_duckdb(spark, rows, threshold):
 
     df, con = _frame(spark, rows)
     us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hour_us = F.lit(3_600_000_000)
     per = (df.groupBy("event_type",
-                      (us / F.lit(3_600_000_000)).cast("bigint").alias("bk"))
+                      ((us - F.pmod(us, hour_us)) / hour_us)
+                      .cast("bigint").alias("bk"))
            .agg(F.count(F.lit(1)).alias("n"))
            .where(F.col("n") >= threshold))
     w = Window.partitionBy("event_type").orderBy("bk")
@@ -95,7 +104,7 @@ def test_alert_islands_fuzz_vs_duckdb(spark, rows, threshold):
         .collect())
     want = sorted(tuple(r) for r in con.execute(f"""
         WITH per AS (
-          SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) bk,
+          SELECT event_type, CAST((epoch_us(ts) - ((epoch_us(ts) % 3600000000) + 3600000000) % 3600000000) // 3600000000 AS BIGINT) bk,
                  COUNT(*) n
           FROM e GROUP BY 1, 2 HAVING COUNT(*) >= {threshold}),
         isl AS (

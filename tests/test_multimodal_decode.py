@@ -223,6 +223,18 @@ def test_decode_png_palette():
     assert prgb == bytes(want)
 
 
+def test_decode_png_palette_index_out_of_range_raises():
+    """r6 (ADVICE): an index past the PLTE table must raise, not silently
+    resize the output via a short bytearray slice-assignment."""
+    import pytest
+
+    palette = _test_pixels(4, 1, 3)  # 4 entries: valid indexes 0..3
+    idx = bytes([0, 1, 2, 3, 1, 2, 3, 7])  # 7 is out of range
+    with pytest.raises(ValueError, match="palette index"):
+        mm.decode_image(
+            _encode_png(4, 2, idx, color=3, filters=[0, 0], palette=palette))
+
+
 def test_decode_png_gates_interlace_and_16bit():
     import struct
     import zlib as _z

@@ -257,6 +257,21 @@ def test_winnow_pairs_plan_bounded(spark):
     spark.catalog.clearCache()
 
 
+def test_rare_token_ratio_marks_against_common_set(spark):
+    """r6 (VERDICT r5 #7): the rare-token mark join ships the small
+    common-token set broadcast — the token STREAM must never shuffle on
+    the Zipf-skewed token key (no SortMergeJoin/ShuffledHashJoin on tok).
+    Exchanges: vocab agg (map-side combined), doc_id rollup, presentation
+    sort — three, none carrying the stream keyed by token."""
+    from skywalking_banyandb_spark.registry_pipeline import (
+        _quality_rare_tokens)
+
+    plan = _plan(_quality_rare_tokens(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 3, plan
+
+
 def test_winnow_df_cap_scales_with_corpus(spark):
     """r6: the stop-fingerprint cap derives from floor(frac × corpus) like
     ngram_jaccard_pairs — a constant cap is unprincipled at 100 TB. The
