@@ -144,6 +144,34 @@ def resolve_stage_paths(schema, stages: Sequence[str]) -> Tuple[str, ...]:
     return tuple(resolve_replica(p) for p in uniq)
 
 
+def clamp_time_range_begin(schemas, time_range):
+    """Schema-consistency time-range clamp (reference 0.11 "Phase 1",
+    ``/root/reference/CHANGES.md`` 0.11; impl
+    ``banyand/liaison/grpc/measure.go:459-489`` ``clampTimeRangeBegin``):
+    ``begin = max(begin, max(schema.created_at across queried groups))``.
+    Schemas without ``created_at`` (pre-upgrade) contribute nothing; with
+    none set the range passes through untouched. A clamped begin past the
+    end leaves a degenerate half-open ``[begin, end)`` with begin >= end,
+    which every scan path answers with zero rows — the Spark analogue of
+    the liaison's empty-response short-circuit.
+
+    Callers gate this on ``group_mod_revisions`` being present, the same
+    opt-in trigger as the revision gate: legacy clients that omit
+    revisions keep the old behavior where pre-creation backfill rows are
+    returned (``measure.go:459-465``)."""
+    created = [s.created_at for s in schemas
+               if getattr(s, "created_at", None) is not None]
+    if not created or time_range is None:
+        return time_range
+    from .model import TimeRange
+
+    cap = max(created)
+    begin = time_range.begin
+    if begin is None or begin < cap:
+        return TimeRange(cap, time_range.end)
+    return time_range
+
+
 @dataclass(frozen=True)
 class MeasureSchema:
     """A measure = numeric time series with tags+fields, upsert by version
@@ -173,6 +201,11 @@ class MeasureSchema:
     # resolve_stage_paths for the ON ... STAGES routing semantics
     stages: Tuple["StageSpec", ...] = ()
     default_stages: Tuple[str, ...] = ()
+    # first-appearance timestamp, survives updates (reference 0.11 "Schema
+    # consistency Phase 1": database/v1/schema.proto created_at). When set,
+    # revision-gated queries clamp TimeRange.begin to it — see
+    # clamp_time_range_begin. None (pre-upgrade schema) is a no-op.
+    created_at: Optional[object] = None
 
     kind: str = "measure"
 
@@ -209,6 +242,8 @@ class StreamSchema:
     # gen_err_*_service_id golden cases). An empty tuple leaves all ops
     # unrestricted (documented relaxation for the synthetic event_log).
     entity: Tuple[str, ...] = ()
+    # see MeasureSchema.created_at (reference 0.11 clamp)
+    created_at: Optional[object] = None
 
     kind: str = "stream"
 
@@ -234,6 +269,8 @@ class TraceSchema:
     tags: Tuple[TagSpec, ...]
     stages: Tuple["StageSpec", ...] = ()
     default_stages: Tuple[str, ...] = ()
+    # see MeasureSchema.created_at (reference 0.11 clamp)
+    created_at: Optional[object] = None
 
     kind: str = "trace"
 

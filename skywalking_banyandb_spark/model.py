@@ -180,6 +180,9 @@ class StreamQuery:
     limit: Optional[int] = None
     offset: int = 0
     stages: Sequence[str] = ()
+    # pinned schema revisions; also the opt-in trigger for the created_at
+    # time-range clamp (reference 0.11; catalog.clamp_time_range_begin)
+    group_mod_revisions: Optional[dict] = None
 
 
 @dataclass(frozen=True)
@@ -197,6 +200,8 @@ class TraceQuery:
     limit: Optional[int] = None
     offset: int = 0
     stages: Sequence[str] = ()
+    # pinned schema revisions + created_at clamp trigger (see StreamQuery)
+    group_mod_revisions: Optional[dict] = None
 
 
 @dataclass(frozen=True)

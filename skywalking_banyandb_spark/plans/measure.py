@@ -150,9 +150,16 @@ def agg_expr(func: AggFunc, field: str, field_type: str) -> Column:
 
 
 def compile_measure(spark: SparkSession, catalog: Catalog, q: MeasureQuery) -> DataFrame:
+    schemas: List[MeasureSchema] = catalog.get_many(q.groups, "measure", q.name)
     if q.group_mod_revisions:
         catalog.check_revisions(q.group_mod_revisions)
-    schemas: List[MeasureSchema] = catalog.get_many(q.groups, "measure", q.name)
+        # revision-pinned (schema-aware) clients also opt into the
+        # created_at clamp — reference 0.11, catalog.clamp_time_range_begin
+        from dataclasses import replace
+
+        from ..catalog import clamp_time_range_begin
+
+        q = replace(q, time_range=clamp_time_range_begin(schemas, q.time_range))
     ref = schemas[0]
     tagmap = _schema_tagmap(ref)
 

@@ -38,6 +38,15 @@ def _tagmap(schema: StreamSchema) -> Dict[str, Optional[str]]:
 
 def compile_stream(spark: SparkSession, catalog: Catalog, q: StreamQuery) -> DataFrame:
     schemas: List[StreamSchema] = catalog.get_many(q.groups, "stream", q.name)
+    if q.group_mod_revisions:
+        catalog.check_revisions(q.group_mod_revisions)
+        # revision-pinned clients opt into the created_at clamp
+        # (reference 0.11; test/cases/schema/clamp.go drives the stream path)
+        from dataclasses import replace
+
+        from ..catalog import clamp_time_range_begin
+
+        q = replace(q, time_range=clamp_time_range_begin(schemas, q.time_range))
     ref = schemas[0]
     # merged logical schema across groups — first declaration wins; tags
     # present in only some groups come back NULL-filled for the others

@@ -79,6 +79,15 @@ def _order_key(ref: TraceSchema, q: TraceQuery):
 
 def compile_trace(spark: SparkSession, catalog: Catalog, q: TraceQuery) -> DataFrame:
     schemas: List[TraceSchema] = catalog.get_many(q.groups, "trace", q.name)
+    if q.group_mod_revisions:
+        catalog.check_revisions(q.group_mod_revisions)
+        # revision-pinned clients opt into the created_at clamp
+        # (reference 0.11; catalog.clamp_time_range_begin)
+        from dataclasses import replace
+
+        from ..catalog import clamp_time_range_begin
+
+        q = replace(q, time_range=clamp_time_range_begin(schemas, q.time_range))
     ref = schemas[0]
     # merged logical schema across groups (cross_group_merge.go:35-131):
     # tags declared by only some groups NULL-fill in the others' spans

@@ -186,30 +186,53 @@ _R4_DRIVER_SEEN = frozenset({
     "trace_multigroup_schema_merge", "write_mixed_roundtrip",
 })
 
-# Round-5 front of the 50-entry driver window: entries whose compile path
-# round 5 changes —
-# - events_cohort_retention: the per-user dim is no longer force-broadcast
-#   (VERDICT r4 wrong #1);
-# - ann_*: probe/centroid ordering now ranks on the UNROUNDED cosine with id
-#   tie-break (round6 kept for display/hash only, VERDICT r4 wrong #4), and
-#   PQ/IVF-PQ builds sample all codebooks in ONE corpus scan (wrong #2);
-# - dedup_embedding_cosine / dedup_embedding_lsh share similarity.py's
-#   ordering helpers;
-# - sketch_cms_tokens: cms_estimate now left-joins the sketch so absent
-#   probes return est=0 (ADVICE r4).
-# NOT listed despite r5 code touches: corpus_clean_pipeline and
-# dedup_near_dup_clusters (the r5 change removed data-dependent broadcast
-# HINTS only — join strategy, zero semantic surface; both re-verified
-# green against their oracles locally). Listing them would displace two
-# r2-stale entries from the 50-row window, and full stale rotation is the
-# round's #1 priority (VERDICT r4). dedup_ngram_jaccard/dedup_minhash_lsh
-# had the same hint change but are r2-stale, so they re-verify anyway.
-_R5_TOUCHED = (
-    "events_cohort_retention",
-    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "ann_pq_topk", "ann_ivfpq_topk",
-    "dedup_embedding_cosine", "dedup_embedding_lsh",
-    "sketch_cms_tokens",
+# Entries the round-5 driver sweep recorded (CORRECTNESS_r05.json):
+# 50/50 green — the r2-stale tail fully rotated out.
+_R5_DRIVER_SEEN = frozenset({
+    "ann_cosine_topk", "ann_ivf_topk", "ann_ivfpq_residual_topk",
+    "ann_ivfpq_topk", "ann_lsh_topk", "ann_pq_topk", "dedup_embedding_cosine",
+    "dedup_embedding_lsh", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_resolution_keep_best", "dedup_substring_winnow",
+    "documents_stratified_sample", "documents_train_split",
+    "embedding_l2_norms", "events_alert_intervals", "events_cohort_retention",
+    "json_extract_agg", "measure_groupby_mean_salted",
+    "measure_histogram_quantile", "measure_multigroup_schema_merge",
+    "measure_ohlc_window", "measure_scan_filter", "pii_scrub",
+    "property_ids_select", "property_match_and", "property_match_keyword",
+    "property_match_url_and", "property_orderby_offset",
+    "quality_rare_token_ratio", "request_yaml_measure", "request_yaml_property",
+    "request_yaml_stream", "request_yaml_topn", "request_yaml_trace",
+    "sketch_cms_tokens", "stream_filter_in_orderby_tag",
+    "stream_filter_not_in_range", "stream_match_props",
+    "streaming_interval_join_materialized", "text_simhash", "text_stats",
+    "topn_entity_conditions", "topn_multigroup_postagg_max", "topn_per_window",
+    "topn_postagg_mean", "trace_by_ids", "trace_orderby_duration",
+    "trace_regroup_stats", "vocab_top_tokens",
+})
+
+# Round-6 front of the 50-entry driver window: entries whose compile path
+# round 6 changes —
+# - dedup_substring_winnow / dedup_resolution_keep_best: the (id, fp)
+#   posting table is persisted once and shared, and the stop-fingerprint
+#   cap derives from floor(0.04 × corpus) (VERDICT r5 #1/#5);
+# - quality_rare_token_ratio: common-token broadcast mark join replaces the
+#   stream ⋈ vocabulary join (VERDICT r5 #7);
+# - measure_ohlc_window: the open/close order key is biased non-negative;
+#   events_alert_intervals: exact-floor hour buckets on BOTH engines
+#   (ADVICE r5);
+# - tpch_*: forced dimension-broadcast hints removed, planner/AQE picks the
+#   strategy (VERDICT r5 #2) — join strategy only, but the q3/q10/q14/q18
+#   code changed so they re-verify;
+# - measure_scan_filter / stream_* / trace_* representatives re-verify the
+#   compile paths that gained the created_at clamp branch (the branch is
+#   inert without group_mod_revisions, but the compile functions changed).
+_R6_TOUCHED = (
+    "dedup_substring_winnow", "dedup_resolution_keep_best",
+    "quality_rare_token_ratio",
+    "measure_ohlc_window", "events_alert_intervals",
+    "tpch_q3_shipping_priority", "tpch_q10_returned_items",
+    "tpch_q14_promo_effect", "tpch_q18_large_volume",
+    "measure_scan_filter", "stream_scan_paged", "trace_regroup_stats",
 )
 
 _SWEEP_CAP = 50
@@ -217,6 +240,8 @@ _SWEEP_CAP = 50
 
 def _newest_driver_round(k: str) -> int:
     """Most recent round whose sweep recorded this entry (0 = never)."""
+    if k in _R5_DRIVER_SEEN:
+        return 5
     if k in _R4_DRIVER_SEEN:
         return 4
     if k in _R3_DRIVER_SEEN:
@@ -231,11 +256,11 @@ def _newest_driver_round(k: str) -> int:
 def _sweep_order(d: Dict[str, "object"]) -> list:
     """Driver sweeps record the FIRST 50 entries only, so order by need:
     never-driver-seen entries (new this round), then entries whose code
-    changed this round (_R5_TOUCHED), then everything else oldest-driver-row
+    changed this round (_R6_TOUCHED), then everything else oldest-driver-row
     first so no entry's newest row goes stale silently. Warn when the
     priority prefix itself overflows the cap (ADVICE r3)."""
     fresh = [k for k in d if _newest_driver_round(k) == 0]
-    touched = [k for k in _R5_TOUCHED if k in d and k not in fresh]
+    touched = [k for k in _R6_TOUCHED if k in d and k not in fresh]
     front = fresh + touched
     if len(front) > _SWEEP_CAP:
         import warnings

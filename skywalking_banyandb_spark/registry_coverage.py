@@ -1457,3 +1457,43 @@ register(
          AND p.ts <  TIMESTAMP '2024-01-06 00:00:00'
        ORDER BY user_id, s_event_id, p_event_id""",
 )
+
+
+def _measure_created_at_clamp(spark: SparkSession, sf: str) -> DataFrame:
+    """created_at time-range clamp (reference 0.11 "Schema consistency
+    Phase 1", CHANGES.md; liaison impl banyand/liaison/grpc/measure.go:459-489
+    clampTimeRangeBegin; golden corpus test/cases/schema/clamp.go): a
+    REVISION-PINNED query's begin is raised to max(begin, schema.created_at)
+    so pre-creation backfill rows never leak into schema-aware reads. Here
+    the metrics schema is re-registered with created_at mid-range; the query
+    asks from T0 but gets [created_at, T1) — the oracle bakes the clamped
+    literal in. Multi-group max semantics + the empty-range short-circuit
+    are pytest-covered (tests/test_created_at_clamp.py)."""
+    import dataclasses
+    import datetime as dt
+
+    cat = default_catalog(sf)
+    m = cat.get("g1", "measure", "metrics")
+    cat.register(dataclasses.replace(
+        m, created_at=dt.datetime(2024, 1, 10)))
+    q = MeasureQuery(
+        groups=["g1"], name="metrics",
+        time_range=TR,  # asks from T0 = 2024-01-03 — clamped to 01-10
+        group_by=["event_type"],
+        agg=AggregationSpec(AggFunc.SUM, "value"),
+        limit=100000,
+        group_mod_revisions={"g1": cat.mod_revision("g1")},
+    )
+    return compile_measure(spark, cat, q)
+
+
+register(
+    "measure_created_at_clamp",
+    _measure_created_at_clamp,
+    "SELECT event_type, " + SUM6.format(x="value") + " AS value FROM "
+    "(SELECT ts, user_id, event_type, value FROM ("
+    "SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' "
+    f"AND ts < TIMESTAMP '{_T1S}' "
+    "QUALIFY row_number() OVER (PARTITION BY user_id, ts "
+    "ORDER BY event_id DESC) = 1)) GROUP BY event_type",
+)
