@@ -22,6 +22,23 @@ it Spark-first:
 The driver entry (``streaming_interval_join_materialized``) drains a
 two-batch file source with ``availableNow`` and is oracle-recomputed by a
 plain DuckDB batch join over the same rows.
+
+**Skew ceiling (honest limit, SCALE.md debt #1)**: state is partitioned by
+``user_id``, so one hot key concentrates its state rows AND its matching
+work in a single task. The GLOBAL state bound (arrival-rate × Δ, enforced
+by watermark eviction) still holds under a hot key — the soak test
+(``tests/test_streaming_windows.py::test_interval_join_hot_key_soak``
+drives one user at ~100× the median rate over multiple micro-batches and
+asserts the state-store row count stays within the rate×horizon bound and
+eviction keeps running) — but the hot key's share of that state lives in
+one partition. The batch as-of join has a chunked decomposition for this
+(``operators/asof.py``); no streaming analogue exists because salting the
+key breaks match co-location (a salted left row could not see the matching
+right rows in other salt buckets). Per-key ceiling ≈ hot-key-rate × Δ rows
+of state in one task; beyond that, pre-aggregate or split the hot key
+upstream. The reference's bounded-per-key capability class is the Top-N
+heap (``pkg/flow/streaming/topn.go:51-305``, bounded by N); a join cannot
+bound per-key state below rate×Δ without dropping matches.
 """
 
 from __future__ import annotations
