@@ -62,6 +62,12 @@ EXTENDED = [
     "ann_ivfpq_residual_topk",
     "measure_histogram_quantile",
     "events_alert_intervals",
+    # round-6 additions
+    "measure_counter_increase_promql",
+    "slo_burn_rate_multiwindow",
+    "quality_tfidf_top_terms",
+    "quality_charlm_typicality",
+    "measure_created_at_clamp",
 ]
 
 

@@ -222,17 +222,28 @@ _R5_DRIVER_SEEN = frozenset({
 #   (ADVICE r5);
 # - tpch_*: forced dimension-broadcast hints removed, planner/AQE picks the
 #   strategy (VERDICT r5 #2) — join strategy only, but the q3/q10/q14/q18
-#   code changed so they re-verify;
-# - measure_scan_filter / stream_* / trace_* representatives re-verify the
-#   compile paths that gained the created_at clamp branch (the branch is
-#   inert without group_mod_revisions, but the compile functions changed).
+#   code changed so they re-verify (all four are r3-stale, so listing them
+#   just pins what the oldest-first rest would do anyway).
+# NOT listed despite r6 code touches: the compile_measure/stream/trace
+# created_at clamp branch is INERT for every existing entry (none passes
+# group_mod_revisions); the branch itself is driver-verified through the
+# fresh measure_created_at_clamp entry and pytest-covered
+# (tests/test_created_at_clamp.py), and representative entries of all three
+# compile paths (measure_scan_filter, stream_scan_paged,
+# trace_regroup_stats) were locally sim-verified green against their
+# oracles this round. Listing them would displace three more r3-stale
+# entries from the 50-row window.
+# Window arithmetic (honest): 5 fresh + 9 touched + 36 rest slots < the 42
+# r3-stale entries — two r3 entries (the alphabetically-last of the rest
+# sort) overflow to round 7's front: tpch_q8_market_share and
+# trace_spans_payload, both locally sim-verified green at sf0.01 this
+# round.
 _R6_TOUCHED = (
     "dedup_substring_winnow", "dedup_resolution_keep_best",
     "quality_rare_token_ratio",
     "measure_ohlc_window", "events_alert_intervals",
     "tpch_q3_shipping_priority", "tpch_q10_returned_items",
     "tpch_q14_promo_effect", "tpch_q18_large_volume",
-    "measure_scan_filter", "stream_scan_paged", "trace_regroup_stats",
 )
 
 _SWEEP_CAP = 50

@@ -794,3 +794,169 @@ register(
        FROM isl GROUP BY event_type, island
        ORDER BY event_type, alert_start""",
 )
+
+
+# ---------------------------------------------------------------------------
+# PromQL-exact counter increase: reset-aware (NEW r6). Prometheus's
+# increase()/rate() treat a counter DECREASE as a restart from zero — the
+# post-reset sample contributes its FULL value, not a negative delta
+# (promql/functions.go extrapolatedRate's resets handling; the reference's
+# SkyWalking meters are exactly such counters). measure_rate_delta keeps the
+# simpler clamp-at-zero semantics; this entry is the PromQL-faithful one,
+# per (series, hour): increase = Σ(delta >= 0 ? delta : current), rate =
+# increase / covered-seconds. Extrapolation to window edges is deliberately
+# omitted (documented divergence — it estimates, we report the exact
+# in-window increase). One lag window + one aggregation, both on the same
+# (user_id) partitioning; DECIMAL accumulation keeps the sum
+# order-independent across 1000 executors.
+# ---------------------------------------------------------------------------
+
+def _counter_increase_promql(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_table(spark, f"{sf}/events.parquet").where(
+        F.col("event_type") == "click")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .withColumn("prev", F.lag("value").over(w))
+        .withColumn("hour", F.date_trunc("hour", F.col("ts")))
+    )
+    contrib = F.when(F.col("prev").isNull(), F.lit(0.0)).otherwise(
+        F.when(F.col("value") >= F.col("prev"),
+               F.col("value") - F.col("prev"))
+        .otherwise(F.col("value")))  # reset -> counter restarted from 0
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = (
+        d.groupBy("user_id", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(F.when(F.col("prev").isNotNull()
+                         & (F.col("value") < F.col("prev")), 1)
+                  .otherwise(0)).cast("long").alias("n_resets"),
+            F.sum(contrib.cast("decimal(24,6)")).cast("double")
+            .alias("increase"),
+            (F.max(us) - F.min(us)).alias("span_us"),
+        )
+    )
+    return (
+        g.select(
+            "user_id", "hour", "n_samples", "n_resets", "increase",
+            F.when(F.col("span_us") > 0,
+                   F.col("increase") / (F.col("span_us")
+                                        / F.lit(1_000_000.0)))
+            .alias("rate_per_s"),
+        )
+        .orderBy("user_id", "hour")
+    )
+
+
+register(
+    "measure_counter_increase_promql",
+    _counter_increase_promql,
+    """WITH d AS (
+         SELECT user_id, ts, value,
+                lag(value) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+                CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour
+         FROM events WHERE event_type = 'click'),
+       g AS (
+         SELECT user_id, hour, COUNT(*) AS n_samples,
+                CAST(SUM(CASE WHEN prev IS NOT NULL AND value < prev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+                CAST(SUM(CAST(CASE WHEN prev IS NULL THEN 0.0
+                              WHEN value >= prev THEN value - prev
+                              ELSE value END AS DECIMAL(24,6))) AS DOUBLE)
+                    AS increase,
+                MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS span_us
+         FROM d GROUP BY user_id, hour)
+       SELECT user_id, hour, n_samples, n_resets, increase,
+              CASE WHEN span_us > 0
+                   THEN increase / (span_us / 1000000.0) END AS rate_per_s
+       FROM g ORDER BY user_id, hour""",
+)
+
+
+# ---------------------------------------------------------------------------
+# SLO multi-window burn rate (NEW r6) — the Google SRE workbook alerting
+# shape every observability stack reimplements: burn = error-ratio / error
+# budget, evaluated over a SHORT and a LONG window simultaneously (fast
+# detection + low flap). Hourly error ratios come from one partial/final
+# aggregation; the 6h trailing window is a RANGE frame over the integer
+# hour index, so missing hours shrink the window instead of silently
+# stretching it (a ROWS frame over sparse buckets would look back too far).
+# Counts are integers; each ratio is ONE division — bit-stable at any
+# parallelism. The unpartitioned trailing window runs over the POST-AGG
+# hourly relation (≤ #hours rows — 8.8k/year — regardless of corpus size),
+# so the single-task window is a constant-size tail stage, not a scale
+# hazard; a per-service SLO would add the service key to both the group-by
+# and the window partitioning.
+# ---------------------------------------------------------------------------
+
+_SLO_TARGET = 0.20  # error budget: 20% errors allowed (synthetic corpus)
+
+
+def _slo_burn_rate(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_table(spark, f"{sf}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hour_us = F.lit(3_600_000_000)
+    hr = ((us - F.pmod(us, hour_us)) / hour_us).cast("bigint")
+    per = (
+        ev.groupBy(hr.alias("hr"))
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long").alias("errors"),
+        )
+    )
+    w6 = (Window.orderBy("hr").rangeBetween(-5, 0))
+    agg6 = per.select(
+        "hr", "total", "errors",
+        F.sum("errors").over(w6).alias("errors_6h"),
+        F.sum("total").over(w6).alias("total_6h"),
+    )
+    short_ratio = F.col("errors") / F.col("total")
+    long_ratio = F.col("errors_6h") / F.col("total_6h")
+    return (
+        agg6.select(
+            F.timestamp_micros(F.col("hr") * 3_600_000_000).alias("hour"),
+            "total", "errors",
+            short_ratio.alias("short_ratio"),
+            long_ratio.alias("long_ratio"),
+            (short_ratio / F.lit(_SLO_TARGET)).alias("burn_1h"),
+            (long_ratio / F.lit(_SLO_TARGET)).alias("burn_6h"),
+            # page when BOTH windows burn >1x budget (multiwindow AND gate)
+            ((short_ratio > F.lit(_SLO_TARGET))
+             & (long_ratio > F.lit(_SLO_TARGET))).alias("page"),
+        )
+        .orderBy("hour")
+    )
+
+
+register(
+    "slo_burn_rate_multiwindow",
+    _slo_burn_rate,
+    f"""WITH per AS (
+         SELECT CAST((epoch_us(ts) - ((epoch_us(ts) % 3600000000)
+                      + 3600000000) % 3600000000) // 3600000000 AS BIGINT)
+                    AS hr,
+                COUNT(*) AS total,
+                CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS errors
+         FROM events GROUP BY 1),
+       agg6 AS (
+         SELECT hr, total, errors,
+                SUM(errors) OVER (ORDER BY hr
+                    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS errors_6h,
+                SUM(total) OVER (ORDER BY hr
+                    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS total_6h
+         FROM per)
+       SELECT make_timestamp(hr * 3600000000) AS hour, total, errors,
+              errors / CAST(total AS DOUBLE) AS short_ratio,
+              errors_6h / CAST(total_6h AS DOUBLE) AS long_ratio,
+              (errors / CAST(total AS DOUBLE)) / {_SLO_TARGET} AS burn_1h,
+              (errors_6h / CAST(total_6h AS DOUBLE)) / {_SLO_TARGET}
+                  AS burn_6h,
+              errors / CAST(total AS DOUBLE) > {_SLO_TARGET}
+                  AND errors_6h / CAST(total_6h AS DOUBLE) > {_SLO_TARGET}
+                  AS page
+       FROM agg6 ORDER BY hour""",
+)

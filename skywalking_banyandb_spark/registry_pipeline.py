@@ -1118,3 +1118,136 @@ register(
        SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM p
        GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""",
 )
+
+
+def _tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (NEW r6) — the classic keyword /
+    topic-signal extraction a training pipeline runs for corpus balancing
+    and near-topic dedup. Scored as tf/df — the RATIONAL idf variant
+    (monotone in the classic ln(N/df) for fixed tf): log() is
+    implementation-defined at the ulp level across engines (Java Math.log
+    vs C libm), while integer-ratio division is IEEE-deterministic, so the
+    ordering is bit-identical in Spark and DuckDB without rounding tricks.
+
+    Shuffle shape: the token STREAM aggregates once to distinct
+    (doc, tok, tf) pairs (map-side combined); df is a COUNT window over
+    tok on that already-collapsed pair relation (no stream⋈vocab join —
+    the same diet as quality_rare_token_ratio); rank is a row_number
+    window per doc with (score DESC, tok ASC) total order."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.col("text"), " "),
+                           lambda t: F.length(t) > 0)).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    wdf = Window.partitionBy("tok")
+    wrank = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("tok").asc())
+    return (
+        tf.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .withColumn("score", F.col("tf") / F.col("df"))
+        .withColumn("rank", F.row_number().over(wrank))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "rank", "tok", "tf",
+                F.col("df").cast("bigint").alias("df"), "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
+register(
+    "quality_tfidf_top_terms",
+    _tfidf_top_terms,
+    """WITH toks AS (
+         SELECT doc_id, t AS tok
+         FROM documents, unnest(string_split(text, ' ')) AS u(t)
+         WHERE len(t) > 0),
+       tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+              FROM toks GROUP BY doc_id, tok),
+       scored AS (
+         SELECT doc_id, tok, tf,
+                COUNT(*) OVER (PARTITION BY tok) AS df,
+                tf / CAST(COUNT(*) OVER (PARTITION BY tok) AS DOUBLE)
+                    AS score
+         FROM tf)
+       SELECT doc_id,
+              CAST(row_number() OVER (
+                  PARTITION BY doc_id ORDER BY score DESC, tok) AS INT)
+                  AS rank,
+              tok, tf, CAST(df AS BIGINT) AS df, score
+       FROM scored
+       QUALIFY row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, tok) <= 3
+       ORDER BY doc_id, rank""",
+)
+
+
+def _charlm_typicality(spark: SparkSession, sf: str) -> DataFrame:
+    """Char-trigram typicality score (NEW r6) — the log-free perplexity
+    proxy for gibberish/OCR-noise detection: the mean CORPUS relative
+    frequency of a document's character trigrams. Natural text reuses the
+    corpus's common trigrams (high score); mojibake, base64 blobs and
+    OCR noise hit rare trigrams (score near 1/total). A true LM
+    perplexity needs log-probs — implementation-defined ulps across
+    engines — so the score is Σ cnt(tri) / (n_tris × total): integer sums
+    with ONE IEEE-deterministic division chain, bit-identical anywhere.
+
+    Scale shape: the trigram vocabulary is intrinsically BOUNDED
+    (charset³ — unlike word vocabularies it cannot grow with the corpus),
+    so the count dim is a natural broadcast join against the exploded
+    stream (AQE ships it; no forced hint) and the only stream shuffles
+    are the two map-side-combined aggregations (corpus counts, per-doc
+    rollup)."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf)
+    txt = F.lower(F.col("text"))
+    tris = docs.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.length(txt) - 2),
+            lambda i: txt.substr(i, F.lit(3)),
+        )).alias("tri"),
+    ).where(F.length(txt) >= 3)
+    cnt = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("cnt"))
+    cnt = cnt.withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy()))
+    return (
+        tris.join(cnt, "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tris"),
+            F.sum("cnt").alias("sum_cnt"),
+            F.max("total").alias("_total"),
+        )
+        .select(
+            "doc_id", "n_tris",
+            (F.col("sum_cnt").cast("double")
+             / (F.col("n_tris").cast("double")
+                * F.col("_total").cast("double"))).alias("typicality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "quality_charlm_typicality",
+    _charlm_typicality,
+    """WITH tris AS (
+         SELECT doc_id,
+                unnest([substr(lower(text), i, 3)
+                        FOR i IN generate_series(1, len(lower(text)) - 2)])
+                    AS tri
+         FROM documents WHERE len(lower(text)) >= 3),
+       cnt AS (SELECT tri, COUNT(*) AS cnt FROM tris GROUP BY tri),
+       tot AS (SELECT SUM(cnt) AS total FROM cnt)
+       SELECT t.doc_id AS doc_id, COUNT(*) AS n_tris,
+              CAST(SUM(c.cnt) AS DOUBLE)
+                  / (CAST(COUNT(*) AS DOUBLE)
+                     * CAST((SELECT total FROM tot) AS DOUBLE))
+                  AS typicality
+       FROM tris t JOIN cnt c ON c.tri = t.tri
+       GROUP BY t.doc_id ORDER BY doc_id""",
+)
