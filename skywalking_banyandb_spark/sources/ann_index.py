@@ -557,6 +557,21 @@ def _lut_micro(query_sub: Sequence[float], cw: Sequence[float]) -> int:
                                                rounding=ROUND_HALF_UP))
 
 
+def _adc_expr(lut) -> "Column":
+    """ADC sum over a driver-side integer LUT ``lut[m][code]`` as ONE
+    parsed 2-D SQL literal + a zip_with/aggregate fold. Building the same
+    thing from nested ``F.lit()`` calls costs a py4j round-trip per
+    element (m_sub x k_cw = 512+), which dominated warm probe walls; the
+    LUT values are exact ints, so the text form is lossless and the sum
+    order over m (ascending) is unchanged."""
+    lut2 = F.expr("array(%s)" % ",".join(
+        "array(%s)" % ",".join(str(int(v)) for v in row) for row in lut))
+    return F.aggregate(
+        F.zip_with(F.col("codes"), lut2,
+                   lambda code, lut_m: F.element_at(lut_m, code + 1)),
+        F.lit(0).cast("long"), lambda a, v: a + v)
+
+
 def pq_probe_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -595,11 +610,7 @@ def pq_probe_topk(
     idx = spark.read.parquet(path)
     if exclude_id is not None:
         idx = idx.where(F.col("id") != exclude_id)
-    adc = None
-    for m in range(m_sub):
-        term = F.element_at(
-            F.array(*[F.lit(v) for v in lut[m]]), F.col("codes")[m] + 1)
-        adc = term if adc is None else adc + term
+    adc = _adc_expr(lut)
     cand = (
         idx.select("id", "vec", adc.alias("adc"))
         .orderBy(F.col("adc").asc(), F.col("id").asc())
@@ -757,11 +768,7 @@ def ivfpq_probe_topk(
     idx = spark.read.parquet(path).where(F.col("cluster_id").isin(probe))
     if exclude_id is not None:
         idx = idx.where(F.col("id") != exclude_id)
-    adc = None
-    for m in range(m_sub):
-        term = F.element_at(
-            F.array(*[F.lit(v) for v in lut[m]]), F.col("codes")[m] + 1)
-        adc = term if adc is None else adc + term
+    adc = _adc_expr(lut)
     cand = (
         idx.select("id", "vec", adc.alias("adc"))
         .orderBy(F.col("adc").asc(), F.col("id").asc())
@@ -948,18 +955,34 @@ def ivfpq_residual_probe_topk(
     idx = spark.read.parquet(path).where(F.col("cluster_id").isin(probe))
     if exclude_id is not None:
         idx = idx.where(F.col("id") != exclude_id)
-    adc = None
-    for m in range(m_sub):
-        term = None
-        for cid in probe:
-            t = F.element_at(
-                F.array(*[F.lit(v) for v in luts[cid][m]]),
-                F.col("codes")[m] + 1)
-            term = t if term is None else F.when(
-                F.col("cluster_id") == cid,
-                F.element_at(F.array(*[F.lit(v) for v in luts[cid][m]]),
-                             F.col("codes")[m] + 1)).otherwise(term)
-        adc = term if adc is None else adc + term
+    # ADC as ONE 3-D literal [probe_pos][m][code] + a zip_with/aggregate
+    # fold. The first formulation (16 per-m when-chains over nprobe
+    # clusters, each re-inlining its 32-literal array twice) produced a
+    # ~4× larger expression tree whose Catalyst analysis/codegen dominated
+    # the probe wall at small SF; here every LUT literal appears once and
+    # the per-row work is the same nprobe-way branch resolved ONCE
+    # (cluster_id → probe position) before the 16 table lookups. Sum
+    # order over m is unchanged, so the ADC values — and the candidate
+    # ordering — are identical.
+    # one parsed SQL literal, not nested F.lit() — nprobe×m_sub×k_cw
+    # (2048 here) individual lit() calls cost a py4j round-trip EACH and
+    # dominated the probe wall (~2s of driver chatter); the values are
+    # exact integers so the text form is lossless
+    lut3 = F.expr("array(%s)" % ",".join(
+        "array(%s)" % ",".join(
+            "array(%s)" % ",".join(str(int(v)) for v in luts[cid][m])
+            for m in range(m_sub))
+        for cid in probe))
+    pos = None
+    for i, cid in enumerate(probe[1:], start=1):
+        pos = (F.when(F.col("cluster_id") == cid, i) if pos is None
+               else pos.when(F.col("cluster_id") == cid, i))
+    pos = F.lit(0) if pos is None else pos.otherwise(0)
+    row_lut = F.element_at(lut3, pos + 1)
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"), row_lut,
+                   lambda code, lut_m: F.element_at(lut_m, code + 1)),
+        F.lit(0).cast("long"), lambda a, v: a + v)
     cand = (
         idx.select("id", "vec", adc.alias("adc"))
         .orderBy(F.col("adc").asc(), F.col("id").asc())
