@@ -235,7 +235,9 @@ def test_decode_png_palette_index_out_of_range_raises():
             _encode_png(4, 2, idx, color=3, filters=[0, 0], palette=palette))
 
 
-def test_decode_png_gates_interlace_and_16bit():
+def test_decode_png_remaining_gates():
+    """r6: 16-bit and Adam7 now DECODE (tests below); the remaining gates
+    are sub-8-bit depths, gray+alpha (color 4), and 16-bit palette."""
     import struct
     import zlib as _z
 
@@ -243,17 +245,135 @@ def test_decode_png_gates_interlace_and_16bit():
 
     w, h = 2, 2
     rgb = _test_pixels(w, h, 3)
-    good = _encode_png(w, h, rgb)
-    # flip interlace byte inside IHDR (offset: 8 sig + 8 hdr + 12th byte)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
-    bad = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
-           + _png_chunk(b"IDAT", _z.compress(b"\x00" * 100))
-           + _png_chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(bad)
-    ihdr16 = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
-    bad16 = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr16)
-             + _png_chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(bad16)
-    assert mm.decode_image(good)[2] == rgb
+    assert mm.decode_image(_encode_png(w, h, rgb))[2] == rgb
+    ihdr_ga = struct.pack(">IIBBBBB", w, h, 8, 4, 0, 0, 0)  # gray+alpha
+    bad_ga = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr_ga)
+              + _png_chunk(b"IDAT", _z.compress(b"\x00" * 100))
+              + _png_chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="color type 4"):
+        mm.decode_image(bad_ga)
+    ihdr_p16 = struct.pack(">IIBBBBB", w, h, 16, 3, 0, 0, 0)
+    bad_p16 = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr_p16)
+               + _png_chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="palette"):
+        mm.decode_image(bad_p16)
+
+# ---------------------------------------------------------------------------
+# r6: 16-bit depth and Adam7 interlacing (closing the r5 codec-gate items).
+# The encoder below is an INDEPENDENT implementation: it filters each
+# Adam7 sub-image itself and packs 16-bit samples big-endian, so decode
+# equality is a real differential check, not an inverse of shared code.
+# ---------------------------------------------------------------------------
+
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _filter_sub(samples, w, h, bpp, filters):
+    out = bytearray()
+    stride = w * bpp
+    prev = bytearray(stride)
+    for row in range(h):
+        cur = bytearray(samples[row * stride:(row + 1) * stride])
+        f = filters[row % len(filters)]
+        enc = bytearray(cur)
+        for i in range(stride):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 1:
+                enc[i] = (cur[i] - a) & 0xFF
+            elif f == 2:
+                enc[i] = (cur[i] - b) & 0xFF
+            elif f == 3:
+                enc[i] = (cur[i] - ((a + b) >> 1)) & 0xFF
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (cur[i] - pr) & 0xFF
+        out += bytes([f]) + enc
+        prev = cur
+    return out
+
+
+def _encode_png2(width, height, samples, color=2, depth=8, interlace=0,
+                 filters=(0, 1, 2, 3, 4)):
+    """``samples``: full raster of bytes (depth/8 bytes per sample,
+    big-endian for 16-bit), row-major."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 6: 4}[color]
+    bpp = channels * (depth // 8)
+    if interlace == 0:
+        raw = _filter_sub(samples, width, height, bpp, filters)
+    else:
+        raw = bytearray()
+        for (x0, y0, dx, dy) in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub = bytearray()
+            for yi in range(ph):
+                y = y0 + yi * dy
+                for xi in range(pw):
+                    x = x0 + xi * dx
+                    src = (y * width + x) * bpp
+                    sub += samples[src:src + bpp]
+            raw += _filter_sub(sub, pw, ph, bpp, filters)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0,
+                       interlace)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_decode_png_16bit_rgb_high_byte_reduction():
+    w, h = 5, 4
+    hi = _test_pixels(w, h, 3)             # expected 8-bit output
+    lo = _test_pixels(w, h, 3)[::-1]       # arbitrary low bytes
+    samples = bytes(b for pair in zip(hi, lo) for b in pair)
+    assert mm.decode_image(
+        _encode_png2(w, h, samples, color=2, depth=16)) == (w, h, hi)
+
+
+def test_decode_png_adam7_rgb_every_filter():
+    w, h = 9, 10  # exercises all 7 passes with non-trivial sizes
+    rgb = _test_pixels(w, h, 3)
+    got = mm.decode_image(_encode_png2(w, h, rgb, color=2, interlace=1))
+    assert got == (w, h, rgb)
+
+
+def test_decode_png_adam7_tiny_skips_empty_passes():
+    # 3x3: passes 2 (x0=4) and several others are empty sub-images
+    w, h = 3, 3
+    rgb = _test_pixels(w, h, 3)
+    assert mm.decode_image(
+        _encode_png2(w, h, rgb, color=2, interlace=1)) == (w, h, rgb)
+
+
+def test_decode_png_adam7_16bit_grayscale():
+    w, h = 8, 5
+    hi = _test_pixels(w, h, 1)
+    lo = _test_pixels(w, h, 1)[::-1]
+    samples = bytes(b for pair in zip(hi, lo) for b in pair)
+    gw, gh, grgb = mm.decode_image(
+        _encode_png2(w, h, samples, color=0, depth=16, interlace=1))
+    assert (gw, gh) == (w, h)
+    assert grgb == bytes(b for v in hi for b in (v, v, v))
+
+
+def test_decode_png_sub8_depth_still_gated():
+    import struct
+    import zlib
+
+    import pytest
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)  # 4-bit gray
+    payload = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 12))
+               + _png_chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="8/16-bit"):
+        mm.decode_image(payload)
