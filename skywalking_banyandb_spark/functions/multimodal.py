@@ -3,10 +3,13 @@ Arrow-batched ``mapInPandas`` — the Spark-side plumbing for image/audio/video
 feature extraction at 100 TB.
 
 :func:`decode_image` REALLY decodes binary PPM (P6), uncompressed 24-bit
-BMP and 8-bit non-interlaced PNG (grayscale/RGB/RGBA/palette — zlib
-inflate is stdlib, the five RFC 2083 row filters are implemented here) in
-pure Python (no codec dependency); other formats fall back to PIL when
-installed, else raise ``NotImplementedError`` (the codec gate). The
+BMP, PNG (8/16-bit, grayscale/RGB/RGBA/palette, plain or Adam7-interlaced
+— zlib inflate is stdlib, the five RFC 2083 row filters are implemented
+here) and baseline JPEG (``functions.jpeg``: SOF0 gray/YCbCr, 4:4:4 /
+4:2:2 / 4:2:0, restart intervals) in pure Python (no codec dependency);
+other formats fall back to PIL when installed, else raise
+``NotImplementedError`` (the narrowed codec gate: progressive JPEG,
+sub-8-bit PNG, GIF/TIFF/WebP). The
 driver-paired entries use :func:`synth_payload` (a deterministic 16-byte
 md5-derived fake) because a SQL oracle cannot decode images; the real
 decode branches are pytest-proven (tests/test_multimodal_decode.py) over
@@ -67,9 +70,10 @@ def decode_image(payload: bytes) -> tuple:
     Dependency-free decode so the multimodal path has a REAL decode
     branch without a codec library: binary PPM (``P6``, 8-bit),
     uncompressed 24-bit BMP (BITMAPINFOHEADER, top-down or bottom-up),
-    and PNG (8/16-bit, gray/RGB/RGBA/palette, interlaced or not — see
-    ``_decode_png``). Anything else falls through to PIL when available,
-    else
+    PNG (8/16-bit, gray/RGB/RGBA/palette, interlaced or not — see
+    ``_decode_png``), and baseline JPEG (SOF0, gray/YCbCr, 4:4:4 / 4:2:2
+    / 4:2:0, restart intervals — ``functions.jpeg``). Anything else falls
+    through to PIL when available, else
     raises ``NotImplementedError`` (the codec gate; byte-level features
     stand in for gated formats)."""
     if payload[:2] == b"P6":
@@ -78,6 +82,10 @@ def decode_image(payload: bytes) -> tuple:
         return _decode_bmp(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     try:
         import io
 
@@ -85,8 +93,8 @@ def decode_image(payload: bytes) -> tuple:
     except ImportError as e:
         raise NotImplementedError(
             f"unsupported image magic {payload[:2]!r}: only PPM(P6), "
-            "24-bit BMP and 8/16-bit (incl. Adam7) PNG decode without a "
-            "codec library, and PIL is absent"
+            "24-bit BMP, 8/16-bit (incl. Adam7) PNG and baseline JPEG "
+            "decode without a codec library, and PIL is absent"
         ) from e
     img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
     return img.width, img.height, img.tobytes()

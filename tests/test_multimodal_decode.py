@@ -62,9 +62,10 @@ def test_decode_bmp_matches_ppm(top_down):
 
 
 def test_decode_unknown_magic_is_gated():
-    # JPEG: genuinely gated (PNG gained a real pure-Python branch in r5)
+    # GIF: genuinely gated (PNG gained a pure-Python branch in r5,
+    # baseline JPEG in r6 — see tests/test_jpeg_decode.py)
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\xff\xd8\xff\xe0rest-of-jpeg")
+        mm.decode_image(b"GIF87a-rest-of-gif")
 
 
 def test_decode_truncated_ppm_raises():
