@@ -709,3 +709,73 @@ register(
               CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conversion_rate
        FROM conv""",
 )
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery shapes (NEW r6). The reference's surface has no
+# subqueries at all; these demonstrate Catalyst's DECORRELATION — the
+# rewrite that turns a correlated scalar/EXISTS subquery into the
+# aggregate-plus-join plan a 100 TB engine needs (a per-row subquery
+# execution would be a scale-killer). Registered as Spark SQL text so the
+# decorrelator itself is the unit under test; both engines run the
+# IDENTICAL correlated SQL. Exactness: l_quantity is integral, so the
+# correlated AVG is an exact double in any summation order; everything
+# else is integer counting and date comparison.
+# ---------------------------------------------------------------------------
+
+def _tpch_views(spark: SparkSession, sf: str, *names: str) -> None:
+    for n in names:
+        read_table(spark, f"{sf}/{n}.parquet").createOrReplaceTempView(n)
+
+
+_Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) / 7.0
+           AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = (SELECT MIN(p_brand) FROM part)
+  AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def _tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape — small-quantity-order revenue: a correlated scalar
+    AVG subquery per part (Catalyst decorrelates to one per-part aggregate
+    + an equi-join on l_partkey) under a scalar-subquery brand filter.
+    Plan gate: tests/test_plan_quality.py asserts the decorrelated
+    aggregate-join (no per-row subquery, no nested loop over lineitem)."""
+    _tpch_views(spark, sf, "lineitem", "part")
+    return spark.sql(_Q17_SQL)
+
+
+register("tpch_q17_small_quantity", _tpch_q17, _Q17_SQL)
+
+
+_Q21_SQL = """
+SELECT l1.l_suppkey AS suppkey, COUNT(*) AS numwait
+FROM lineitem l1 JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY l1.l_suppkey ORDER BY numwait DESC, suppkey LIMIT 10
+"""
+
+
+def _tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who were the SOLE delayed supplier of a
+    multi-supplier order: EXISTS lowers to LeftSemi, NOT EXISTS to
+    LeftAnti, both equi-joined on l_orderkey (no correlated re-execution).
+    The date arithmetic stands in for commit/receipt dates the synthetic
+    lineitem lacks; the plan shape — two self-joins + group/top — is the
+    point."""
+    _tpch_views(spark, sf, "lineitem", "orders")
+    return spark.sql(_Q21_SQL)
+
+
+register("tpch_q21_sole_delayed", _tpch_q21, _Q21_SQL)

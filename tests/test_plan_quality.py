@@ -141,6 +141,26 @@ def test_tpch_q10_q14_q18_join_strategies(spark):
     assert "HashAggregate" in p18
 
 
+def test_tpch_q17_q21_decorrelate(spark):
+    """r6: the correlated-subquery entries must DECORRELATE — a per-row
+    subquery execution (CartesianProduct / BroadcastNestedLoopJoin over
+    lineitem) is the 100 TB scale-killer Catalyst's rewrite exists to
+    prevent. Q17's scalar AVG becomes an aggregate + equi-join; Q21's
+    EXISTS / NOT EXISTS become LeftSemi / LeftAnti equi-joins."""
+    from skywalking_banyandb_spark.registry_analytics import (
+        _tpch_q17, _tpch_q21)
+
+    p17 = _plan(_tpch_q17(spark, SF_SMALL))
+    assert "CartesianProduct" not in p17, p17
+    assert "BroadcastNestedLoopJoin" not in p17, p17
+    assert "HashAggregate" in p17 or "SortAggregate" in p17, p17
+
+    p21 = _plan(_tpch_q21(spark, SF_SMALL))
+    assert "CartesianProduct" not in p21, p21
+    assert "BroadcastNestedLoopJoin" not in p21, p21
+    assert "LeftSemi" in p21 and "LeftAnti" in p21, p21
+
+
 def test_rollup_single_pass(spark):
     """ROLLUP lowers to Expand + one partial/final HashAggregate pair —
     not a union of three scans."""
