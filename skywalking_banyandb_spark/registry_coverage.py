@@ -1497,3 +1497,68 @@ register(
     "QUALIFY row_number() OVER (PARTITION BY user_id, ts "
     "ORDER BY event_id DESC) = 1)) GROUP BY event_type",
 )
+
+
+def _streaming_counter_increase(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming PromQL counter increase (stateful cross-batch chaining,
+    streaming/counter.py): drains two chronological micro-batches through
+    applyInPandasWithState — the first batch-2 sample of every series
+    chains off batch-1's carried (last_ts, last_value) state — then reads
+    the associative parts back as the materialized per-(series, hour)
+    view. Oracle: the INTEGER-EXACT columns (sample/reset counts) of the
+    batch operator's SQL — the float increase column is deliberately left
+    to the pytest differential (tests/test_streaming_counter.py, 1e-6),
+    because Python float chaining vs DECIMAL(24,6) accumulation can
+    differ by an ulp, and the driver hash has zero tolerance."""
+    import datetime as dt
+    import shutil
+    import time
+
+    from .sources.parquet import read_table
+    from .streaming.counter import (
+        counter_view,
+        start_counter_increase_materialization,
+    )
+
+    cut = dt.datetime(2024, 1, 15)
+    work = _scratch_dir("counter_entry")
+    src = f"{work}/src"
+    ev = read_table(spark, f"{sf}/events.parquet")
+    ev.where(F.col("ts") < F.lit(cut)).coalesce(1).write.parquet(f"{src}/b0")
+    time.sleep(1.1)  # file-source ordering is by modification time
+    ev.where(F.col("ts") >= F.lit(cut)).coalesce(1) \
+        .write.parquet(f"{src}/b1")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{src}/b0").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = start_counter_increase_materialization(
+        spark, stream, output_path=f"{work}/out",
+        checkpoint_path=f"{work}/ckpt", trigger_once=True)
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise RuntimeError("streaming counter entry timed out")
+    shutil.rmtree(f"{work}/src", ignore_errors=True)
+    shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+    return (
+        counter_view(spark, f"{work}/out")
+        .select("user_id", "hour", "n_samples", "n_resets")
+        .orderBy("user_id", "hour")
+    )
+
+
+register(
+    "streaming_counter_increase_materialized",
+    _streaming_counter_increase,
+    """WITH d AS (
+         SELECT user_id, ts, value,
+                lag(value) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+                CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour
+         FROM events WHERE event_type = 'click')
+       SELECT user_id, hour, COUNT(*) AS n_samples,
+              CAST(SUM(CASE WHEN prev IS NOT NULL AND value < prev
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
+       FROM d GROUP BY user_id, hour ORDER BY user_id, hour""",
+)
