@@ -242,7 +242,7 @@ def lsh_probe_topk(
         .groupBy("id")
         .agg(F.first("vec").alias("vec"))
     )
-    qlit = F.array(*[F.lit(float(x)) for x in query])
+    qlit = _double_array_lit(query)
     return (
         cand.select(
             F.col("id").alias(id_col),
@@ -319,7 +319,7 @@ def ivf_probe_topk(
     idx = spark.read.parquet(path).where(F.col("cluster_id").isin(probe))
     if exclude_id is not None:
         idx = idx.where(F.col("id") != exclude_id)
-    qlit = F.array(*[F.lit(float(x)) for x in query])
+    qlit = _double_array_lit(query)
     return (
         idx.select(
             F.col("id").alias(id_col),
@@ -391,7 +391,7 @@ def build_ivf_sampled_index(
     centroids = [(int(r.cid), [float(x) for x in r.cv]) for r in cent_rows]
     best = F.array_max(F.array(*[
         F.struct(
-            cosine_raw(F.col(vec_col), F.array(*[F.lit(c) for c in cv]))
+            cosine_raw(F.col(vec_col), _double_array_lit(cv))
             .alias("s"),
             F.lit(-cid).alias("nc"),
         )
@@ -435,7 +435,7 @@ def ivf_sampled_probe_topk(
     idx = spark.read.parquet(path).where(F.col("cluster_id").isin(probe))
     if exclude_id is not None:
         idx = idx.where(F.col("id") != exclude_id)
-    qlit = F.array(*[F.lit(float(x)) for x in query])
+    qlit = _double_array_lit(query)
     return (
         idx.select(
             F.col("id").alias(id_col),
@@ -557,6 +557,19 @@ def _lut_micro(query_sub: Sequence[float], cw: Sequence[float]) -> int:
                                                rounding=ROUND_HALF_UP))
 
 
+def _double_array_lit(vals) -> "Column":
+    """A double-array literal as ONE parsed SQL expression. ``F.lit()``
+    per element costs a py4j round-trip each — a 64-dim query vector or a
+    k×64 centroid set adds hundreds of driver round-trips per probe.
+    ``repr(float)`` is the shortest round-trip form and Java's
+    ``Double.parseDouble`` restores the identical bits (asserted
+    bit-identical to the ``F.lit`` form in tests/test_ann_bitstable.py),
+    so orderings are unchanged."""
+    return F.expr(
+        "array(" + ",".join(f"CAST('{float(v)!r}' AS DOUBLE)"
+                            for v in vals) + ")")
+
+
 def _adc_expr(lut) -> "Column":
     """ADC sum over a driver-side integer LUT ``lut[m][code]`` as ONE
     parsed 2-D SQL literal + a zip_with/aggregate fold. Building the same
@@ -616,7 +629,7 @@ def pq_probe_topk(
         .orderBy(F.col("adc").asc(), F.col("id").asc())
         .limit(c_n)
     )
-    qlit = F.array(*[F.lit(float(x)) for x in query])
+    qlit = _double_array_lit(query)
     return (
         cand.select(
             F.col("id").alias(id_col),
@@ -682,7 +695,7 @@ def build_ivfpq_index(
     ]
     best = F.array_max(F.array(*[
         F.struct(
-            cosine_raw(F.col("vec"), F.array(*[F.lit(c) for c in cv]))
+            cosine_raw(F.col("vec"), _double_array_lit(cv))
             .alias("s"),
             F.lit(-cid).alias("nc"),
         )
@@ -774,7 +787,7 @@ def ivfpq_probe_topk(
         .orderBy(F.col("adc").asc(), F.col("id").asc())
         .limit(c_n)
     )
-    qlit = F.array(*[F.lit(float(x)) for x in query])
+    qlit = _double_array_lit(query)
     return (
         cand.select(
             F.col("id").alias(id_col),
@@ -849,7 +862,7 @@ def build_ivfpq_residual_index(
     ncent = {cid: _unit(cv) for cid, cv in centroids}
     best = F.array_max(F.array(*[
         F.struct(
-            cosine_raw(F.col("vec"), F.array(*[F.lit(c) for c in cv]))
+            cosine_raw(F.col("vec"), _double_array_lit(cv))
             .alias("s"),
             F.lit(-cid).alias("nc"),
         )
@@ -860,7 +873,7 @@ def build_ivfpq_residual_index(
     # when-chain over the k_clusters literals (map-only, no join)
     chain = None
     for cid, ncv in ncent.items():
-        lit = F.array(*[F.lit(c) for c in ncv])
+        lit = _double_array_lit(ncv)
         chain = F.when(F.col("cluster_id") == cid, lit) if chain is None \
             else chain.when(F.col("cluster_id") == cid, lit)
     resid = assigned.withColumn(
@@ -988,7 +1001,7 @@ def ivfpq_residual_probe_topk(
         .orderBy(F.col("adc").asc(), F.col("id").asc())
         .limit(c_n)
     )
-    qlit = F.array(*[F.lit(float(x)) for x in query])
+    qlit = _double_array_lit(query)
     return (
         cand.select(
             F.col("id").alias(id_col),

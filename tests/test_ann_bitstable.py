@@ -143,3 +143,26 @@ def test_duckdb_list_sum_is_sequential_fold(n):
             acc2 = acc2 + x * x
         got2 = con.execute(f"SELECT list_dot_product({lit}, {lit})").fetchone()[0]
         assert _bits(got2) == _bits(acc2)
+
+
+def test_double_array_lit_bit_identical_to_lit(spark):
+    """r6: _double_array_lit (one parsed SQL literal instead of per-element
+    py4j lit() calls) must restore the IDENTICAL double bits — repr() is
+    the shortest round-trip form and Double.parseDouble inverts it
+    exactly. Ordering stability of every ANN probe depends on this."""
+    import random
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from skywalking_banyandb_spark.sources.ann_index import _double_array_lit
+
+    random.seed(101)
+    vals = ([random.uniform(-1, 1) for _ in range(256)]
+            + [0.1, -0.3333333333333333, 1e-300, 2**-1074, 1.0, -0.0])
+    row = spark.range(1).select(
+        F.array(*[F.lit(float(v)) for v in vals]).alias("a"),
+        _double_array_lit(vals).alias("b"),
+    ).head()
+    pack = lambda xs: [struct.pack(">d", x) for x in xs]  # noqa: E731
+    assert pack(row.a) == pack(row.b)
