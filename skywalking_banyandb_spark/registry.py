@@ -224,7 +224,14 @@ _R5_DRIVER_SEEN = frozenset({
 #   strategy (VERDICT r5 #2) — join strategy only, but the q3/q10/q14/q18
 #   code changed so they re-verify (all four are r3-stale, so listing them
 #   just pins what the oldest-first rest would do anyway).
-# NOT listed despite r6 code touches: the compile_measure/stream/trace
+# NOT listed despite r6 code touches: the ann_* probes changed only HOW
+# literal LUT/vector arrays are constructed (one parsed SQL literal vs
+# per-element lit() calls — bit-identity asserted in
+# tests/test_ann_bitstable.py, all 6 ann entries + both embedding-dedup
+# entries re-verified green locally at sf0.01 and the full sweep at
+# sf0.1); they are r5-fresh, so listing them would displace r3-stale
+# entries for a zero-semantic-surface change (the r5 precedent for
+# hint-only touches). Likewise the compile_measure/stream/trace
 # created_at clamp branch is INERT for every existing entry (none passes
 # group_mod_revisions); the branch itself is driver-verified through the
 # fresh measure_created_at_clamp entry and pytest-covered

@@ -97,26 +97,37 @@ register(
 )
 
 
-# One persisted (doc_id, fp) posting table per (session, sf): the
-# md5-heavy fingerprint subtree is the dominant cost of the winnowing
-# family, and BOTH winnow entries (discovery + keep-best resolution)
-# consume the identical table — build it once, share the cache. At most
-# one key is retained (prior table unpersisted) so a sweep over many SFs
-# cannot accumulate executor storage.
-_WINNOW_FP_CACHE: dict = {}
+# Persisted scratch tables, one slot per logical table: a corpus-derived
+# relation several plan branches (or several entries) consume must be
+# materialized once — Catalyst does not common-subexpression across join
+# branches, so an un-persisted subtree re-runs per consumer (VERDICT r5
+# #1: the winnowing fingerprint subtree ran 4×; the same shape recurred
+# in the r6 char-trigram pair table). At most one key is retained per
+# slot (prior table unpersisted) so a sweep over many SFs cannot
+# accumulate executor storage.
+_SCRATCH_CACHE: dict = {}
+
+
+def _cached_scratch(slot: str, spark: SparkSession, sf: str, build):
+    key = (id(spark), os.path.abspath(sf))
+    slot_cache = _SCRATCH_CACHE.setdefault(slot, {})
+    df = slot_cache.get(key)
+    if df is None:
+        for old in slot_cache.values():
+            old.unpersist()
+        slot_cache.clear()
+        df = build()
+        slot_cache[key] = df
+    return df
 
 
 def _winnow_fp(spark: SparkSession, sf: str) -> DataFrame:
-    key = (id(spark), os.path.abspath(sf))
-    fp = _WINNOW_FP_CACHE.get(key)
-    if fp is None:
-        for old in _WINNOW_FP_CACHE.values():
-            old.unpersist()
-        _WINNOW_FP_CACHE.clear()
-        fp = dd.winnow_posting_table(
-            _docs(spark, sf), "doc_id", "text", k=16, w=8)
-        _WINNOW_FP_CACHE[key] = fp
-    return fp
+    """(doc_id, fp) winnowing posting table — shared by BOTH winnow
+    entries (discovery + keep-best resolution)."""
+    return _cached_scratch(
+        "winnow_fp", spark, sf,
+        lambda: dd.winnow_posting_table(
+            _docs(spark, sf), "doc_id", "text", k=16, w=8))
 
 
 def _dedup_winnow(spark: SparkSession, sf: str) -> DataFrame:
@@ -1194,12 +1205,18 @@ def _charlm_typicality(spark: SparkSession, sf: str) -> DataFrame:
     engines — so the score is Σ cnt(tri) / (n_tris × total): integer sums
     with ONE IEEE-deterministic division chain, bit-identical anywhere.
 
-    Scale shape: the trigram vocabulary is intrinsically BOUNDED
-    (charset³ — unlike word vocabularies it cannot grow with the corpus),
-    so the count dim is a natural broadcast join against the exploded
-    stream (AQE ships it; no forced hint) and the only stream shuffles
-    are the two map-side-combined aggregations (corpus counts, per-doc
-    rollup)."""
+    Scale shape: the trigram STREAM is exploded and collapsed ONCE to
+    per-(doc, tri) multiplicities — persisted, because three plan
+    branches (vocab counts, the scoring join's left side) would otherwise
+    each re-run the corpus-wide explode (Catalyst does not
+    common-subexpression across join branches; the same finding — and the
+    same persist fix — as the winnowing posting table, VERDICT r5 #1,
+    observed again here at 4× in the first r6 plan). The trigram
+    vocabulary is intrinsically BOUNDED (charset³ — unlike word
+    vocabularies it cannot grow with the corpus), so the vocab aggregate
+    derives from the collapsed pairs (vocab-sized input), its global
+    total is a window over that bounded dim, and the scoring join ships
+    the vocab side broadcast (AQE decides; no forced hint)."""
     from pyspark.sql.window import Window
 
     docs = _docs(spark, sf)
@@ -1211,19 +1228,23 @@ def _charlm_typicality(spark: SparkSession, sf: str) -> DataFrame:
             lambda i: txt.substr(i, F.lit(3)),
         )).alias("tri"),
     ).where(F.length(txt) >= 3)
-    cnt = tris.groupBy("tri").agg(F.count(F.lit(1)).alias("cnt"))
+    pair = _cached_scratch(
+        "charlm_pair", spark, sf,
+        lambda: tris.groupBy("doc_id", "tri")
+        .agg(F.count(F.lit(1)).alias("k")).persist())
+    cnt = pair.groupBy("tri").agg(F.sum("k").alias("cnt"))
     cnt = cnt.withColumn(
         "total", F.sum("cnt").over(Window.partitionBy()))
     return (
-        tris.join(cnt, "tri")
+        pair.join(cnt, "tri")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tris"),
-            F.sum("cnt").alias("sum_cnt"),
+            F.sum("k").alias("n_tris"),
+            F.sum(F.col("k") * F.col("cnt")).alias("sum_cnt"),
             F.max("total").alias("_total"),
         )
         .select(
-            "doc_id", "n_tris",
+            "doc_id", F.col("n_tris").cast("bigint").alias("n_tris"),
             (F.col("sum_cnt").cast("double")
              / (F.col("n_tris").cast("double")
                 * F.col("_total").cast("double"))).alias("typicality"),
