@@ -100,7 +100,9 @@ def test_tpch_q3_broadcasts_dimensions(spark):
 
     plan = _plan(_tpch_q3(spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan
-    assert "F.broadcast" not in inspect.getsource(registry_analytics)
+    # no forced-broadcast CALLS anywhere in the module (the module
+    # docstring legitimately mentions the policy by name)
+    assert "F.broadcast(" not in inspect.getsource(registry_analytics)
 
 
 def test_no_python_udf_in_banyandb_paths(spark):
