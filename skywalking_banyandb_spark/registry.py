@@ -240,14 +240,18 @@ _R5_DRIVER_SEEN = frozenset({
 # trace_regroup_stats) were locally sim-verified green against their
 # oracles this round. Listing them would displace three more r3-stale
 # entries from the 50-row window.
-# Window arithmetic (honest): 8 fresh + 9 touched + 33 rest slots < the 42
-# r3-stale entries — five r3 entries (the alphabetically-last of the rest
-# sort) overflow to round 7's front: tpch_q5_local_supplier,
-# tpch_q6_forecast_revenue, tpch_q7_volume_shipping, tpch_q8_market_share,
-# trace_spans_payload. All five were locally sim-verified green at sf0.01
-# this round (and the full 144-entry sweep runs green at sf0.01 and sf0.1
-# — see COVERAGE.md), so the exposure is driver-row recency only, traded
-# for first driver rows on the eight new operators.
+# Window arithmetic (honest): 10 fresh + 9 touched + 31 rest slots < the
+# 42 r3-stale entries — seven r3 entries (the alphabetically-last of the
+# rest sort) overflow to round 7's front: tpch_q1_pricing_summary,
+# tpch_q4_order_priority, tpch_q5_local_supplier,
+# tpch_q6_forecast_revenue, tpch_q7_volume_shipping,
+# tpch_q8_market_share, trace_spans_payload. All seven were locally
+# sim-verified green at sf0.01 this round, the full 146-entry sweep runs
+# green at sf0.01, and the sf0.1 cross-check covers them too (see
+# COVERAGE.md) — the exposure is driver-row RECENCY only, consciously
+# traded for first driver rows on the ten new operators (the driver
+# prioritizes never-seen entries, so every new operator without a row
+# would otherwise wait a full round).
 _R6_TOUCHED = (
     "dedup_substring_winnow", "dedup_resolution_keep_best",
     "quality_rare_token_ratio",

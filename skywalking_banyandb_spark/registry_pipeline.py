@@ -1272,3 +1272,151 @@ register(
        FROM tris t JOIN cnt c ON c.tri = t.tri
        GROUP BY t.doc_id ORDER BY doc_id""",
 )
+
+
+def _embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass embedding COVARIANCE matrix (NEW r6) — the front half of
+    PCA/whitening for embedding compression before ANN indexing. The
+    (i<=j) upper triangle is computed WITHOUT a self-join: each row
+    explodes through a precomputed literal array of (i, j) index pairs
+    (dim(dim+1)/2 = 2080 structs, one parsed expression), so the only
+    shuffles are two map-side-combined aggregations (pair-product sums on
+    2080 keys, per-dim sums on 64 keys) — the plan that still works when
+    the corpus is 10^9 vectors. Exactness: products and components
+    accumulate in DECIMAL(38,18) (order-independent, both engines round
+    the cast identically), and cov = E[xy] − E[x]E[y] is a fixed
+    IEEE-deterministic expression. The back half (eigendecomposition +
+    projection) is driver-side numpy over this 64×64 result — pytest
+    (tests/test_embedding_ops.py) proves the projection round-trip."""
+    dim = 64
+    emb = _emb(spark, sf)
+    vec = F.col("embedding").cast("array<double>")
+    pair_lit = F.expr("array(" + ",".join(
+        f"struct({i} as i, {j} as j)"
+        for i in range(dim) for j in range(i, dim)) + ")")
+    prods = emb.select(
+        F.explode(F.transform(pair_lit, lambda p: F.struct(
+            (p["i"] + 1).alias("i"), (p["j"] + 1).alias("j"),
+            (F.element_at(vec, p["i"] + 1)
+             * F.element_at(vec, p["j"] + 1)).alias("p"),
+        ))).alias("e")
+    ).select("e.i", "e.j", "e.p")
+    g = prods.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast("decimal(38,18)")).cast("double").alias("sp"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    comp = emb.select(F.posexplode(vec).alias("i0", "x")) \
+        .select((F.col("i0") + 1).alias("i"), "x")
+    means = comp.groupBy("i").agg(
+        (F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+         / F.count(F.lit(1))).alias("m"))
+    mi = means.select(F.col("i"), F.col("m").alias("mi"))
+    mj = means.select(F.col("i").alias("j"), F.col("m").alias("mj"))
+    return (
+        g.join(mi, "i").join(mj, "j")
+        .select(
+            "i", "j",
+            (F.col("sp") / F.col("cnt")
+             - F.col("mi") * F.col("mj")).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+register(
+    "embedding_covariance",
+    _embedding_covariance,
+    """WITH v AS (
+         SELECT vec_id, u.i AS i, u.x AS x FROM (
+           SELECT vec_id,
+                  unnest([{'i': i, 'x': CAST(embedding[i] AS DOUBLE)}
+                          FOR i IN generate_series(1, 64)]) AS u
+           FROM embeddings)),
+       g AS (
+         SELECT a.i AS i, b.i AS j,
+                CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS DOUBLE)
+                    AS sp,
+                COUNT(*) AS cnt
+         FROM v a JOIN v b ON b.vec_id = a.vec_id AND a.i <= b.i
+         GROUP BY a.i, b.i),
+       m AS (
+         SELECT i, CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+                       / COUNT(*) AS m
+         FROM v GROUP BY i)
+       SELECT g.i AS i, g.j AS j,
+              g.sp / g.cnt - mi.m * mj.m AS cov
+       FROM g JOIN m mi ON mi.i = g.i JOIN m mj ON mj.i = g.j
+       ORDER BY i, j""",
+)
+
+
+def _embedding_centroid_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) label confusion (NEW r6) — the
+    label-quality / outlier sanity check a pipeline runs over labeled
+    embeddings: per-class centroids (decimal-exact per-dim means), assign
+    every vector to its max-cosine centroid (label tie-break), and report
+    the (label, assigned) confusion counts. The centroid dim is tiny
+    (classes × 64) so it collects to literal arrays and the assignment is
+    a narrow map over the scan — the exact shape of the IVF assign step
+    (sources/ann_index.py), reused here for a supervised signal. Cosine
+    folds are the bit-identical cross-engine primitive
+    (tests/test_ann_bitstable.py)."""
+    from .functions.similarity import cosine_raw
+    from .sources.ann_index import _double_array_lit
+
+    emb = _emb(spark, sf)
+    vec = F.col("embedding").cast("array<double>")
+    comp = emb.select(
+        "label", F.posexplode(vec).alias("i", "x"))
+    cent = comp.groupBy("label", "i").agg(
+        (F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+         / F.count(F.lit(1))).alias("c"))
+    cvec: dict = {}
+    for r in cent.collect():
+        cvec.setdefault(int(r.label), {})[int(r.i)] = float(r.c)
+    cents = sorted((lbl, [d[i] for i in range(64)])
+                   for lbl, d in cvec.items())
+    best = F.array_max(F.array(*[
+        F.struct(
+            cosine_raw(vec, _double_array_lit(cv)).alias("s"),
+            F.lit(-lbl).alias("nl"),
+        )
+        for lbl, cv in cents
+    ]))
+    return (
+        emb.select("label", (-best["nl"]).alias("assigned"))
+        .groupBy("label", "assigned")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "assigned")
+    )
+
+
+register(
+    "embedding_centroid_confusion",
+    _embedding_centroid_confusion,
+    f"""WITH x AS (
+         SELECT label, u.i AS i, u.x AS x FROM (
+           SELECT label,
+                  unnest([{{'i': i, 'x': CAST(embedding[i] AS DOUBLE)}}
+                          FOR i IN generate_series(1, 64)]) AS u
+           FROM embeddings)),
+       cent AS (
+         SELECT label, i,
+                CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+                    / COUNT(*) AS c
+         FROM x GROUP BY label, i),
+       cvec AS (SELECT label AS clabel, list(c ORDER BY i) AS cv
+                FROM cent GROUP BY label),
+       scored AS (
+         SELECT e.vec_id, e.label, c.clabel,
+                {sim.cosine_raw_sql('CAST(e.embedding AS DOUBLE[])', 'c.cv')}
+                    AS s
+         FROM embeddings e CROSS JOIN cvec c),
+       assigned AS (
+         SELECT vec_id, label, clabel AS assigned FROM scored
+         QUALIFY row_number() OVER (
+             PARTITION BY vec_id ORDER BY s DESC, clabel ASC) = 1)
+       SELECT label, assigned, COUNT(*) AS n
+       FROM assigned GROUP BY label, assigned
+       ORDER BY label, assigned""",
+)

@@ -1,0 +1,106 @@
+"""Embedding-matrix operators: the one-pass covariance entry must equal
+numpy's population covariance; the PCA back half (driver-side eigh over
+the 64×64 result + Catalyst projection) round-trips; the nearest-centroid
+confusion equals an independent numpy recomputation."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from skywalking_banyandb_spark.registry_pipeline import (
+    _embedding_centroid_confusion,
+    _embedding_covariance,
+)
+from skywalking_banyandb_spark.sources.parquet import read_table
+
+from conftest import SF_SMALL
+
+
+def _collect_embeddings(spark):
+    rows = read_table(spark, f"{SF_SMALL}/embeddings.parquet") \
+        .select("vec_id", "embedding", "label").orderBy("vec_id").collect()
+    ids = [r.vec_id for r in rows]
+    X = np.array([[float(x) for x in r.embedding] for r in rows])
+    y = np.array([r.label for r in rows])
+    return ids, X, y
+
+
+def test_covariance_matches_numpy(spark):
+    ids, X, _ = _collect_embeddings(spark)
+    want = np.cov(X, rowvar=False, bias=True)  # population covariance
+    got = np.zeros((64, 64))
+    for r in _embedding_covariance(spark, SF_SMALL).collect():
+        got[r.i - 1, r.j - 1] = r.cov
+        got[r.j - 1, r.i - 1] = r.cov
+    assert np.max(np.abs(got - want)) < 1e-9
+
+
+def test_pca_projection_roundtrip(spark):
+    """The PCA back half: eigh over the engine's covariance, project with
+    a Catalyst dot-product against literal components, and check (a) the
+    Spark projection equals the numpy projection and (b) top-k
+    reconstruction error shrinks as k grows (the PCA guarantee)."""
+    from skywalking_banyandb_spark.sources.ann_index import _double_array_lit
+
+    ids, X, _ = _collect_embeddings(spark)
+    cov = np.zeros((64, 64))
+    for r in _embedding_covariance(spark, SF_SMALL).collect():
+        cov[r.i - 1, r.j - 1] = cov[r.j - 1, r.i - 1] = r.cov
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1]
+    evals, evecs = evals[order], evecs[:, order]
+
+    k = 8
+    mean = X.mean(axis=0)
+    emb = read_table(spark, f"{SF_SMALL}/embeddings.parquet")
+    vec = F.col("embedding").cast("array<double>")
+    centered = F.zip_with(vec, _double_array_lit(mean),
+                          lambda x, m: x - m)
+    proj_cols = [
+        F.aggregate(
+            F.zip_with(centered, _double_array_lit(evecs[:, c]),
+                       lambda x, w: x * w),
+            F.lit(0.0), lambda a, v: a + v,
+        ).alias(f"pc{c}")
+        for c in range(k)
+    ]
+    got = {r.vec_id: [r[f"pc{c}"] for c in range(k)]
+           for r in emb.select("vec_id", *proj_cols).collect()}
+    want = (X - mean) @ evecs[:, :k]
+    for row_i, vid in enumerate(ids):
+        assert np.max(np.abs(np.array(got[vid]) - want[row_i])) < 1e-9
+
+    # PCA guarantee: mean squared reconstruction error = sum of dropped
+    # eigenvalues; strictly decreasing in k for this corpus
+    errs = []
+    for kk in (4, 8, 16):
+        Z = (X - mean) @ evecs[:, :kk]
+        R = Z @ evecs[:, :kk].T + mean
+        errs.append(np.mean(np.sum((X - R) ** 2, axis=1)))
+        assert abs(errs[-1] - evals[kk:].sum()) < 1e-8
+    assert errs[0] > errs[1] > errs[2]
+
+
+def test_centroid_confusion_matches_numpy(spark):
+    ids, X, y = _collect_embeddings(spark)
+    labels = sorted(set(int(v) for v in y))
+    cents = {l: X[y == l].mean(axis=0) for l in labels}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    want: dict = {}
+    for row, lbl in zip(X, y):
+        scored = sorted(((cos(row, cents[l]), -l) for l in labels),
+                        reverse=True)
+        assigned = -scored[0][1]
+        key = (int(lbl), int(assigned))
+        want[key] = want.get(key, 0) + 1
+    got = {(r.label, r.assigned): r.n
+           for r in _embedding_centroid_confusion(spark, SF_SMALL).collect()}
+    assert got == want
+    # sanity: well above the 10% chance level for 10 classes (the
+    # synthetic labels are deliberately noisy — ~37% at sf0.001)
+    correct = sum(n for (a, b), n in got.items() if a == b)
+    assert correct / len(ids) > 0.25
