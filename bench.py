@@ -68,6 +68,10 @@ EXTENDED = [
     "quality_tfidf_top_terms",
     "quality_charlm_typicality",
     "measure_created_at_clamp",
+    "embedding_covariance",
+    "embedding_centroid_confusion",
+    "tpch_q17_small_quantity",
+    "tpch_q21_sole_delayed",
 ]
 
 
