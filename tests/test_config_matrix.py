@@ -21,6 +21,13 @@ _ENTRIES = [
     "events_cohort_retention",    # window-min rewrite (r5)
     "measure_histogram_quantile", # bucket interpolation (r5)
     "events_asof_join",           # union-trick carry
+    # r6 families
+    "measure_counter_increase_promql",  # lag window + reset chain
+    "slo_burn_rate_multiwindow",        # RANGE frame over hour index
+    "quality_tfidf_top_terms",          # two window ranks, IEEE division
+    "quality_charlm_typicality",        # persisted scratch pair table
+    "embedding_covariance",             # DECIMAL(38,18) accumulation
+    "tpch_q17_small_quantity",          # decorrelated scalar subquery
 ]
 
 
