@@ -237,8 +237,9 @@ def test_decode_png_palette_index_out_of_range_raises():
 
 
 def test_decode_png_remaining_gates():
-    """r6: 16-bit and Adam7 now DECODE (tests below); the remaining gates
-    are sub-8-bit depths, gray+alpha (color 4), and 16-bit palette."""
+    """r6: every legal depth/color combination now DECODES (tests below);
+    illegal spec combinations raise ValueError, unknown color types stay
+    NotImplementedError."""
     import struct
     import zlib as _z
 
@@ -247,17 +248,23 @@ def test_decode_png_remaining_gates():
     w, h = 2, 2
     rgb = _test_pixels(w, h, 3)
     assert mm.decode_image(_encode_png(w, h, rgb))[2] == rgb
-    ihdr_ga = struct.pack(">IIBBBBB", w, h, 8, 4, 0, 0, 0)  # gray+alpha
-    bad_ga = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr_ga)
-              + _png_chunk(b"IDAT", _z.compress(b"\x00" * 100))
-              + _png_chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="color type 4"):
-        mm.decode_image(bad_ga)
     ihdr_p16 = struct.pack(">IIBBBBB", w, h, 16, 3, 0, 0, 0)
     bad_p16 = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr_p16)
                + _png_chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="palette"):
+    with pytest.raises(ValueError, match="illegal PNG depth"):
         mm.decode_image(bad_p16)
+    ihdr_rgb4 = struct.pack(">IIBBBBB", w, h, 4, 2, 0, 0, 0)
+    bad_rgb4 = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr_rgb4)
+                + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="illegal PNG depth"):
+        mm.decode_image(bad_rgb4)
+    ihdr_c5 = struct.pack(">IIBBBBB", w, h, 8, 5, 0, 0, 0)
+    bad_c5 = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr_c5)
+              + _png_chunk(b"IDAT", _z.compress(b"\x00" * 32))
+              + _png_chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="color type 5"):
+        mm.decode_image(bad_c5)
+
 
 # ---------------------------------------------------------------------------
 # r6: 16-bit depth and Adam7 interlacing (closing the r5 codec-gate items).
@@ -366,15 +373,118 @@ def test_decode_png_adam7_16bit_grayscale():
     assert grgb == bytes(b for v in hi for b in (v, v, v))
 
 
-def test_decode_png_sub8_depth_still_gated():
+# ---------------------------------------------------------------------------
+# r6 part 2: sub-byte depths (1/2/4-bit gray + palette) and gray+alpha.
+# The encoder packs samples MSB-first per (sub-)row independently, so
+# Adam7 + packed-bit interaction is genuinely exercised.
+# ---------------------------------------------------------------------------
+
+def _pack_row(samples, depth):
+    out = bytearray((len(samples) * depth + 7) // 8)
+    for x, v in enumerate(samples):
+        bit = x * depth
+        out[bit // 8] |= (v & ((1 << depth) - 1)) << (8 - depth - bit % 8)
+    return bytes(out)
+
+
+def _encode_png3(width, height, samples, color, depth, interlace=0,
+                 palette=None, filters=(0, 1, 2, 3, 4)):
+    """``samples``: per-pixel tuples (1 value for gray/palette, 2 for GA,
+    3 for RGB, 4 for RGBA), values already in [0, 2^depth)."""
     import struct
     import zlib
 
-    import pytest
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
 
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)  # 4-bit gray
-    payload = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
-               + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 12))
-               + _png_chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="8/16-bit"):
-        mm.decode_image(payload)
+    def region(px, pw, ph):
+        raw = bytearray()
+        if depth >= 8:
+            bps = depth // 8
+            bpp = channels * bps
+            flat = bytearray()
+            for p in px:
+                for c in range(channels):
+                    if bps == 2:
+                        flat += bytes((p[c], (p[c] * 31) % 256))  # low byte
+                    else:
+                        flat.append(p[c])
+            raw += _filter_sub(flat, pw, ph, bpp, filters)
+        else:
+            stride = (pw * depth + 7) // 8
+            packed = bytearray()
+            for y in range(ph):
+                packed += _pack_row(
+                    [p[0] for p in px[y * pw:(y + 1) * pw]], depth)
+            raw += _filter_sub(packed, stride, ph, 1, filters)
+        return raw
+
+    if interlace == 0:
+        raw = region(samples, width, height)
+    else:
+        raw = bytearray()
+        for (x0, y0, dx, dy) in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub = [samples[(y0 + yi * dy) * width + (x0 + xi * dx)]
+                   for yi in range(ph) for xi in range(pw)]
+            raw += region(sub, pw, ph)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0,
+                       interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", palette)
+    out += (_png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+    return out
+
+
+def test_decode_png_4bit_grayscale():
+    w, h = 9, 5  # odd width exercises row bit-padding
+    vals = [((x * 3 + y * 5) % 16,) for y in range(h) for x in range(w)]
+    pw, ph, rgb = mm.decode_image(_encode_png3(w, h, vals, color=0, depth=4))
+    assert (pw, ph) == (w, h)
+    want = bytes(b for (v,) in vals for b in (v * 17,) * 3)
+    assert rgb == want
+
+
+def test_decode_png_1bit_and_2bit_gray():
+    w, h = 11, 4
+    v1 = [((x ^ y) & 1,) for y in range(h) for x in range(w)]
+    _, _, rgb1 = mm.decode_image(_encode_png3(w, h, v1, color=0, depth=1))
+    assert rgb1 == bytes(b for (v,) in v1 for b in (v * 255,) * 3)
+    v2 = [((x + y) % 4,) for y in range(h) for x in range(w)]
+    _, _, rgb2 = mm.decode_image(_encode_png3(w, h, v2, color=0, depth=2))
+    assert rgb2 == bytes(b for (v,) in v2 for b in (v * 85,) * 3)
+
+
+def test_decode_png_2bit_palette():
+    w, h = 7, 3
+    palette = bytes((250, 1, 2, 3, 251, 4, 5, 6, 252, 7, 8, 253))
+    idx = [((x + 2 * y) % 4,) for y in range(h) for x in range(w)]
+    _, _, rgb = mm.decode_image(
+        _encode_png3(w, h, idx, color=3, depth=2, palette=palette))
+    want = bytearray()
+    for (v,) in idx:
+        want += palette[3 * v:3 * v + 3]
+    assert rgb == bytes(want)
+
+
+def test_decode_png_gray_alpha_drops_alpha():
+    w, h = 6, 4
+    ga = [((x * 16 + y) % 256, (y * 40) % 256)
+          for y in range(h) for x in range(w)]
+    _, _, rgb = mm.decode_image(_encode_png3(w, h, ga, color=4, depth=8))
+    assert rgb == bytes(b for (v, _a) in ga for b in (v,) * 3)
+
+
+def test_decode_png_sub8_adam7_combined():
+    """2-bit grayscale + Adam7: each pass re-packs its own rows, so the
+    packed-bit stride math must hold per sub-image, not per full row."""
+    w, h = 10, 9
+    vals = [((x * x + y) % 4,) for y in range(h) for x in range(w)]
+    pw, ph, rgb = mm.decode_image(
+        _encode_png3(w, h, vals, color=0, depth=2, interlace=1))
+    assert (pw, ph) == (w, h)
+    assert rgb == bytes(b for (v,) in vals for b in (v * 85,) * 3)
