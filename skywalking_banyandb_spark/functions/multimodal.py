@@ -10,7 +10,8 @@ implemented here) and baseline JPEG (``functions.jpeg``: SOF0
 gray/YCbCr, 4:4:4 / 4:2:2 / 4:2:0, restart intervals) in pure Python (no
 codec dependency); other formats fall back to PIL when installed, else
 raise ``NotImplementedError`` (the remaining codec gate: progressive
-JPEG, GIF/TIFF/WebP). The
+JPEG, TIFF/WebP). GIF87a/89a first-frame decode (LZW + palette,
+interlace, transparency) is ``functions.gif``. The
 driver-paired entries use :func:`synth_payload` (a deterministic 16-byte
 md5-derived fake) because a SQL oracle cannot decode images; the real
 decode branches are pytest-proven (tests/test_multimodal_decode.py) over
@@ -88,6 +89,10 @@ def decode_image(payload: bytes) -> tuple:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(payload)
     try:
         import io
 

@@ -62,10 +62,10 @@ def test_decode_bmp_matches_ppm(top_down):
 
 
 def test_decode_unknown_magic_is_gated():
-    # GIF: genuinely gated (PNG gained a pure-Python branch in r5,
-    # baseline JPEG in r6 — see tests/test_jpeg_decode.py)
+    # TIFF: genuinely gated (PNG is complete, baseline JPEG and GIF decode
+    # in pure Python as of r6 — see tests/test_{jpeg,gif}_decode.py)
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"GIF87a-rest-of-gif")
+        mm.decode_image(b"II*\x00rest-of-tiff")
 
 
 def test_decode_truncated_ppm_raises():
