@@ -1,9 +1,11 @@
-"""Pure-Python baseline JPEG decoder (ITU-T T.81 / JFIF) — closes the last
-large item of the multimodal codec gate (VERDICT r5 missing #4: "JPEG …
-still gated behind PIL"). Scope: baseline sequential DCT (SOF0), 8-bit
+"""Pure-Python JPEG decoder (ITU-T T.81 / JFIF) — closes the last large
+item of the multimodal codec gate (VERDICT r5 missing #4: "JPEG … still
+gated behind PIL"). Scope: baseline sequential DCT (SOF0) AND
+progressive DCT (SOF2 — spectral selection with EOB runs plus full
+successive approximation, DC and AC refinement per T.81 G.1.2), 8-bit
 samples, grayscale or YCbCr with any of the common sampling factors
-(4:4:4, 4:2:2, 4:2:0), restart intervals. Progressive (SOF2), arithmetic
-coding, and 12-bit precision stay behind the gate.
+(4:4:4, 4:2:2, 4:2:0), restart intervals. Arithmetic coding, 12-bit
+precision and the lossless/hierarchical SOF variants stay gated.
 
 Used from ``functions.multimodal.decode_image`` for ``FF D8`` payloads, so
 the Arrow-batched ``mapInPandas`` decode path (extract_decoded_features /
@@ -181,6 +183,7 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, bytes]:
     huff_dc: Dict[int, _Huff] = {}
     huff_ac: Dict[int, _Huff] = {}
     frame = None
+    store = None
     restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -213,7 +216,7 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, bytes]:
                 sp += 17 + n
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(
@@ -223,25 +226,42 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, bytes]:
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline JPEG (SOF0) supported, found SOF marker "
-                f"FF{marker:02X}")
+                f"only baseline (SOF0) and progressive (SOF2) JPEG "
+                f"supported, found SOF marker FF{marker:02X}")
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             scan = {}
+            order = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan[cs] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(payload, pos + ln, frame, scan, qt,
-                                huff_dc, huff_ac, restart_interval)
-        elif marker == 0xD9:  # EOI before SOS
+                order.append(cs)
+            if not frame["progressive"]:
+                return _decode_scan(payload, pos + ln, frame, scan, qt,
+                                    huff_dc, huff_ac, restart_interval)
+            # progressive: accumulate this scan into the coefficient
+            # store, then continue the marker walk at the next marker
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahl = seg[3 + 2 * ns]
+            if store is None:
+                store = _prog_store(frame)
+            pos = _decode_progressive_scan(
+                payload, pos + ln, frame, store, order, scan,
+                huff_dc, huff_ac, ss, se, ahl >> 4, ahl & 0x0F,
+                restart_interval)
+            continue
+        elif marker == 0xD9:  # EOI
             break
         pos += ln
+    if frame is not None and frame.get("progressive") and store is not None:
+        return _prog_assemble(frame, store, qt)
     raise ValueError("JPEG has no scan data")
 
 
@@ -306,7 +326,14 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
                                 v = int(round(row[xx])) + 128
                                 plane[base + xx] = 0 if v < 0 else (
                                     255 if v > 255 else v)
-    # upsample + color convert
+    return _planes_to_rgb(w, h, comps, planes)
+
+
+def _planes_to_rgb(w, h, comps, planes):
+    """Upsample component planes to full resolution and color-convert
+    (shared by the baseline and progressive paths)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     out = bytearray(w * h * 3)
     if len(comps) == 1:
         c = comps[0]
@@ -335,3 +362,216 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
             out[i + 1] = 0 if gg < 0 else (255 if gg > 255 else int(gg + 0.5))
             out[i + 2] = 0 if bb < 0 else (255 if bb > 255 else int(bb + 0.5))
     return w, h, bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2): coefficients accumulate across scans — spectral
+# selection (Ss..Se bands, EOB runs) and successive approximation (Ah/Al
+# bit planes, including AC refinement per T.81 G.1.2.3). The store holds
+# QUANTIZED coefficients in zigzag order per block; assembly dequantizes
+# and IDCTs once after the last scan.
+# ---------------------------------------------------------------------------
+
+def _prog_store(frame):
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    frame["mcux"] = mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    frame["mcuy"] = mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    store = []
+    for c in comps:
+        bw, bh = mcux * c["h"], mcuy * c["v"]
+        c["bw"], c["bh"] = bw, bh
+        # blocks the component's REAL sample area needs (non-interleaved
+        # scans cover only these; interleaved scans cover the padded grid)
+        c["bw_used"] = (-(-w * c["h"] // hmax) + 7) // 8
+        c["bh_used"] = (-(-h * c["v"] // vmax) + 7) // 8
+        store.append([[0] * 64 for _ in range(bw * bh)])
+    return store
+
+
+def _decode_progressive_scan(payload, pos, frame, store, order, scan,
+                             huff_dc, huff_ac, ss, se, ah, al,
+                             restart_interval):
+    comps = frame["comps"]
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+    br = _BitReader(payload, pos)
+    sel = [by_id[cid] for cid in order]
+
+    if ss == 0:  # DC scan (interleaved over the scan's components)
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        pred = {ci: 0 for ci in sel}
+        units = []  # (ci, block_index) in scan order
+        if len(sel) > 1 or len(comps) == 1:
+            for my in range(frame["mcuy"]):
+                for mx in range(frame["mcux"]):
+                    for ci in sel:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                units.append((ci, (my * c["v"] + by)
+                                              * c["bw"]
+                                              + mx * c["h"] + bx))
+        else:  # single-component DC scan: component raster order
+            ci = sel[0]
+            c = comps[ci]
+            for by in range(c["bh_used"]):
+                for bx in range(c["bw_used"]):
+                    units.append((ci, by * c["bw"] + bx))
+        mcu_sz = max(1, sum(comps[ci]["h"] * comps[ci]["v"] for ci in sel)
+                     if len(sel) > 1 else 1)
+        done = 0
+        for ci, blk in units:
+            if restart_interval and done and \
+                    done % (restart_interval * mcu_sz) == 0:
+                br.align_restart()
+                pred = {c2: 0 for c2 in sel}
+            done += 1
+            zz = store[ci][blk]
+            if ah == 0:
+                t = br.decode_huff(huff_dc[scan[comps[ci]["id"]][0]])
+                pred[ci] += _extend(br.receive(t), t)
+                zz[0] = pred[ci] << al
+            else:  # DC refinement: one bit
+                if br.read_bit():
+                    zz[0] |= 1 << al
+        return _next_marker(payload, br)
+
+    # AC scan: exactly one component, raster order over its used blocks
+    if len(sel) != 1:
+        raise ValueError("progressive AC scan must cover one component")
+    ci = sel[0]
+    c = comps[ci]
+    ac_t = huff_ac[scan[c["id"]][1]]
+    eobrun = 0
+    done = 0
+    for by in range(c["bh_used"]):
+        for bx in range(c["bw_used"]):
+            if restart_interval and done and done % restart_interval == 0:
+                br.align_restart()
+                eobrun = 0
+            done += 1
+            zz = store[ci][by * c["bw"] + bx]
+            if ah == 0:
+                eobrun = _ac_first(br, ac_t, zz, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(br, ac_t, zz, ss, se, al, eobrun)
+    return _next_marker(payload, br)
+
+
+def _ac_first(br, ac_t, zz, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.decode_huff(ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            return (1 << r) - 1 + br.receive(r)  # EOB run (this block done)
+        k += r
+        if k > se:
+            raise ValueError("progressive AC index overflow")
+        zz[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(br, ac_t, zz, ss, se, al, eobrun):
+    """T.81 G.1.2.3 AC successive-approximation refinement (the djpeg
+    decode_mcu_AC_refine structure): newly-significant coefficients
+    arrive as s=1 codes; already-nonzero coefficients receive correction
+    bits — including while skipping runs and through EOB runs."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+
+    def correct(kk):
+        if br.read_bit() and (zz[kk] & p1) == 0:
+            zz[kk] += p1 if zz[kk] > 0 else m1
+
+    if eobrun > 0:
+        # this block is INSIDE a prior EOB run: full-band correction bits
+        # for nonzero-history coefficients, then one run slot consumed
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        return eobrun - 1
+
+    own_eob = False
+    while k <= se:
+        rs = br.decode_huff(ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        newval = 0
+        if s == 0:
+            if r != 15:
+                # EOBn: run covers THIS block (its tail corrections
+                # follow now) plus (1<<r)-1+receive(r) FURTHER blocks
+                eobrun = (1 << r) - 1 + br.receive(r)
+                own_eob = True
+                break
+            # ZRL: skip 16 zero-history coefficients
+        else:
+            if s != 1:
+                raise ValueError("invalid AC refinement magnitude")
+            newval = p1 if br.read_bit() else m1
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if newval and k <= se:
+            zz[k] = newval
+        k += 1
+    if own_eob:
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+    return eobrun
+
+
+def _next_marker(payload, br):
+    """Position of the next real marker after the current entropy data."""
+    pos = br.pos
+    while pos + 1 < len(payload):
+        if payload[pos] == 0xFF and payload[pos + 1] not in (0x00,) \
+                and not (0xD0 <= payload[pos + 1] <= 0xD7):
+            return pos
+        pos += 1
+    return len(payload)
+
+
+def _prog_assemble(frame, store, qt):
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    planes = []
+    for ci, c in enumerate(comps):
+        cw, ch = c["bw"] * 8, c["bh"] * 8
+        c["cw"], c["ch"] = cw, ch
+        plane = bytearray(cw * ch)
+        q = qt[c["tq"]]
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                zz = store[ci][by * c["bw"] + bx]
+                coef = [0.0] * 64
+                for k in range(64):
+                    if zz[k]:
+                        coef[ZIGZAG[k]] = zz[k] * q[k]
+                px = _idct_2d(coef)
+                ox, oy = bx * 8, by * 8
+                for yy in range(8):
+                    base = (oy + yy) * cw + ox
+                    row = px[yy * 8:yy * 8 + 8]
+                    for xx in range(8):
+                        v = int(round(row[xx])) + 128
+                        plane[base + xx] = 0 if v < 0 else (
+                            255 if v > 255 else v)
+        planes.append(plane)
+    return _planes_to_rgb(w, h, comps, planes)

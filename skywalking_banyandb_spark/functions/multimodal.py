@@ -9,9 +9,10 @@ or Adam7-interlaced; zlib inflate is stdlib, the five row filters are
 implemented here) and baseline JPEG (``functions.jpeg``: SOF0
 gray/YCbCr, 4:4:4 / 4:2:2 / 4:2:0, restart intervals) in pure Python (no
 codec dependency); other formats fall back to PIL when installed, else
-raise ``NotImplementedError`` (the remaining codec gate: progressive
-JPEG, TIFF/WebP). GIF87a/89a first-frame decode (LZW + palette,
-interlace, transparency) is ``functions.gif``. The
+raise ``NotImplementedError`` (the remaining codec gate: TIFF/WebP,
+12-bit/arithmetic/lossless JPEG). JPEG covers baseline SOF0 AND
+progressive SOF2 (``functions.jpeg``); GIF87a/89a first-frame decode
+(LZW + palette, interlace, transparency) is ``functions.gif``. The
 driver-paired entries use :func:`synth_payload` (a deterministic 16-byte
 md5-derived fake) because a SQL oracle cannot decode images; the real
 decode branches are pytest-proven (tests/test_multimodal_decode.py) over
@@ -73,9 +74,10 @@ def decode_image(payload: bytes) -> tuple:
     branch without a codec library: binary PPM (``P6``, 8-bit),
     uncompressed 24-bit BMP (BITMAPINFOHEADER, top-down or bottom-up),
     PNG (every legal depth 1/2/4/8/16 × gray/RGB/RGBA/palette/
-    gray+alpha, interlaced or not — see ``_decode_png``), and baseline
-    JPEG (SOF0, gray/YCbCr, 4:4:4 / 4:2:2 / 4:2:0, restart intervals —
-    ``functions.jpeg``). Anything else falls through to PIL when
+    gray+alpha, interlaced or not — see ``_decode_png``), and JPEG —
+    baseline SOF0 AND progressive SOF2 (spectral selection + successive
+    approximation), gray/YCbCr, 4:4:4 / 4:2:2 / 4:2:0, restart intervals
+    (``functions.jpeg``). Anything else falls through to PIL when
     available, else
     raises ``NotImplementedError`` (the codec gate; byte-level features
     stand in for gated formats)."""

@@ -388,10 +388,321 @@ def test_jpeg_through_decode_image():
     assert _maxerr(got[2], rgb) <= 3
 
 
-def test_jpeg_progressive_still_gated():
+def test_jpeg_remaining_gates():
+    """Progressive (SOF2) decodes as of r6 part 2 — the remaining gates
+    are 12-bit precision and the exotic SOF variants (lossless,
+    arithmetic, hierarchical)."""
     w, h = 8, 8
     payload = bytearray(encode_jpeg(w, h, _gradient(w, h)))
     i = payload.index(b"\xff\xc0")
-    payload[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="SOF0"):
+    # 12-bit precision: first SOF byte after the length field
+    payload[i + 4] = 12
+    with pytest.raises(NotImplementedError, match="precision"):
         decode_jpeg(bytes(payload))
+    payload[i + 4] = 8
+    payload[i + 1] = 0xC3  # lossless SOF3
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
+# r6 part 2: PROGRESSIVE (SOF2). The encoder below implements the libjpeg
+# scan-script structure independently: DC first at Al=1 + DC refinement,
+# then per component AC spectral bands at Al=1, then AC refinement scans
+# at Ah=1 -> Al=0 (newly-significant s=1 codes, buffered correction bits,
+# EOB-run accumulation across blocks).
+# ---------------------------------------------------------------------------
+
+class _ProgBits(_BitWriter):
+    def sym(self, codes, symbol):
+        c, ln = codes[symbol]
+        self.put(c, ln)
+
+
+def _quant_blocks(plane, pw, ph, q):
+    """All 8x8 blocks of a (padded) plane as quantized zigzag coef lists."""
+    out = []
+    bw, bh = (pw + 7) // 8, (ph + 7) // 8
+    for by in range(bh):
+        for bx in range(bw):
+            blk = []
+            for yy in range(8):
+                for xx in range(8):
+                    x = min(bx * 8 + xx, pw - 1)
+                    y = min(by * 8 + yy, ph - 1)
+                    blk.append(plane[y * pw + x] - 128.0)
+            coef = _fdct(blk)
+            out.append([int(round(coef[ZIGZAG[k]] / q[k]))
+                        for k in range(64)])
+    return out, bw, bh
+
+
+def _emit_dc_first(bw_, blocks_per_comp, dc_codes_per_comp, al):
+    preds = [0] * len(blocks_per_comp)
+    nb = len(blocks_per_comp[0])
+    for blk in range(nb):
+        for ci, blocks in enumerate(blocks_per_comp):
+            v = blocks[blk][0] >> al  # arithmetic shift per T.81 DC PT
+            diff = v - preds[ci]
+            preds[ci] = v
+            n, bits = _mag(diff)
+            bw_.sym(dc_codes_per_comp[ci], n)
+            if n:
+                bw_.put(bits, n)
+
+
+def _emit_dc_refine(bw_, blocks_per_comp, al):
+    nb = len(blocks_per_comp[0])
+    for blk in range(nb):
+        for blocks in blocks_per_comp:
+            bw_.put((blocks[blk][0] >> al) & 1, 1)
+
+
+def _emit_ac_first(bw_, blocks, ac_codes, ss, se, al):
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if not eobrun:
+            return
+        r = eobrun.bit_length() - 1
+        bw_.sym(ac_codes, r << 4)
+        if r:
+            bw_.put(eobrun - (1 << r), r)
+        eobrun = 0
+
+    for zz in blocks:
+        band = []
+        for k in range(ss, se + 1):
+            v = zz[k]
+            band.append(int(v / (1 << al)) if al else v)  # PT trunc to 0
+        last = max((i for i, v in enumerate(band) if v), default=-1)
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        for i in range(last + 1):
+            if band[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                bw_.sym(ac_codes, 0xF0)
+                run -= 16
+            n, bits = _mag(band[i])
+            bw_.sym(ac_codes, (run << 4) | n)
+            bw_.put(bits, n)
+            run = 0
+        if last < se - ss:
+            eobrun += 1
+    flush_eob()
+
+
+def _emit_ac_refine(bw_, blocks, ac_codes, ss, se, al):
+    """libjpeg encode_mcu_AC_refine: s=1 codes for newly-significant
+    coefficients, correction bits buffered and flushed after each emitted
+    symbol, EOB runs carry the buffered bits of the whole run."""
+    eobrun = 0
+    br_bits: list = []
+
+    def flush_eob():
+        nonlocal eobrun, br_bits
+        if eobrun == 0 and not br_bits:
+            return
+        if eobrun == 0:
+            eobrun = 1  # only correction bits pending -> EOB run of 1?
+        r = eobrun.bit_length() - 1
+        bw_.sym(ac_codes, r << 4)
+        if r:
+            bw_.put(eobrun - (1 << r), r)
+        for b in br_bits:
+            bw_.put(b, 1)
+        eobrun = 0
+        br_bits = []
+
+    for zz in blocks:
+        temp = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+        signs = [1 if zz[k] > 0 else 0 for k in range(ss, se + 1)]
+        run = 0
+        pending: list = []
+        emitted_any = False
+        for i, v in enumerate(temp):
+            if v == 0:
+                run += 1
+                continue
+            if v > 1:  # already significant: correction bit
+                pending.append(v & 1)
+                continue
+            # newly significant (v == 1); trailing corrections after the
+            # LAST of these join the EOB run via `pending`
+            if not emitted_any:
+                flush_eob()  # close any cross-block EOB run first
+                emitted_any = True
+            while run > 15:
+                bw_.sym(ac_codes, 0xF0)
+                for b in pending:
+                    bw_.put(b, 1)
+                pending = []
+                run -= 16
+            bw_.sym(ac_codes, (run << 4) | 1)
+            bw_.put(signs[i], 1)
+            for b in pending:
+                bw_.put(b, 1)
+            pending = []
+            run = 0
+        if run > 0 or pending:
+            eobrun += 1
+            br_bits.extend(pending)
+            if eobrun == 0x7FFF:
+                flush_eob()
+        elif not emitted_any:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def encode_jpeg_progressive(width, height, rgb, gray=False):
+    ys, cbs, crs = [], [], []
+    for i in range(width * height):
+        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+        ys.append(min(255.0, max(0.0, 0.299 * r + 0.587 * g + 0.114 * b)))
+        cbs.append(min(255.0, max(0.0, 128 - 0.168736 * r
+                                  - 0.331264 * g + 0.5 * b)))
+        crs.append(min(255.0, max(0.0, 128 + 0.5 * r - 0.418688 * g
+                                  - 0.081312 * b)))
+    ql = [QL[ZIGZAG[k]] for k in range(64)]
+    qc = [QC[ZIGZAG[k]] for k in range(64)]
+    dc_l = _huff_codes(DC_L_COUNTS, DC_L_SYMS)
+    dc_c = _huff_codes(DC_C_COUNTS, DC_C_SYMS)
+    # progressive needs EOBn symbols (r<<4, r=1..14) that the baseline
+    # Annex-K AC tables lack — real progressive encoders ship custom
+    # tables; this flat 176-symbol length-8 table covers every (r, s)
+    ac_p_syms = sorted({(r << 4) | v for r in range(16) for v in range(11)})
+    ac_p_counts = [0] * 16
+    ac_p_counts[7] = len(ac_p_syms)
+    ac_l = ac_c = _huff_codes(ac_p_counts, ac_p_syms)
+
+    if gray:
+        planes = [(ys, ql, dc_l, ac_l, 1)]
+    else:
+        planes = [(ys, ql, dc_l, ac_l, 1), (cbs, qc, dc_c, ac_c, 2),
+                  (crs, qc, dc_c, ac_c, 3)]
+    blocks = []
+    for plane, q, _dc, _ac, _cid in planes:
+        bl, _, _ = _quant_blocks(plane, width, height, q)
+        blocks.append(bl)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(ql))
+    if not gray:
+        out += _seg(0xDB, bytes([1]) + bytes(qc))
+    out += _seg(0xC4, bytes([0x00] + DC_L_COUNTS) + bytes(DC_L_SYMS))
+    out += _seg(0xC4, bytes([0x10] + ac_p_counts) + bytes(ac_p_syms))
+    if not gray:
+        out += _seg(0xC4, bytes([0x01] + DC_C_COUNTS) + bytes(DC_C_SYMS))
+        out += _seg(0xC4, bytes([0x11] + ac_p_counts) + bytes(ac_p_syms))
+    sof = struct.pack(">BHHB", 8, height, width, len(planes))
+    for _pl, _q, _dc, _ac, cid in planes:
+        tq = 0 if cid == 1 else 1
+        sof += bytes([cid, 0x11, tq])
+    out += _seg(0xC2, sof)
+
+    def sos(comp_ids, tables, ss, se, ah, al, body):
+        hdr = bytes([len(comp_ids)])
+        for cid, tt in zip(comp_ids, tables):
+            hdr += bytes([cid, tt])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, hdr) + body
+
+    # scan 1: DC first, all components, Al=1
+    bw_ = _ProgBits()
+    _emit_dc_first(bw_, blocks, [p[2] for p in planes], 1)
+    bw_.pad()
+    out += sos([p[4] for p in planes],
+               [0x00 if p[4] == 1 else 0x11 for p in planes],
+               0, 0, 0, 1, bw_.out)
+    # scans 2..: AC first per component, two bands, Al=1
+    for ci, (_pl, _q, _dc, _acc, cid) in enumerate(planes):
+        codes = ac_l if cid == 1 else ac_c
+        for (ss_, se_) in ((1, 5), (6, 63)):
+            bw_ = _ProgBits()
+            _emit_ac_first(bw_, blocks[ci], codes, ss_, se_, 1)
+            bw_.pad()
+            out += sos([cid], [0x10 if cid == 1 else 0x11],
+                       ss_, se_, 0, 1, bw_.out)
+    # DC refinement Ah=1 -> Al=0
+    bw_ = _ProgBits()
+    _emit_dc_refine(bw_, blocks, 0)
+    bw_.pad()
+    out += sos([p[4] for p in planes], [0x00] * len(planes), 0, 0, 1, 0,
+               bw_.out)
+    # AC refinement per component, full band, Ah=1 -> Al=0
+    for ci, (_pl, _q, _dc, _acc, cid) in enumerate(planes):
+        codes = ac_l if cid == 1 else ac_c
+        bw_ = _ProgBits()
+        _emit_ac_refine(bw_, blocks[ci], codes, 1, 63, 0)
+        bw_.pad()
+        out += sos([cid], [0x10 if cid == 1 else 0x11], 1, 63, 1, 0,
+                   bw_.out)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_progressive_equals_baseline():
+    """The progressive scan script carries the SAME quantized
+    coefficients as the baseline encoding, so decode must be IDENTICAL to
+    the baseline decode of the same image."""
+    w, h = 24, 17
+    rgb = _gradient(w, h)
+    base = decode_jpeg(encode_jpeg(w, h, rgb))
+    prog = decode_jpeg(encode_jpeg_progressive(w, h, rgb))
+    assert prog == base
+
+
+def test_jpeg_progressive_gray():
+    w, h = 16, 16
+    rgb = bytes(v for y in range(h) for x in range(w)
+                for v in ((x * 16 + y) % 256,) * 3)
+    base = decode_jpeg(encode_jpeg(w, h, rgb, gray=True))
+    prog = decode_jpeg(encode_jpeg_progressive(w, h, rgb, gray=True))
+    assert prog == base
+
+
+def test_jpeg_progressive_uniform_and_noise():
+    import random
+
+    w, h = 16, 8
+    uni = bytes((120, 65, 200)) * (w * h)
+    assert decode_jpeg(encode_jpeg_progressive(w, h, uni)) == \
+        decode_jpeg(encode_jpeg(w, h, uni))
+    random.seed(11)
+    noise = bytes(random.randrange(256) for _ in range(w * h * 3))
+    assert decode_jpeg(encode_jpeg_progressive(w, h, noise)) == \
+        decode_jpeg(encode_jpeg(w, h, noise))
+
+
+def test_jpeg_progressive_random_stress():
+    """Randomized sizes + content: progressive must equal baseline on the
+    same quantized coefficients every time (EOB-run / refinement-bit
+    interplay is data-dependent, so breadth matters here)."""
+    import random
+
+    rnd = random.Random(1234)
+    for trial in range(8):
+        w = rnd.randrange(8, 41)
+        h = rnd.randrange(8, 33)
+        style = trial % 3
+        if style == 0:
+            rgb = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+        elif style == 1:
+            rgb = _gradient(w, h)
+        else:  # blocky: exercises long zero runs + EOB runs
+            rgb = bytes(((x // 8 + y // 8) % 2) * 255
+                        for y in range(h) for x in range(w)
+                        for _ in range(3))
+        assert decode_jpeg(encode_jpeg_progressive(w, h, rgb)) == \
+            decode_jpeg(encode_jpeg(w, h, rgb)), (w, h, style)
