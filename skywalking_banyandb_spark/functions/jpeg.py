@@ -175,7 +175,8 @@ def _idct_2d(coef: List[float]) -> List[float]:
 
 
 def decode_jpeg(payload: bytes) -> Tuple[int, int, bytes]:
-    """Decode a baseline JPEG to ``(width, height, rgb_bytes)``."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG to
+    ``(width, height, rgb_bytes)``."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

@@ -4,7 +4,10 @@ its own bitwriter) produces real baseline JFIF payloads; the production
 decoder must reproduce the source image within quantization tolerance —
 and exactly for DC-only (uniform) blocks, where quantization is lossless
 by construction. Covers 4:4:4 and 4:2:0 sampling, grayscale, restart
-intervals, and the progressive/12-bit gates."""
+intervals, PROGRESSIVE scans (an independent libjpeg-scan-script encoder:
+DC/AC successive approximation, spectral bands, EOB runs — decoded output
+must equal the baseline decode of the same coefficients), and the
+remaining 12-bit / exotic-SOF gates."""
 
 from __future__ import annotations
 
