@@ -264,8 +264,10 @@ def test_topn_continuous_trigger_soak_state_bounded(spark):
         )
         try:
             # wait until enough micro-batches accumulated (deadline-looped
-            # so a loaded machine slows the test instead of flaking it)
-            deadline = time.time() + 150
+            # so a loaded machine slows the test instead of flaking it;
+            # 300s — a full-suite run saturating the box was observed to
+            # need more than 150s to reach 15 batches)
+            deadline = time.time() + 300
             while time.time() < deadline and len(q.recentProgress) < 15:
                 time.sleep(2)
             progress = q.recentProgress
