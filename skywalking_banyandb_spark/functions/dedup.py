@@ -100,7 +100,10 @@ def ngram_jaccard_pairs(
         F.explode(_shingles(F.col(text_col), n)).alias("sh"),
     )
     if df_cap_frac is not None:
-        cap = int(df_cap_frac * df.count())
+        # floor at 2 — same rationale as winnow_pairs: below 2 every
+        # pair-discoverable shingle (df = 2) would be dropped and small
+        # corpora would silently yield zero pairs on both engines
+        cap = max(2, int(df_cap_frac * df.count()))
         hot = (
             sh.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("_df"))
@@ -147,7 +150,7 @@ def ngram_jaccard_pairs_sql(
     if df_cap_frac is not None:
         cap_cte = f""", hot AS (
   SELECT sh FROM sh0 GROUP BY sh
-  HAVING COUNT(*) > CAST(floor({df_cap_frac} * (SELECT COUNT(*) FROM {table})) AS BIGINT)
+  HAVING COUNT(*) > GREATEST(2, CAST(floor({df_cap_frac} * (SELECT COUNT(*) FROM {table})) AS BIGINT))
 ), sh1 AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot))"""
         src = "sh1"
     return f"""
@@ -495,7 +498,7 @@ def winnow_pairs(
     within-posting-list rows. Per-key fan-out is bounded by cap², never
     corpus size.
 
-    The cap defaults to ``floor(df_cap_frac × corpus size)`` — the same
+    The cap defaults to ``max(2, floor(df_cap_frac × corpus size))`` — the same
     corpus-scaled derivation as ``ngram_jaccard_pairs`` — so a
     fingerprint counts as boilerplate when it appears in a fixed
     *fraction* of documents, which holds from test SFs to 100 TB; pass
@@ -503,7 +506,11 @@ def winnow_pairs(
     a prebuilt (persisted) posting table so several consumers in one
     session share a single corpus-hashing pass."""
     if df_cap is None:
-        df_cap = int(df_cap_frac * df.count())
+        # floor at 2: for corpora smaller than 2/df_cap_frac the product
+        # floors below 2 and the `_df > df_cap` filter would drop every
+        # pair-discoverable fingerprint (a fingerprint shared by a
+        # duplicate pair has df = 2), silently returning zero pairs
+        df_cap = max(2, int(df_cap_frac * df.count()))
     fp = (fingerprints if fingerprints is not None
           else winnow_posting_table(df, id_col, text_col, k, w))
     hot = (
@@ -532,12 +539,12 @@ def winnow_pairs_sql(
 ) -> str:
     """DuckDB twin of :func:`winnow_pairs`: hashes computed once per row in
     a CTE, then the identical window-min selection, stop-fingerprint cap
-    (the same ``floor(frac × corpus)`` derivation, parameterized as a
+    (the same ``max(2, floor(frac × corpus))`` derivation, parameterized as a
     subquery) and posting-list self-join (list slicing ``h[j : j+w-1]``
     is 1-based inclusive in DuckDB = ``F.slice(h, j, w)``)."""
     cap_expr = (str(df_cap) if df_cap is not None else
-                f"CAST(floor({df_cap_frac} * "
-                f"(SELECT COUNT(*) FROM {table})) AS BIGINT)")
+                f"GREATEST(2, CAST(floor({df_cap_frac} * "
+                f"(SELECT COUNT(*) FROM {table})) AS BIGINT))")
     return f"""
 WITH h AS (
   SELECT {id_col} AS id,

@@ -148,6 +148,14 @@ def _decode_gif_body(payload: bytes) -> Tuple[int, int, bytes]:
             idx = b"".join(ordered)
         out = bytearray(iw * ih * 3)
         n_entries = len(table) // 3
+        # the screen descriptor's background byte is independent of the
+        # *active* (possibly local, possibly smaller) color table; an
+        # out-of-range bg would make table[3*bg:3*bg+3] a short slice and
+        # the slice-assignments below would silently RESIZE the rgb
+        # buffer (the same hazard the PNG palette path guards against) —
+        # fall back to index 0 per the common viewer behavior
+        if bg >= n_entries:
+            bg = 0
         for i, v in enumerate(idx):
             if v >= n_entries:
                 raise ValueError(

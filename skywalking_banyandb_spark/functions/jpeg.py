@@ -245,6 +245,15 @@ def decode_jpeg(payload: bytes) -> Tuple[int, int, bytes]:
                 scan[cs] = (tt >> 4, tt & 0x0F)
                 order.append(cs)
             if not frame["progressive"]:
+                # _decode_scan assumes ONE interleaved SOS covering every
+                # frame component; a legal multi-scan baseline JPEG (one
+                # non-interleaved SOS per component) would misparse the
+                # first scan's entropy data and then KeyError — gate it
+                # cleanly like the other unsupported variants
+                if any(c["id"] not in scan for c in frame["comps"]):
+                    raise NotImplementedError(
+                        "multi-scan baseline JPEG unsupported (SOS "
+                        "covers a subset of the frame components)")
                 return _decode_scan(payload, pos + ln, frame, scan, qt,
                                     huff_dc, huff_ac, restart_interval)
             # progressive: accumulate this scan into the coefficient

@@ -564,9 +564,21 @@ def _double_array_lit(vals) -> "Column":
     ``repr(float)`` is the shortest round-trip form and Java's
     ``Double.parseDouble`` restores the identical bits (asserted
     bit-identical to the ``F.lit`` form in tests/test_ann_bitstable.py),
-    so orderings are unchanged."""
+    so orderings are unchanged.
+
+    Non-finite values need Java's spellings: Python repr gives
+    ``inf``/``nan`` which Spark's string→double cast does NOT parse
+    (silently yielding NULL elements where per-element ``F.lit`` made
+    proper Infinity/NaN literals), so map them explicitly."""
+    def _d(v) -> str:
+        f = float(v)
+        if math.isfinite(f):
+            return repr(f)
+        if math.isnan(f):
+            return "NaN"
+        return "Infinity" if f > 0 else "-Infinity"
     return F.expr(
-        "array(" + ",".join(f"CAST('{float(v)!r}' AS DOUBLE)"
+        "array(" + ",".join(f"CAST('{_d(v)}' AS DOUBLE)"
                             for v in vals) + ")")
 
 

@@ -166,3 +166,23 @@ def test_double_array_lit_bit_identical_to_lit(spark):
     ).head()
     pack = lambda xs: [struct.pack(">d", x) for x in xs]  # noqa: E731
     assert pack(row.a) == pack(row.b)
+
+
+def test_double_array_lit_nonfinite_spellings(spark):
+    """ADVICE r6: Python repr gives 'inf'/'nan', which Spark's
+    string->double CAST does not parse (it wants 'Infinity'/'NaN') —
+    before the fix non-finite query-vector elements silently became NULL
+    and nulled the cosine instead of propagating."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from skywalking_banyandb_spark.sources.ann_index import _double_array_lit
+
+    vals = [float("inf"), float("-inf"), float("nan"), 1.5, -0.0]
+    row = spark.range(1).select(_double_array_lit(vals).alias("b")).head()
+    assert row.b is not None and all(v is not None for v in row.b)
+    assert row.b[0] == math.inf and row.b[1] == -math.inf
+    assert math.isnan(row.b[2])
+    assert struct.pack(">d", row.b[4]) == struct.pack(">d", -0.0)

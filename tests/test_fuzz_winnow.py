@@ -40,3 +40,25 @@ def test_winnow_fingerprints_match_duckdb(spark, texts):
     want = set(con.execute(
         fp_cte + "\nSELECT id, fp FROM fp").fetchall())
     assert got == want
+
+
+def test_small_corpus_df_cap_floors_at_one(spark):
+    """ADVICE r6: corpora smaller than 1/df_cap_frac floored the derived
+    cap below 2 (the df of a duplicate pair), so the stop filter dropped every fingerprint
+    and near-identical docs silently produced zero pairs - on BOTH
+    engines, so the differential stayed green. The cap must floor at 1."""
+    from skywalking_banyandb_spark.functions.dedup import winnow_pairs
+
+    text = "the quick brown fox jumps over the lazy dog repeatedly"
+    rows = [(0, text), (1, text + "!"), (2, "completely unrelated words"),
+            (3, "other unrelated content here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = winnow_pairs(df, "doc_id", "text").collect()
+    assert [(p.a, p.b) for p in pairs] == [(0, 1)]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = con.execute(
+        winnow_pairs_sql("documents", "doc_id", "text")).fetchall()
+    assert [(a, b) for a, b, _ in want] == [(0, 1)]

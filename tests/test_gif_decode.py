@@ -179,3 +179,24 @@ def test_gif_through_decode_image_and_gates():
                       _pal(4))
     with pytest.raises(ValueError):
         decode_gif(full[:len(full) // 2] + b"\x00\x3B")
+
+
+def test_gif_out_of_range_background_does_not_resize_rgb():
+    """ADVICE r6: a screen-descriptor background byte >= the active color
+    table's entry count must NOT let the slice assignment silently resize
+    the rgb buffer — the decoder falls back to index 0."""
+    w, h = 3, 1
+    pal = _pal(4)
+    idx = [0, 2, 1]
+    payload = bytearray(encode_gif(w, h, idx, pal, transparent=2))
+    # byte 11 is the background color index in the logical screen
+    # descriptor; point it past the 4-entry table
+    payload[11] = 200
+    got_w, got_h, rgb = decode_gif(bytes(payload))
+    assert (got_w, got_h) == (w, h)
+    assert len(rgb) == w * h * 3  # was 6 instead of 9 before the fix
+    want = bytearray()
+    for v in idx:
+        src = 0 if v == 2 else v  # transparent -> clamped bg = 0
+        want += pal[3 * src:3 * src + 3]
+    assert rgb == bytes(want)

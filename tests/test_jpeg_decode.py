@@ -709,3 +709,20 @@ def test_jpeg_progressive_random_stress():
                         for _ in range(3))
         assert decode_jpeg(encode_jpeg_progressive(w, h, rgb)) == \
             decode_jpeg(encode_jpeg(w, h, rgb)), (w, h, style)
+
+
+def test_multi_scan_baseline_gated_cleanly():
+    """ADVICE r6: a baseline JPEG whose SOS covers only a subset of the
+    frame components (legal multi-scan layout) must raise the module's
+    explicit NotImplementedError gate, not misparse entropy data and die
+    with a KeyError."""
+    sof = struct.pack(">BHHB", 8, 8, 8, 3)
+    for cid in (1, 2, 3):
+        sof += struct.pack(">BBB", cid, 0x11, 0)
+    sos = bytes((1, 1, 0x00, 0, 63, 0))  # ns=1: component 1 only
+    payload = (b"\xFF\xD8"
+               + b"\xFF\xC0" + struct.pack(">H", 2 + len(sof)) + sof
+               + b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
+               + b"\xFF\xD9")
+    with pytest.raises(NotImplementedError, match="multi-scan baseline"):
+        decode_jpeg(payload)
