@@ -78,7 +78,10 @@ def test_pca_projection_roundtrip(spark):
         Z = (X - mean) @ evecs[:, :kk]
         R = Z @ evecs[:, :kk].T + mean
         errs.append(np.mean(np.sum((X - R) ** 2, axis=1)))
-        assert abs(errs[-1] - evals[kk:].sum()) < 1e-8
+        # the engine covariance is quantized to 2^-30 units (r7 —
+        # exact associative integer sums on both engines), so the
+        # error==dropped-eigenvalue identity holds to ~64 cells x 3*2^-30
+        assert abs(errs[-1] - evals[kk:].sum()) < 2e-7
     assert errs[0] > errs[1] > errs[2]
 
 

@@ -242,3 +242,50 @@ def test_documents_chunking_no_shuffle_before_sort(spark):
     plan = _plan(df)
     assert plan.count("Exchange") <= 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_df_not_a_token_window(spark):
+    """r7 (VERDICT r6 #2): df must come from a map-side-combined
+    groupBy(tok).count() joined back, never a count().over(
+    partitionBy(tok)) window — a window puts a Zipf-hot token's whole
+    posting list in ONE task and AQE cannot skew-split it. The only
+    WindowExec allowed is the per-doc rank (doc_id partitioning)."""
+    from skywalking_banyandb_spark.registry_pipeline import _tfidf_top_terms
+
+    import re
+
+    plan = _plan(_tfidf_top_terms(spark, SF_SMALL))
+    saw_window = False
+    for line in plan.split("\n"):
+        s = line.strip().lstrip("+-: ").strip()
+        groups = re.findall(r"\[[^\]]*\]", line)
+        if s.startswith("WindowGroupLimit") and groups:
+            part = groups[0]  # WindowGroupLimit [partition], [order], ...
+        elif s.startswith("Window ") and len(groups) >= 2:
+            part = groups[1]  # Window [exprs], [partition], [order]
+        else:
+            continue
+        saw_window = True
+        assert "tok#" not in part, line
+    assert saw_window  # the per-doc rank window is still there
+    # the covariance fix's sibling gate: df arrives via a hash aggregate
+    assert "HashAggregate" in plan
+
+
+def test_embedding_covariance_codegen_no_bigdecimal_input(spark):
+    """r7 (VERDICT r6 #1): the upper-triangle products must flow through
+    codegen'd Generates (chained posexplode) — no interpreted 2080-struct
+    literal transform — and the sums must aggregate long-backed
+    quantized integers, not per-product DECIMAL(38,18) casts."""
+    from skywalking_banyandb_spark.registry_pipeline import (
+        _embedding_covariance,
+    )
+
+    df = _embedding_covariance(spark, SF_SMALL)
+    plan = _plan(df)
+    assert plan.count("Generate") >= 2  # chained posexplodes
+    assert "transform(" not in plan  # the r6 interpreted HOF is gone
+    # quantized integer accumulation: FLOOR feeds the partial agg and no
+    # decimal with fractional scale appears anywhere in the plan
+    assert "FLOOR" in plan
+    assert "decimal(38,18)" not in plan
