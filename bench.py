@@ -147,14 +147,30 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 4)
+    ext_total = round(sum(extended.values()), 4)
+    # Canary-normalized ratios (VERDICT r6 #4): dividing by the same-run
+    # canary makes cross-round totals comparable without two-tree reruns
+    # — host drift moves the canary and the queries together, engine
+    # changes move only the queries. r6's canary (0.2264 s) is the first
+    # anchor, so r7↔r6 is the first directly normalizable pair.
+    norm = {
+        "canary_sec": canary_warm,
+        "headline_total_over_canary": round(total / canary_warm, 2),
+        "extended_total_over_canary": round(ext_total / canary_warm, 2),
+        "queries_over_canary": {
+            n: round(v / canary_warm, 2)
+            for n, v in (timings | extended).items()
+        },
+    }
     print(json.dumps({
         "metric": "headline_query_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "extended": extended,
-        "extended_total": round(sum(extended.values()), 4),
+        "extended_total": ext_total,
         "canary": {"query": "count(lineitem)", "sec": canary_warm},
+        "normalized": norm,
         "ann_build_probe": ann_split,
         "sf": sf,
     }))

@@ -210,6 +210,34 @@ _R5_DRIVER_SEEN = frozenset({
     "trace_regroup_stats", "vocab_top_tokens",
 })
 
+# Entries the round-6 driver sweep recorded (CORRECTNESS_r06.json):
+# 50/50 green.
+_R6_DRIVER_SEEN = frozenset({
+    "bydbql_measure_group_agg", "bydbql_measure_scan_where",
+    "bydbql_select_top", "bydbql_stream_orderby_tag",
+    "dedup_near_dup_clusters", "dedup_resolution_keep_best",
+    "dedup_substring_winnow", "documents_chunking",
+    "embedding_centroid_confusion", "embedding_covariance",
+    "events_alert_intervals", "events_sessionization", "measure_agg_all",
+    "measure_bottom_asc", "measure_count_distinct",
+    "measure_counter_increase_promql", "measure_created_at_clamp",
+    "measure_downsample_5m", "measure_filter_not_null",
+    "measure_groupby_count", "measure_groupby_max", "measure_groupby_mean",
+    "measure_groupby_min", "measure_groupby_no_agg", "measure_groupby_sum",
+    "measure_multigroup_union", "measure_ohlc_window", "measure_top_desc",
+    "measure_write_roundtrip", "multimodal_frame_sample",
+    "part_never_ordered_antijoin", "property_filter_sort",
+    "property_match_or", "quality_bigram_coverage",
+    "quality_charlm_typicality", "quality_rare_token_ratio",
+    "quality_tfidf_top_terms", "rollup_events_daily",
+    "slo_burn_rate_multiwindow", "stream_criteria_or_tree",
+    "stream_scan_paged", "streaming_counter_increase_materialized",
+    "topn_stateful_heap", "topn_streaming_materialized",
+    "tpch_q10_returned_items", "tpch_q14_promo_effect",
+    "tpch_q17_small_quantity", "tpch_q18_large_volume",
+    "tpch_q21_sole_delayed", "tpch_q3_shipping_priority",
+})
+
 # Round-6 front of the 50-entry driver window: entries whose compile path
 # round 6 changes —
 # - dedup_substring_winnow / dedup_resolution_keep_best: the (id, fp)
@@ -260,11 +288,50 @@ _R6_TOUCHED = (
     "tpch_q14_promo_effect", "tpch_q18_large_volume",
 )
 
+# Round-7 window front (VERDICT r6 Next #3): the seven entries whose
+# newest driver row is still r3 go FIRST — the 50-row window cannot
+# cover 146 entries per round, and after r6 these are the only ones
+# older than r4; seeding them explicitly (rather than relying on the
+# oldest-first rest sort) guarantees they cannot be displaced by a large
+# fresh/touched prefix. After round 7 no entry's newest driver row is
+# older than r4.
+_R3_STALE_FIRST = (
+    "tpch_q1_pricing_summary", "tpch_q4_order_priority",
+    "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "trace_spans_payload",
+)
+
+# Entries whose code round 7 changed (re-verify ahead of the stale rest):
+# - embedding_covariance: reshaped — chained-posexplode triangle +
+#   2^-30-quantized integer sums on BOTH engines (VERDICT r6 #1);
+# - quality_tfidf_top_terms: df via groupBy+join, not a token window
+#   (VERDICT r6 #2);
+# - dedup_substring_winnow / dedup_resolution_keep_best /
+#   dedup_ngram_jaccard: df-cap floor at 2 on both engines (ADVICE r6 —
+#   inert at driver SF where the derived cap is ≥ 20, but the SQL text
+#   changed);
+# - multimodal_features / multimodal_frame_sample: GIF background-index
+#   clamp + JPEG multi-scan gate in the decoders underneath (ADVICE r6).
+# NOT listed: the _double_array_lit non-finite-spelling fix (ADVICE r6)
+# touches every ann_* probe but only changes behavior for non-finite
+# inputs, which no table contains; finite bit-identity is asserted in
+# tests/test_ann_bitstable.py (the r6 precedent for representation-only
+# touches).
+_R7_TOUCHED = (
+    "embedding_covariance", "quality_tfidf_top_terms",
+    "dedup_substring_winnow", "dedup_resolution_keep_best",
+    "dedup_ngram_jaccard",
+    "multimodal_features", "multimodal_frame_sample",
+)
+
 _SWEEP_CAP = 50
 
 
 def _newest_driver_round(k: str) -> int:
     """Most recent round whose sweep recorded this entry (0 = never)."""
+    if k in _R6_DRIVER_SEEN:
+        return 6
     if k in _R5_DRIVER_SEEN:
         return 5
     if k in _R4_DRIVER_SEEN:
@@ -280,20 +347,25 @@ def _newest_driver_round(k: str) -> int:
 
 def _sweep_order(d: Dict[str, "object"]) -> list:
     """Driver sweeps record the FIRST 50 entries only, so order by need:
-    never-driver-seen entries (new this round), then entries whose code
-    changed this round (_R6_TOUCHED), then everything else oldest-driver-row
-    first so no entry's newest row goes stale silently. Warn when the
-    priority prefix itself overflows the cap (ADVICE r3)."""
-    fresh = [k for k in d if _newest_driver_round(k) == 0]
-    touched = [k for k in _R6_TOUCHED if k in d and k not in fresh]
-    front = fresh + touched
+    the r3-stale seven (oldest driver rows anywhere — VERDICT r6 #3),
+    then never-driver-seen entries (new this round), then entries whose
+    code changed this round (_R7_TOUCHED), then everything else
+    oldest-driver-row first so no entry's newest row goes stale
+    silently. Warn when the priority prefix itself overflows the cap
+    (ADVICE r3)."""
+    stale = [k for k in _R3_STALE_FIRST if k in d]
+    fresh = [k for k in d if _newest_driver_round(k) == 0 and k not in stale]
+    touched = [k for k in _R7_TOUCHED
+               if k in d and k not in fresh and k not in stale]
+    front = stale + fresh + touched
     if len(front) > _SWEEP_CAP:
         import warnings
         warnings.warn(
             f"sweep priority prefix ({len(front)} entries) exceeds the "
             f"{_SWEEP_CAP}-entry driver cap; {front[_SWEEP_CAP:]} will not "
             "be verified this round", stacklevel=2)
-    rest = [k for k in d if k not in fresh and k not in touched]
+    rest = [k for k in d
+            if k not in stale and k not in fresh and k not in touched]
     rest.sort(key=lambda k: (_newest_driver_round(k), k))
     return front + rest
 
