@@ -72,6 +72,8 @@ EXTENDED = [
     "embedding_centroid_confusion",
     "tpch_q17_small_quantity",
     "tpch_q21_sole_delayed",
+    # round-7 additions
+    "embedding_pca_project",
 ]
 
 

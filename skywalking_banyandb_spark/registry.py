@@ -70,7 +70,12 @@ _QUERIES: Dict[str, QueryFn] = {}
 _ORACLES: Dict[str, str] = {}
 
 
-def register(name: str, fn: QueryFn, sql: str | None = None) -> None:
+def register(name: str, fn: QueryFn, sql=None) -> None:
+    """``sql`` may be a string, or a zero-arg callable resolved when the
+    driver asks for ``oracle_sql()`` — for oracles that must embed
+    values derived from the correctness corpus at check time (e.g. the
+    PCA basis literals, which come from an eigendecomposition no SQL
+    dialect can express)."""
     _QUERIES[name] = fn
     if sql is not None:
         _ORACLES[name] = sql
@@ -375,7 +380,8 @@ def queries() -> Dict[str, QueryFn]:
 
 
 def oracle_sql() -> Dict[str, str]:
-    return {k: _ORACLES[k] for k in _sweep_order(_ORACLES)}
+    return {k: (_ORACLES[k]() if callable(_ORACLES[k]) else _ORACLES[k])
+            for k in _sweep_order(_ORACLES)}
 
 
 # --------------------------------------------------------------------------

