@@ -74,6 +74,7 @@ EXTENDED = [
     "tpch_q21_sole_delayed",
     # round-7 additions
     "embedding_pca_project",
+    "ann_ivf_incremental_topk",
 ]
 
 

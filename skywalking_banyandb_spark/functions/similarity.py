@@ -464,6 +464,55 @@ SELECT {id_col}, round(raw, 6) AS score FROM (
 
 
 
+def ivf_incremental_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int,
+    k_clusters: int = 8,
+    nprobe: int = 4,
+    base_pred: str = "true",
+    live_pred: str = "true",
+) -> str:
+    """DuckDB twin of the INCREMENTAL IVF probe
+    (``sources/ann_index.ivf_incremental_probe_topk``): centroids are the
+    smallest-``md5(id)`` sample of the BASE subset (``base_pred`` — the
+    T0 corpus the centroids were frozen on), assignment covers every
+    LIVE row (``live_pred`` — base ∪ appended, minus tombstones; the
+    predicate references the scan alias ``e``), probe/rank identical to
+    :func:`ivf_sampled_topk_sql`. Because assignment depends only on
+    (vector, frozen centroids), this one-shot recomputation equals the
+    engine's base ⊕ append ⊖ tombstone state — the invariant the
+    incremental maintenance guarantees."""
+    cosc = cosine_raw_sql("e." + vec_col, "c.cv")
+    cosp = cosine_raw_sql("cent.cv", "q.qv")
+    cosf = cosine_raw_sql("e." + vec_col, "q.qv")
+    return f"""
+WITH cent AS (
+  SELECT {id_col} AS cid, CAST({vec_col} AS DOUBLE[]) AS cv FROM {table}
+  WHERE {base_pred}
+  ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col} LIMIT {k_clusters}),
+q AS (SELECT {vec_col} AS qv FROM {table} WHERE {id_col} = {query_id}),
+probe AS (
+  SELECT cid FROM cent, q
+  ORDER BY {cosp} DESC, cid ASC LIMIT {nprobe}),
+assign AS (
+  SELECT vid, cid FROM (
+    SELECT e.{id_col} AS vid, c.cid AS cid,
+           row_number() OVER (PARTITION BY e.{id_col}
+             ORDER BY {cosc} DESC, c.cid ASC) AS rn
+    FROM {table} e, cent c WHERE {live_pred}) WHERE rn = 1),
+cand AS (
+  SELECT vid FROM assign
+  WHERE cid IN (SELECT cid FROM probe) AND vid <> {query_id})
+SELECT {id_col}, round(raw, 6) AS score FROM (
+  SELECT e.{id_col} AS {id_col}, {cosf} AS raw
+  FROM {table} e JOIN cand ON e.{id_col} = cand.vid, q
+  ORDER BY raw DESC, e.{id_col} ASC LIMIT {k})
+"""
+
+
 def _planes_values_sql(n_tables: int, n_planes: int, dim: int) -> str:
     """VALUES rows (tbl, i, plane DOUBLE[]) of the md5-derived hyperplanes."""
     return ",\n    ".join(

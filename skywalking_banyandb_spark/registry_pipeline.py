@@ -383,6 +383,58 @@ register(
 )
 
 
+# Incremental-IVF simulation predicates (VERDICT r6 #6): base = 90% of the
+# corpus at T0 (centroids frozen on it), the increment appends the
+# vec_id % 10 == 0 rows, tombstones delete the vec_id % 97 == 0 rows.
+# Deterministic and engine-portable, so the one-shot DuckDB recomputation
+# over (base ∪ increment) ∖ tombstones with base-trained centroids is the
+# exact oracle for the engine's base ⊕ append ⊖ delete index state.
+_IVF_INC_BASE = "vec_id % 10 != 0"
+_IVF_INC_NEW = "vec_id % 10 = 0"
+_IVF_INC_DEAD = "vec_id % 97 = 0"
+
+
+def _ann_ivf_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental IVF lifecycle as one query-able state: T0 base build
+    (frozen smallest-md5 centroids over the base 90%), daily-append the
+    remaining 10% assigned to the frozen centroids (O(batch) — idempotent
+    via a marker so repeated calls never double-append), tombstone-delete
+    a deterministic slice, then probe. The probe prunes to the nprobe
+    nearest cluster partitions and anti-filters the tombstones; the
+    invariant probe(base ⊕ append ⊖ delete) == probe(one-shot over live
+    rows, same centroids) is proven in tests/test_ann_incremental.py and
+    is what lets the oracle recompute one-shot."""
+    from .sources.ann_index import (
+        build_ivf_incremental_base,
+        ivf_incremental_append,
+        ivf_incremental_delete,
+        ivf_incremental_probe_topk,
+    )
+
+    path = build_ivf_incremental_base(
+        spark, sf, k_clusters=8, base_pred=_IVF_INC_BASE)
+    new = _emb(spark, sf).where(F.expr(_IVF_INC_NEW))
+    ivf_incremental_append(spark, path, new, marker="increment_mod10")
+    dead = [r.vec_id for r in _emb(spark, sf)
+            .where(F.expr(_IVF_INC_DEAD)).select("vec_id").collect()]
+    ivf_incremental_delete(path, dead)
+    q = _query_vec(spark, sf)
+    return ivf_incremental_probe_topk(spark, path, q, 10, nprobe=4,
+                                      exclude_id=0)
+
+
+register(
+    "ann_ivf_incremental_topk",
+    _ann_ivf_incremental,
+    sim.ivf_incremental_topk_sql(
+        "embeddings", "vec_id", "embedding", 0, 10,
+        k_clusters=8, nprobe=4,
+        base_pred=_IVF_INC_BASE,
+        live_pred="e.vec_id % 97 <> 0",
+    ),
+)
+
+
 # -- multimodal plumbing ----------------------------------------------------
 
 def _multimodal_features(spark: SparkSession, sf: str) -> DataFrame:

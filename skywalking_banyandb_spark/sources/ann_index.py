@@ -448,6 +448,190 @@ def ivf_sampled_probe_topk(
 
 
 # --------------------------------------------------------------------------
+# Incremental IVF maintenance — append / tombstone-delete / compact
+# --------------------------------------------------------------------------
+#
+# Real pipelines append embeddings daily and delete the occasional row;
+# rebuilding the whole index per batch is a full-corpus write. The
+# incremental index freezes its centroids at base-build time (T0), then:
+#   * APPEND assigns new vectors to the FROZEN centroids with the exact
+#     argmax used at build time and appends their rows into the existing
+#     cluster_id partitions — work is O(batch), never O(corpus);
+#   * DELETE records ids in a tombstone sidecar — O(1) metadata, no data
+#     rewrite; probes anti-filter it (tiny → broadcast);
+#   * COMPACT rewrites only the partitions that contain tombstoned rows
+#     and clears the sidecar — the same segment-rewrite shape as
+#     sources/writer.compact_segments.
+# Invariant (tests/test_ann_incremental.py): probe(base ⊕ append ⊖
+# tombstones) ≡ probe(one-shot build over the live rows with the same
+# frozen centroids) — assignment depends only on (vector, centroids), so
+# order of arrival cannot change any probe result.
+
+def ivf_incremental_index_path(sf_dir: str, k_clusters: int) -> str:
+    return _index_dir(sf_dir, "ivfinc", f"k{k_clusters}")
+
+
+def _ivf_assign_frozen(df, id_col: str, vec_col: str, centroids):
+    """Assign rows to FROZEN sampled centroids — the identical argmax
+    (UNROUNDED cosine, smallest-cid tie-break) as
+    :func:`build_ivf_sampled_index`, shared by base build and append so
+    the invariant holds by construction."""
+    best = F.array_max(F.array(*[
+        F.struct(
+            cosine_raw(F.col(vec_col), _double_array_lit(cv)).alias("s"),
+            F.lit(-cid).alias("nc"),
+        )
+        for cid, cv in centroids
+    ]))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        (-best["nc"]).alias("cluster_id"),
+    )
+
+
+def build_ivf_incremental_base(
+    spark: SparkSession,
+    sf_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_clusters: int = 8,
+    base_pred: str = "true",
+) -> str:
+    """T0 build over the ``base_pred`` subset of the corpus: centroids =
+    the ``k_clusters`` smallest-``md5(id)`` BASE vectors (deterministic
+    sample, engine-portable like :func:`build_ivf_sampled_index`),
+    frozen for the life of the index; assignment partitioned by
+    ``cluster_id``. Idempotent per (sf, params) directory."""
+    final = ivf_incremental_index_path(sf_dir, k_clusters)
+    if os.path.isdir(final):
+        return final
+    df = read_table(spark, f"{sf_dir}/embeddings.parquet") \
+        .where(F.expr(base_pred))
+    cent_rows = (
+        df.select(F.col(id_col).alias("cid"),
+                  F.col(vec_col).cast("array<double>").alias("cv"))
+        .orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))
+        .limit(k_clusters)
+        .collect()
+    )
+    centroids = [(int(r.cid), [float(x) for x in r.cv]) for r in cent_rows]
+    assigned = _ivf_assign_frozen(df, id_col, vec_col, centroids)
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
+    with open(os.path.join(tmp, "_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    with open(os.path.join(tmp, "_tombstones.json"), "w") as f:
+        json.dump([], f)
+    _publish(tmp, final)
+    return final
+
+
+def ivf_incremental_append(
+    spark: SparkSession,
+    path: str,
+    df,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    marker: str | None = None,
+) -> None:
+    """Assign ``df``'s vectors to the index's frozen centroids and append
+    them into the existing ``cluster_id`` partitions — O(batch) work.
+    ``marker`` names an idempotency sentinel: if the marker file already
+    exists the batch was applied (restart safety; the registry entry uses
+    it so repeated query calls never double-append)."""
+    if marker is not None:
+        mfile = os.path.join(path, f"_applied_{marker}")
+        if os.path.exists(mfile):
+            return
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = [(int(c), list(map(float, v))) for c, v in json.load(f)]
+    assigned = _ivf_assign_frozen(df, id_col, vec_col, centroids)
+    assigned.write.mode("append").partitionBy("cluster_id").parquet(path)
+    if marker is not None:
+        with open(mfile, "w") as f:
+            f.write("applied")
+
+
+def ivf_incremental_delete(path: str, ids) -> None:
+    """Tombstone-delete: union ``ids`` into the sidecar (idempotent set
+    semantics, O(tombstones) metadata, no data rewrite). At 100 TB the
+    sidecar is a parquet table and probes anti-join it broadcast; a JSON
+    set keeps the local artifact inspectable."""
+    tfile = os.path.join(path, "_tombstones.json")
+    with open(tfile) as f:
+        cur = set(json.load(f))
+    cur |= {int(i) for i in ids}
+    tmp = tfile + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(cur), f)
+    os.replace(tmp, tfile)
+
+
+def ivf_incremental_compact(spark: SparkSession, path: str) -> None:
+    """Physically drop tombstoned rows: rewrite ONLY the partitions that
+    contain them (partition-pruned read → overwrite those directories),
+    then clear the sidecar. The untouched partitions — at scale, almost
+    all of them — are never read or written."""
+    tfile = os.path.join(path, "_tombstones.json")
+    with open(tfile) as f:
+        tombs = sorted(set(json.load(f)))
+    if not tombs:
+        return
+    idx = spark.read.parquet(path)
+    hit = [r.cluster_id for r in
+           idx.where(F.col("id").isin(tombs))
+           .select("cluster_id").distinct().collect()]
+    if hit:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (idx.where(F.col("cluster_id").isin(hit))
+            .where(~F.col("id").isin(tombs))
+            .write.mode("overwrite").partitionBy("cluster_id")
+            .parquet(path))
+    with open(tfile + ".tmp", "w") as f:
+        json.dump([], f)
+    os.replace(tfile + ".tmp", tfile)
+
+
+def ivf_incremental_probe_topk(
+    spark: SparkSession,
+    path: str,
+    query: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+    exclude_id=None,
+) -> DataFrame:
+    """Probe the incremental index: rank FROZEN centroids driver-side,
+    scan the ``nprobe`` nearest ``cluster_id`` partitions
+    (PartitionFilters), drop tombstoned ids (tiny set — an isin filter
+    here, a broadcast anti-join when the sidecar is a table), exact
+    unrounded-cosine re-rank with id tie-break."""
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = json.load(f)
+    with open(os.path.join(path, "_tombstones.json")) as f:
+        tombs = json.load(f)
+    probe = [cid for _, cid in _rank_centroids(centroids, query)[:nprobe]]
+    idx = spark.read.parquet(path).where(F.col("cluster_id").isin(probe))
+    if tombs:
+        idx = idx.where(~F.col("id").isin(tombs))
+    if exclude_id is not None:
+        idx = idx.where(F.col("id") != exclude_id)
+    qlit = _double_array_lit(query)
+    return (
+        idx.select(
+            F.col("id").alias(id_col),
+            cosine_raw(F.col("vec"), qlit).alias("_raw"),
+        )
+        .orderBy(F.col("_raw").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(id_col), F.round(F.col("_raw"), 6).alias("score"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Product quantization (PQ) — the compression scale path
 # --------------------------------------------------------------------------
 
