@@ -75,6 +75,7 @@ EXTENDED = [
     # round-7 additions
     "embedding_pca_project",
     "ann_ivf_incremental_topk",
+    "measure_rate_extrapolated_promql",
 ]
 
 

@@ -804,9 +804,10 @@ register(
 # SkyWalking meters are exactly such counters). measure_rate_delta keeps the
 # simpler clamp-at-zero semantics; this entry is the PromQL-faithful one,
 # per (series, hour): increase = Σ(delta >= 0 ? delta : current), rate =
-# increase / covered-seconds. Extrapolation to window edges is deliberately
-# omitted (documented divergence — it estimates, we report the exact
-# in-window increase). One lag window + one aggregation, both on the same
+# increase / covered-seconds. Window-edge extrapolation lives in its own
+# twin entry `measure_rate_extrapolated_promql` (r7 — VERDICT r6 #7): this
+# one reports the exact in-window increase, that one the Prometheus
+# estimator. One lag window + one aggregation, both on the same
 # (user_id) partitioning; DECIMAL accumulation keeps the sum
 # order-independent across 1000 executors.
 # ---------------------------------------------------------------------------
@@ -872,6 +873,150 @@ register(
               CASE WHEN span_us > 0
                    THEN increase / (span_us / 1000000.0) END AS rate_per_s
        FROM g ORDER BY user_id, hour""",
+)
+
+
+# ---------------------------------------------------------------------------
+# PromQL extrapolated rate (NEW r7 — VERDICT r6 #7): the full Prometheus
+# estimator from promql/functions.go `extrapolatedRate`, closing the
+# documented divergence of the exact-increase entry above. Per
+# (series, hour) window [start, end):
+#   raw       = last − first + Σ reset corrections  (in-window samples
+#               only — PromQL never looks outside the range)
+#   avgDur    = sampledInterval / (n − 1)
+#   durStart  = firstT − start, capped by the zero-crossing estimate
+#               sampledInterval · (firstV / raw) when raw > 0 ∧ firstV ≥ 0
+#   durEnd    = end − lastT
+#   extrapolateToInterval = sampledInterval
+#       + (durStart if durStart < 1.1·avgDur else avgDur/2)
+#       + (durEnd   if durEnd   < 1.1·avgDur else avgDur/2)
+#   increase  = raw · extrapolateToInterval / sampledInterval
+#   rate      = increase / 3600
+# Windows with < 2 samples yield no result (PromQL drops them), and
+# same-timestamp-only windows (sampledInterval = 0) likewise. Every step
+# after the aggregation is one fixed IEEE expression over
+# (first, last, firstT, lastT, n, raw), written identically in both
+# engines, so the estimator is bit-stable; raw accumulates in DECIMAL
+# like the exact entry. Shuffle shape: one (user, hour) lag/first/last
+# window + one map-side-combined aggregation on the same key.
+# ---------------------------------------------------------------------------
+
+def _rate_extrapolated_promql(spark: SparkSession, sf: str) -> DataFrame:
+    # series = user_id over ALL events (unlike the exact entry's click
+    # slice): PromQL drops sub-2-sample windows, and the full stream
+    # keeps enough multi-sample (user, hour) windows to exercise every
+    # estimator branch at the correctness SF (426 vs 17 windows)
+    ev = read_table(spark, f"{sf}/events.parquet")
+    base = ev.select("user_id", "ts", "event_id", "value").withColumn(
+        "hour", F.date_trunc("hour", F.col("ts")))
+    w = Window.partitionBy("user_id", "hour").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    d = (
+        base
+        .withColumn("prev", F.lag("value").over(w))
+        # constant per (user, hour): the ordered-first sample's value
+        .withColumn("first_v", F.first("value").over(wfull))
+    )
+    contrib = F.when(F.col("prev").isNull(), F.lit(0.0)).otherwise(
+        F.when(F.col("value") >= F.col("prev"),
+               F.col("value") - F.col("prev"))
+        .otherwise(F.col("value")))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = (
+        d.groupBy("user_id", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(contrib.cast("decimal(24,6)")).cast("double").alias("raw"),
+            F.min(us).alias("first_us"),
+            F.max(us).alias("last_us"),
+            F.min("first_v").alias("first_v"),  # constant per group
+        )
+        .where((F.col("n_samples") >= 2)
+               & (F.col("last_us") > F.col("first_us")))
+    )
+    hour_us = F.unix_micros(F.col("hour").cast("timestamp"))
+    sampled = (F.col("last_us") - F.col("first_us")) / F.lit(1_000_000.0)
+    avg_dur = sampled / (F.col("n_samples") - F.lit(1))
+    dur_start0 = (F.col("first_us") - hour_us) / F.lit(1_000_000.0)
+    dur_end = (hour_us + F.lit(3_600_000_000) - F.col("last_us")) \
+        / F.lit(1_000_000.0)
+    dtz = sampled * (F.col("first_v") / F.col("raw"))
+    dur_start = F.when(
+        (F.col("raw") > 0) & (F.col("first_v") >= 0) & (dtz < dur_start0),
+        dtz).otherwise(dur_start0)
+    thresh = avg_dur * F.lit(1.1)
+    extrap = (
+        sampled
+        + F.when(dur_start < thresh, dur_start).otherwise(avg_dur / F.lit(2.0))
+        + F.when(dur_end < thresh, dur_end).otherwise(avg_dur / F.lit(2.0))
+    )
+    return (
+        g.select(
+            "user_id", "hour", "n_samples", "raw",
+            (F.col("raw") * (extrap / sampled)).alias("increase"),
+            (F.col("raw") * (extrap / sampled) / F.lit(3600.0))
+            .alias("rate_per_s"),
+        )
+        .orderBy("user_id", "hour")
+    )
+
+
+register(
+    "measure_rate_extrapolated_promql",
+    _rate_extrapolated_promql,
+    """WITH d AS (
+         SELECT user_id, ts, value,
+                CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                lag(value) OVER (
+                    PARTITION BY user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                    ORDER BY ts, event_id) AS prev,
+                first_value(value) OVER (
+                    PARTITION BY user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING) AS first_v
+         FROM events),
+       g AS (
+         SELECT user_id, hour, COUNT(*) AS n_samples,
+                CAST(SUM(CAST(CASE WHEN prev IS NULL THEN 0.0
+                              WHEN value >= prev THEN value - prev
+                              ELSE value END AS DECIMAL(24,6))) AS DOUBLE)
+                    AS raw,
+                MIN(epoch_us(ts)) AS first_us,
+                MAX(epoch_us(ts)) AS last_us,
+                MIN(first_v) AS first_v
+         FROM d GROUP BY user_id, hour
+         HAVING COUNT(*) >= 2 AND MAX(epoch_us(ts)) > MIN(epoch_us(ts))),
+       e AS (
+         SELECT *,
+                (last_us - first_us) / 1000000.0 AS sampled,
+                ((last_us - first_us) / 1000000.0) / (n_samples - 1)
+                    AS avg_dur,
+                (first_us - epoch_us(hour)) / 1000000.0 AS dur_start0,
+                (epoch_us(hour) + 3600000000 - last_us) / 1000000.0
+                    AS dur_end
+         FROM g),
+       x AS (
+         SELECT *,
+                CASE WHEN raw > 0 AND first_v >= 0
+                          AND sampled * (first_v / raw) < dur_start0
+                     THEN sampled * (first_v / raw) ELSE dur_start0 END
+                    AS dur_start,
+                avg_dur * 1.1 AS thresh
+         FROM e),
+       f AS (
+         SELECT *,
+                sampled
+                + CASE WHEN dur_start < thresh THEN dur_start
+                       ELSE avg_dur / 2.0 END
+                + CASE WHEN dur_end < thresh THEN dur_end
+                       ELSE avg_dur / 2.0 END AS extrap
+         FROM x)
+       SELECT user_id, hour, n_samples, raw,
+              raw * (extrap / sampled) AS increase,
+              raw * (extrap / sampled) / 3600.0 AS rate_per_s
+       FROM f ORDER BY user_id, hour""",
 )
 
 

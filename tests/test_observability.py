@@ -293,3 +293,98 @@ def test_winnow_df_cap_scales_with_corpus(spark):
     sql = winnow_pairs_sql("documents", "doc_id", "text", k=16, w=8)
     assert "0.04 * (SELECT COUNT(*) FROM documents)" in sql
     spark.catalog.clearCache()
+
+
+def test_extrapolated_rate_matches_prometheus_reference(spark):
+    """r7 (VERDICT r6 #7): the measure_rate_extrapolated_promql estimator
+    must equal a direct Python transcription of promql/functions.go
+    extrapolatedRate on synthetic series that hit every branch: resets,
+    the zero-crossing durationToStart cap, both extrapolation-threshold
+    arms, <2-sample drops, and a zero sampled-interval drop."""
+    import datetime as dt
+
+    H = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def s(sec):
+        return H + dt.timedelta(seconds=sec)
+
+    rows = [
+        # u1: dense regular samples well inside the hour -> both edge
+        # durations exceed 1.1*avgDur -> avgDur/2 extrapolation arms
+        *[(1, s(600 + 60 * i), i, 10.0 * i) for i in range(10)],
+        # u2: samples hugging the window edges -> durStart/durEnd arms,
+        # plus one reset (40 -> 5)
+        (2, s(5), 100, 10.0), (2, s(1200), 101, 40.0),
+        (2, s(2400), 102, 5.0), (2, s(3595), 103, 25.0),
+        # u3: tiny first value, large increase, first sample late in the
+        # hour -> the zero-crossing cap (durationToZero =
+        # sampled*(first_v/raw) = 200*(1/399) ~ 0.5 < durStart = 3000)
+        # fires and shrinks the start extrapolation
+        (3, s(3000), 200, 1.0), (3, s(3100), 201, 200.0),
+        (3, s(3200), 202, 400.0),
+        # u4: single sample -> dropped
+        (4, s(100), 300, 7.0),
+        # u5: two samples at the same timestamp -> sampledInterval 0 ->
+        # dropped
+        (5, s(50), 400, 1.0), (5, s(50), 401, 2.0),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, e, v, "click") for u, t, e, v in rows],
+        "user_id long, ts timestamp, event_id long, value double, "
+        "event_type string")
+
+    def prom_increase(samples, start, end):
+        # promql/functions.go extrapolatedRate, isCounter=True
+        samples = sorted(samples)
+        if len(samples) < 2:
+            return None
+        first_t, first_v = samples[0][0], samples[0][2]
+        last_t = samples[-1][0]
+        raw = 0.0
+        for (t0, _, v0), (t1, _, v1) in zip(samples, samples[1:]):
+            raw += (v1 - v0) if v1 >= v0 else v1
+        sampled = last_t - first_t
+        if sampled <= 0:
+            return None
+        avg_dur = sampled / (len(samples) - 1)
+        dur_start = first_t - start
+        dur_end = end - last_t
+        if raw > 0 and first_v >= 0:
+            dtz = sampled * (first_v / raw)
+            if dtz < dur_start:
+                dur_start = dtz
+        thresh = avg_dur * 1.1
+        extrap = sampled
+        extrap += dur_start if dur_start < thresh else avg_dur / 2
+        extrap += dur_end if dur_end < thresh else avg_dur / 2
+        return raw * (extrap / sampled)
+
+    by_user: dict = {}
+    for u, t, e, v in rows:
+        by_user.setdefault(u, []).append(
+            ((t - H).total_seconds(), e, v))
+    want = {u: prom_increase(ss, 0.0, 3600.0) for u, ss in by_user.items()}
+
+    import skywalking_banyandb_spark.registry_observability as obs_mod
+    from skywalking_banyandb_spark.sources import parquet as pq_mod
+
+    orig = pq_mod.read_table
+    try:
+        obs_mod.read_table = lambda _s, _p: df
+        got = {r.user_id: r for r in
+               obs_mod._rate_extrapolated_promql(spark, SF_SMALL).collect()}
+    finally:
+        obs_mod.read_table = orig
+    assert set(got) == {u for u, v in want.items() if v is not None}
+    for u, r in got.items():
+        assert abs(r.increase - want[u]) < 1e-9, (u, r.increase, want[u])
+        assert abs(r.rate_per_s - want[u] / 3600.0) < 1e-12
+    # branch sanity: u2 saw one reset (raw includes the restart value);
+    # u3's zero-crossing cap fired (dtz ~ 0.5 < thresh, so the start
+    # extrapolation adds ~0.5s instead of the uncapped avgDur/2 = 50s)
+    assert got[2].raw == (40.0 - 10.0) + 5.0 + (25.0 - 5.0)
+    raw3, sampled3, dtz3 = 399.0, 200.0, 200.0 * (1.0 / 399.0)
+    capped = raw3 * ((sampled3 + dtz3 + 100.0 / 2) / sampled3)
+    uncapped = raw3 * ((sampled3 + 100.0 / 2 + 100.0 / 2) / sampled3)
+    assert abs(got[3].increase - capped) < 1e-9
+    assert got[3].increase < uncapped
