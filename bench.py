@@ -76,6 +76,7 @@ EXTENDED = [
     "embedding_pca_project",
     "ann_ivf_incremental_topk",
     "measure_rate_extrapolated_promql",
+    "ann_ivfpq_incremental_topk",
 ]
 
 

@@ -701,6 +701,8 @@ def ivfpq_topk_sql(
     k_cw: int = 32,
     dim: int = 64,
     candidates: int = 0,
+    base_pred: str | None = None,
+    live_pred: str | None = None,
 ) -> str:
     """Exact DuckDB recomputation of the composed IVF-PQ probe
     (``sources/ann_index.ivfpq_probe_topk``): sampled-md5 centroids +
@@ -708,7 +710,15 @@ def ivfpq_topk_sql(
     restrict the candidate universe to the nprobe probed clusters, then the
     PQ encode/integer-LUT ADC (the ``pq_topk_sql`` half) ranks inside them,
     then exact-cosine re-rank on the unrounded cosine (bit-stable, see
-    :func:`cosine_raw`); the rounded score is display-only."""
+    :func:`cosine_raw`); the rounded score is display-only.
+
+    ``base_pred`` (over the bare id column — the T0 subset centroids AND
+    codebooks were frozen on) and ``live_pred`` (over ``vid`` — base ∪
+    appended minus tombstones) parameterize the INCREMENTAL twin
+    (``ann_index.build_ivfpq_incremental_base`` lifecycle): a one-shot
+    recomputation over the live rows with base-trained artifacts equals
+    the engine's base ⊕ append ⊖ delete state because encoding depends
+    only on (vector, frozen artifacts)."""
     sub = dim // m_sub
     c_n = candidates or max(4 * k, 32)
     cosc = cosine_raw_sql("ev.v", "c.cv")
@@ -716,6 +726,11 @@ def ivfpq_topk_sql(
     cosf = cosine_raw_sql(f"e.{vec_col}", "q.qv")
     diff_e = f"(en.nv[cb.m * {sub} + i] - cb.cw[i])"
     diff_q = f"(nq.nqv[cb.m * {sub} + i] - cb.cw[i])"
+    cent_where = (f"\n  WHERE {base_pred.replace(id_col, 'eid')}"
+                  if base_pred else "")
+    cb_where = (f"\n    WHERE {base_pred.replace(id_col, 'en.eid')}"
+                if base_pred else "")
+    live_and = f" AND {live_pred}" if live_pred else ""
     return f"""
 WITH q AS (
   SELECT CAST({vec_col} AS DOUBLE[]) AS qv FROM {table}
@@ -733,7 +748,7 @@ en AS (
                FOR i IN generate_series(1, {dim})] AS nv
   FROM ev),
 cent AS (
-  SELECT eid AS cid, v AS cv FROM ev
+  SELECT eid AS cid, v AS cv FROM ev{cent_where}
   ORDER BY md5(CAST(eid AS VARCHAR)), eid LIMIT {k_clusters}),
 probe AS (
   SELECT cid FROM cent, q
@@ -746,7 +761,7 @@ assign AS (
     FROM ev, cent c) WHERE rn = 1),
 universe AS (
   SELECT vid FROM assign
-  WHERE cid IN (SELECT cid FROM probe) AND vid <> {query_id}),
+  WHERE cid IN (SELECT cid FROM probe) AND vid <> {query_id}{live_and}),
 mm AS (SELECT unnest(generate_series(0, {m_sub - 1})) AS m),
 cb AS (
   SELECT m, j, cw FROM (
@@ -757,7 +772,7 @@ cb AS (
              - 1 AS j,
            [en.nv[mm.m * {sub} + i]
             FOR i IN generate_series(1, {sub})] AS cw
-    FROM en, mm) WHERE j < {k_cw}),
+    FROM en, mm{cb_where}) WHERE j < {k_cw}),
 enc AS (
   SELECT vid, m, j FROM (
     SELECT en.eid AS vid, cb.m AS m, cb.j AS j,

@@ -435,6 +435,47 @@ register(
 )
 
 
+def _ann_ivfpq_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """The incremental lifecycle on the COMPRESSED index: centroids AND
+    PQ codebooks frozen at the T0 base build, append batches encoded
+    against them (O(batch)), tombstone delete, then the pruned
+    ADC-shortlist + exact-re-rank probe. Same simulation predicates as
+    ``ann_ivf_incremental_topk``; the DuckDB one-shot over live rows
+    with base-trained artifacts is exact for the same reason — encoding
+    is a pure function of (vector, frozen artifacts)."""
+    from .sources.ann_index import (
+        build_ivfpq_incremental_base,
+        ivf_incremental_delete,
+        ivfpq_incremental_append,
+        ivfpq_incremental_probe_topk,
+    )
+
+    path = build_ivfpq_incremental_base(
+        spark, sf, k_clusters=8, m_sub=16, k_cw=32,
+        base_pred=_IVF_INC_BASE)
+    new = _emb(spark, sf).where(F.expr(_IVF_INC_NEW))
+    ivfpq_incremental_append(spark, path, new, m_sub=16,
+                             marker="increment_mod10")
+    dead = [r.vec_id for r in _emb(spark, sf)
+            .where(F.expr(_IVF_INC_DEAD)).select("vec_id").collect()]
+    ivf_incremental_delete(path, dead)
+    q = _query_vec(spark, sf)
+    return ivfpq_incremental_probe_topk(spark, path, q, 10, nprobe=4,
+                                        m_sub=16, exclude_id=0)
+
+
+register(
+    "ann_ivfpq_incremental_topk",
+    _ann_ivfpq_incremental,
+    sim.ivfpq_topk_sql(
+        "embeddings", "vec_id", "embedding", 0, 10,
+        k_clusters=8, nprobe=4, m_sub=16, k_cw=32,
+        base_pred=_IVF_INC_BASE,
+        live_pred="vid % 97 <> 0",
+    ),
+)
+
+
 # -- multimodal plumbing ----------------------------------------------------
 
 def _multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
@@ -1565,7 +1606,15 @@ def _embedding_centroid_confusion(spark: SparkSession, sf: str) -> DataFrame:
     a narrow map over the scan — the exact shape of the IVF assign step
     (sources/ann_index.py), reused here for a supervised signal. Cosine
     folds are the bit-identical cross-engine primitive
-    (tests/test_ann_bitstable.py)."""
+    (tests/test_ann_bitstable.py).
+
+    Ceiling (VERDICT r6 minor #3): the literal-argmax expression grows
+    linearly with class count — fine to a few hundred classes (driver
+    collect is classes×64 doubles, the expression stays one map), but
+    past ~1k classes the right shape is the crossJoin-with-broadcast-
+    centroid-table assign of functions/similarity.py (shuffle-free per
+    vector, centroids as a broadcast relation instead of parsed
+    literals); switch there before raising the class cardinality."""
     from .functions.similarity import cosine_raw
     from .sources.ann_index import _double_array_lit
 

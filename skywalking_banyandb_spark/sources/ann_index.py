@@ -996,6 +996,204 @@ def ivfpq_probe_topk(
 
 
 # --------------------------------------------------------------------------
+# Incremental IVF-PQ — the maintenance pattern on the COMPRESSED index
+# --------------------------------------------------------------------------
+#
+# Same lifecycle as the incremental IVF above, with the PQ codebooks
+# frozen alongside the centroids at base-build time: append batches are
+# assigned to the frozen centroids AND encoded against the frozen
+# codebooks, so again any batch split produces the identical index state
+# (assignment and encoding depend only on the vector and the frozen
+# artifacts). Tombstone/compact are literally the IVF functions — the
+# sidecar protocol only touches (id, cluster_id) and is layout-agnostic.
+
+def ivfpq_incremental_index_path(sf_dir: str, k_clusters: int, m_sub: int,
+                                 k_cw: int) -> str:
+    return _index_dir(sf_dir, "ivfpqinc", f"c{k_clusters}_m{m_sub}_k{k_cw}")
+
+
+def _ivfpq_encode_frozen(df, id_col: str, vec_col: str, centroids,
+                         codebooks, m_sub: int, sub: int):
+    """Assign + PQ-encode rows against FROZEN centroids/codebooks — the
+    identical expressions as :func:`build_ivfpq_index`'s build pass
+    (unrounded-cosine argmax; per-subspace L2 argmin over the normalized
+    vector with smallest-code tie-break), shared by base build and
+    append so the batch-split invariant holds by construction."""
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col("vec"), lambda x: x * x),
+        F.lit(0.0), lambda a, v: a + v))
+    vecd = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("nvec", F.transform(F.col("vec"), lambda x: x / norm))
+    best = F.array_max(F.array(*[
+        F.struct(
+            cosine_raw(F.col("vec"), _double_array_lit(cv)).alias("s"),
+            F.lit(-cid).alias("nc"),
+        )
+        for cid, cv in centroids
+    ]))
+    assigned = vecd.withColumn("cluster_id", -best["nc"])
+    cb_lit = F.array(*[
+        F.array(*[_double_array_lit(cw) for cw in codebooks[m]])
+        for m in range(m_sub)
+    ])
+
+    def dists(mcol):
+        return F.transform(
+            F.element_at(cb_lit, mcol + 1),
+            lambda cw: F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("nvec"), mcol * sub + 1, sub), cw,
+                    lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda a, v: a + v),
+        )
+
+    codes_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        lambda m: (F.array_position(dists(m), F.array_min(dists(m))) - 1)
+        .cast("int"),
+    )
+    return assigned.select("id", "vec", "cluster_id",
+                           codes_expr.alias("codes"))
+
+
+def build_ivfpq_incremental_base(
+    spark: SparkSession,
+    sf_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_clusters: int = 8,
+    m_sub: int = 16,
+    k_cw: int = 32,
+    dim: int = 64,
+    base_pred: str = "true",
+) -> str:
+    """T0 build of the compressed index over the ``base_pred`` subset:
+    centroids AND per-subspace codebooks are hash-sampled from the base
+    corpus in one scan (:func:`_hash_sample_tops`) and frozen; rows are
+    encoded with :func:`_ivfpq_encode_frozen` and partitioned by
+    ``cluster_id``."""
+    final = ivfpq_incremental_index_path(sf_dir, k_clusters, m_sub, k_cw)
+    if os.path.isdir(final):
+        return final
+    df = read_table(spark, f"{sf_dir}/embeddings.parquet") \
+        .where(F.expr(base_pred))
+    sub = dim // m_sub
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col("vec"), lambda x: x * x),
+        F.lit(0.0), lambda a, v: a + v))
+    vecd = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("nvec", F.transform(F.col("vec"), lambda x: x / norm))
+    tops = _hash_sample_tops(vecd, m_sub, sub, k_cw, k_clusters=k_clusters)
+    centroids = [(cid, cv) for cid, cv in tops[m_sub]]
+    codebooks: List[List[List[float]]] = [
+        [payload for _, payload in tops[m]] for m in range(m_sub)
+    ]
+    coded = _ivfpq_encode_frozen(df, id_col, vec_col, centroids,
+                                 codebooks, m_sub, sub)
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    coded.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
+    with open(os.path.join(tmp, "_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    with open(os.path.join(tmp, "_codebooks.json"), "w") as f:
+        json.dump(codebooks, f)
+    with open(os.path.join(tmp, "_tombstones.json"), "w") as f:
+        json.dump([], f)
+    _publish(tmp, final)
+    return final
+
+
+def ivfpq_incremental_append(
+    spark: SparkSession,
+    path: str,
+    df,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = 16,
+    dim: int = 64,
+    marker: str | None = None,
+) -> None:
+    """Encode ``df`` against the index's frozen centroids + codebooks and
+    append into the existing partitions — O(batch); same marker-based
+    idempotency as :func:`ivf_incremental_append`."""
+    if marker is not None:
+        mfile = os.path.join(path, f"_applied_{marker}")
+        if os.path.exists(mfile):
+            return
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = [(int(c), list(map(float, v))) for c, v in json.load(f)]
+    with open(os.path.join(path, "_codebooks.json")) as f:
+        codebooks = json.load(f)
+    coded = _ivfpq_encode_frozen(df, id_col, vec_col, centroids,
+                                 codebooks, m_sub, dim // m_sub)
+    coded.write.mode("append").partitionBy("cluster_id").parquet(path)
+    if marker is not None:
+        with open(mfile, "w") as f:
+            f.write("applied")
+
+
+def ivfpq_incremental_probe_topk(
+    spark: SparkSession,
+    path: str,
+    query: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+    m_sub: int = 16,
+    candidates: int = 0,
+    exclude_id=None,
+) -> DataFrame:
+    """Probe the incremental compressed index: frozen-centroid partition
+    pruning, tombstone anti-filter, integer-LUT ADC shortlist, exact
+    unrounded-cosine re-rank — :func:`ivfpq_probe_topk`'s pipeline over
+    the maintained state."""
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = json.load(f)
+    with open(os.path.join(path, "_codebooks.json")) as f:
+        codebooks = json.load(f)
+    with open(os.path.join(path, "_tombstones.json")) as f:
+        tombs = json.load(f)
+    sub = len(query) // m_sub
+    c_n = candidates or max(4 * k, 32)
+    probe = [cid for _, cid in _rank_centroids(centroids, query)[:nprobe]]
+    s = 0.0
+    for x in query:
+        s = s + x * x
+    qn = math.sqrt(s)
+    nq = [x / qn for x in query]
+    lut = [
+        [_lut_micro(nq[m * sub:(m + 1) * sub], cw) for cw in codebooks[m]]
+        for m in range(m_sub)
+    ]
+    idx = spark.read.parquet(path).where(F.col("cluster_id").isin(probe))
+    if tombs:
+        idx = idx.where(~F.col("id").isin(tombs))
+    if exclude_id is not None:
+        idx = idx.where(F.col("id") != exclude_id)
+    adc = _adc_expr(lut)
+    cand = (
+        idx.select("id", "vec", adc.alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col("id").asc())
+        .limit(c_n)
+    )
+    qlit = _double_array_lit(query)
+    return (
+        cand.select(
+            F.col("id").alias(id_col),
+            cosine_raw(F.col("vec"), qlit).alias("_raw"),
+        )
+        .orderBy(F.col("_raw").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(id_col), F.round(F.col("_raw"), 6).alias("score"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Residual IVF-PQ — FAISS `IVFx,PQy` semantics (VERDICT r4 missing #2)
 # --------------------------------------------------------------------------
 

@@ -161,3 +161,49 @@ def test_incremental_probe_matches_brute_force_recall(spark, tmp_path,
     # every returned id is live
     assert all(v % 97 != 0 and v != 0 for v in got)
     assert len(set(got) & set(exact)) >= 6
+
+
+def test_ivfpq_append_batch_split_invariance(spark, tmp_path, monkeypatch):
+    """The compressed-index twin: frozen centroids AND codebooks make
+    append order-free — one-batch vs two-batch appends produce identical
+    (id, cluster_id, codes) states and identical probe rows."""
+    from skywalking_banyandb_spark.sources.ann_index import (
+        build_ivfpq_incremental_base,
+        ivfpq_incremental_append,
+        ivfpq_incremental_probe_topk,
+    )
+
+    def _state(path):
+        return {
+            (r.id, r.cluster_id, tuple(r.codes))
+            for r in spark.read.parquet(path)
+            .select("id", "cluster_id", "codes").collect()
+        }
+
+    new = _emb(spark).where(F.expr(_IVF_INC_NEW))
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "a"))
+    pa = build_ivfpq_incremental_base(spark, SF_SMALL, k_clusters=8,
+                                      m_sub=16, k_cw=32,
+                                      base_pred=_IVF_INC_BASE)
+    ivfpq_incremental_append(spark, pa, new, m_sub=16, marker="all")
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "b"))
+    pb = build_ivfpq_incremental_base(spark, SF_SMALL, k_clusters=8,
+                                      m_sub=16, k_cw=32,
+                                      base_pred=_IVF_INC_BASE)
+    ivfpq_incremental_append(
+        spark, pb, new.where(F.expr("vec_id % 20 = 0")), m_sub=16,
+        marker="b1")
+    ivfpq_incremental_append(
+        spark, pb, new.where(F.expr("vec_id % 20 = 10")), m_sub=16,
+        marker="b2")
+    assert _state(pa) == _state(pb)
+
+    q = _query_vec(spark, SF_SMALL)
+    got_a = [(r.vec_id, r.score) for r in
+             ivfpq_incremental_probe_topk(spark, pa, q, 10, nprobe=4,
+                                          m_sub=16, exclude_id=0).collect()]
+    got_b = [(r.vec_id, r.score) for r in
+             ivfpq_incremental_probe_topk(spark, pb, q, 10, nprobe=4,
+                                          m_sub=16, exclude_id=0).collect()]
+    assert got_a == got_b and len(got_a) == 10

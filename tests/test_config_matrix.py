@@ -26,8 +26,12 @@ _ENTRIES = [
     "slo_burn_rate_multiwindow",        # RANGE frame over hour index
     "quality_tfidf_top_terms",          # two window ranks, IEEE division
     "quality_charlm_typicality",        # persisted scratch pair table
-    "embedding_covariance",             # DECIMAL(38,18) accumulation
+    "embedding_covariance",             # quantized integer accumulation (r7)
     "tpch_q17_small_quantity",          # decorrelated scalar subquery
+    # r7 families
+    "embedding_pca_project",            # driver eigh + literal-fold projection
+    "ann_ivf_incremental_topk",         # frozen-centroid append + tombstones
+    "measure_rate_extrapolated_promql", # edge-extrapolation IEEE expression
 ]
 
 
