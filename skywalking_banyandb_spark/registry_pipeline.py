@@ -1492,11 +1492,14 @@ register("embedding_covariance", _embedding_covariance, _EMB_COV_SQL)
 
 _PCA_K = 8
 
-# The driver checks correctness at this SF (TESTDATA.md / the
-# __spark_entry__ contract); the lazy PCA oracle derives its basis
-# literals from the same corpus the views point at.
-_ORACLE_SF_DIR = os.environ.get(
-    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+def _oracle_sf_dir() -> str:
+    """The corpus the DRIVER's oracle views point at — sf0.01 per the
+    __spark_entry__ contract (TESTDATA.md). Read at oracle-resolution
+    time so a harness checking at a different SF (e.g. the pytest
+    conformance sweep at sf0.001) can redirect the lazy PCA oracle to
+    the same corpus via SPARK_GRAFT_ORACLE_SF_DIR."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                          "/root/testdata/sf0.01")
 
 
 def _pca_basis(cov_cells, mean_cells):
@@ -1571,7 +1574,7 @@ def _pca_project_oracle_sql() -> str:
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW embeddings AS SELECT * FROM "
-        f"'{_ORACLE_SF_DIR}/embeddings.parquet'")
+        f"'{_oracle_sf_dir()}/embeddings.parquet'")
     cov_cells = con.execute(_EMB_COV_SQL).fetchall()
     mean_cells = con.execute(
         _EMB_V_CTE + " " + _EMB_MEANS_SQL + " ORDER BY i").fetchall()
