@@ -207,3 +207,29 @@ def test_ivfpq_append_batch_split_invariance(spark, tmp_path, monkeypatch):
              ivfpq_incremental_probe_topk(spark, pb, q, 10, nprobe=4,
                                           m_sub=16, exclude_id=0).collect()]
     assert got_a == got_b and len(got_a) == 10
+
+
+def test_incremental_probes_prune_partitions(spark, tmp_path, monkeypatch):
+    """Scale gate: both incremental probes read only the nprobe nearest
+    cluster_id partitions (PartitionFilters), never the whole index."""
+    from skywalking_banyandb_spark.sources.ann_index import (
+        build_ivfpq_incremental_base,
+        ivfpq_incremental_probe_topk,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    q = _query_vec(spark, SF_SMALL)
+    p1 = build_ivf_incremental_base(spark, SF_SMALL, k_clusters=8,
+                                    base_pred=_IVF_INC_BASE)
+    df1 = ivf_incremental_probe_topk(spark, p1, q, 10, nprobe=4,
+                                     exclude_id=0)
+    plan1 = df1._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan1 and "cluster_id" in plan1, plan1
+
+    p2 = build_ivfpq_incremental_base(spark, SF_SMALL, k_clusters=8,
+                                      m_sub=16, k_cw=32,
+                                      base_pred=_IVF_INC_BASE)
+    df2 = ivfpq_incremental_probe_topk(spark, p2, q, 10, nprobe=4,
+                                       m_sub=16, exclude_id=0)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan2 and "cluster_id" in plan2, plan2
