@@ -206,6 +206,11 @@ class MeasureSchema:
     # revision-gated queries clamp TimeRange.begin to it — see
     # clamp_time_range_begin. None (pre-upgrade schema) is a no-op.
     created_at: Optional[object] = None
+    # optional separate shard-routing key (schema.proto:70-72,114); empty
+    # means the entity routes shards. Spark mapping: the bucketBy keys of
+    # the bucketed catalog table. Validated by
+    # check_sharding_key_subset (reference 0.11).
+    sharding_key: Tuple[str, ...] = ()
 
     kind: str = "measure"
 
@@ -220,6 +225,36 @@ class MeasureSchema:
             if f.name == name:
                 return f
         return None
+
+
+def check_sharding_key_subset(schema: "MeasureSchema") -> Optional[str]:
+    """Reference 0.11 registry validation
+    (``api/validate/validate.go:226-255`` CheckShardingKeySubset): every
+    sharding-key tag must exist in the entity tags AND appear in the
+    same relative order — otherwise two rows of one series can route to
+    different shards and entity locality breaks (for us: the bucketBy
+    hash distribution would not satisfy the per-entity clustering the
+    shuffle-free dedup/group-by reads rely on). A single-entity-tag
+    schema is exempt: one composite tag (e.g. OAP's entity_id) may
+    already encode the sharding fields, so literal subset validation
+    would false-positive. Returns a warning string (the reference logs
+    and continues — the schema is NOT rejected) or None when valid."""
+    if not schema.sharding_key or not schema.entity:
+        return None
+    if len(schema.entity) == 1:
+        return None
+    pos = {tag: i for i, tag in enumerate(schema.entity)}
+    prev = -1
+    for tag in schema.sharding_key:
+        if tag not in pos:
+            return (f"ShardingKey tag {tag!r} is not present in Entity "
+                    f"tags {list(schema.entity)}")
+        if pos[tag] <= prev:
+            return (f"ShardingKey {list(schema.sharding_key)} is not in "
+                    f"the same relative order as Entity tags "
+                    f"{list(schema.entity)}")
+        prev = pos[tag]
+    return None
 
 
 @dataclass(frozen=True)
@@ -317,6 +352,15 @@ class Catalog:
         self._revisions: Dict[str, int] = {}
 
     def register(self, schema: ResourceSchema) -> None:
+        if schema.kind == "measure":
+            # reference 0.11: warn-and-continue — the registry accepts
+            # the schema but flags broken entity locality
+            # (banyand/measure/metadata.go:250-252)
+            warn = check_sharding_key_subset(schema)
+            if warn is not None:
+                import warnings
+
+                warnings.warn(warn, stacklevel=2)
         key = (schema.group, schema.kind, schema.name)
         self._resources[key] = schema
         self._revisions[schema.group] = self._revisions.get(schema.group, 0) + 1

@@ -223,3 +223,46 @@ def test_lifecycle_migration(spark):
         assert migrate_segments(hot, warm, 10, dt.datetime(2024, 1, 31)) == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sharding_key_subset_validation():
+    """Reference 0.11 CheckShardingKeySubset
+    (api/validate/validate.go:226-255): sharding-key tags must be a
+    same-relative-order subset of the entity tags; single-entity-tag
+    schemas are exempt (composite identifiers); registration WARNS and
+    continues, never rejects."""
+    import warnings
+
+    import pytest as _pytest
+
+    from skywalking_banyandb_spark.catalog import (
+        Catalog,
+        MeasureSchema,
+        check_sharding_key_subset,
+    )
+
+    def mk(entity, sharding):
+        return MeasureSchema(
+            group="g1", name="m", paths=(), ts_column="ts", tags=(),
+            fields=(), entity=entity, sharding_key=sharding)
+
+    # valid subsets (order preserved) and the exemptions
+    assert check_sharding_key_subset(mk(("a", "b", "c"), ("a", "c"))) is None
+    assert check_sharding_key_subset(mk(("a", "b", "c"), ())) is None
+    assert check_sharding_key_subset(mk(("composite",), ("svc",))) is None
+    # missing tag
+    w = check_sharding_key_subset(mk(("a", "b"), ("z",)))
+    assert w is not None and "'z'" in w and "not present" in w
+    # order violation
+    w = check_sharding_key_subset(mk(("a", "b", "c"), ("c", "a")))
+    assert w is not None and "relative order" in w
+    # registry behavior: warn, then still registered
+    cat = Catalog()
+    bad = mk(("a", "b"), ("b", "a"))
+    with _pytest.warns(UserWarning, match="relative order"):
+        cat.register(bad)
+    assert cat.get("g1", "measure", "m") is bad
+    good = mk(("a", "b"), ("a",))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        cat.register(good)
