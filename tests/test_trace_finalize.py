@@ -191,3 +191,45 @@ def test_finalized_segment_visible_to_trace_queries(spark, tmp_path):
         keep_matching_traces("errors", F.col("state") == "error")])
     assert stats["skipped"] == 1 and stats["segments"] == 1
     assert stats["kept_traces"] == 0  # the new segment had no errors
+
+
+def test_reference_tracepipeline_merge_filter_replay(spark, tmp_path):
+    """Golden replay of the reference's trace-pipeline merge-filter table
+    (test/cases/tracepipeline/tracepipeline.go mergeFilterEntries; data
+    fixtures batch1/batch2.json): policy = drop when duration < 500ms AND
+    status == success; missing status fails open (keep). Phase-0: before
+    the merge/finalize every trace — including the drop candidates — is
+    visible; after it, exactly the five keeps survive."""
+    cases = [  # (trace_id, duration_ms, status, kept)
+        ("t-drop-1", 100, "success", False),
+        ("t-drop-2", 499, "success", False),
+        ("t-keep-boundary", 500, "success", True),
+        ("t-keep-highlat", 800, "success", True),
+        ("t-keep-errfast", 50, "error", True),
+        ("t-keep-errslow", 900, "error", True),
+        ("t-keep-nostatus", 100, None, True),
+    ]
+    rows = []
+    for i, (tid, dur, status, _kept) in enumerate(cases):
+        base = H + dt.timedelta(hours=6, minutes=i)
+        rows.append((tid, "sp0", base, status))
+        rows.append((tid, "sp1", base + dt.timedelta(milliseconds=dur),
+                     status))
+    path = _write(spark, tmp_path, rows)
+
+    # Phase-0 (AssertDropCandidatesVisible): pre-merge, drops are present
+    pre = {r.trace_id for r in spark.read.parquet(path).collect()}
+    assert {"t-drop-1", "t-drop-2"} <= pre
+
+    chain = [any_of(
+        "slow|error|fail-open",
+        keep_slow_traces(500),
+        keep_matching_traces(
+            "not_success",
+            (F.col("state") != "success") | F.col("state").isNull()),
+    )]
+    stats = finalize_segments(spark, _schema(), path, chain)
+    assert stats["bypassed_links"] == 0
+    post = {r.trace_id for r in spark.read.parquet(path).collect()}
+    assert post == {tid for tid, _, _, kept in cases if kept}
+    assert stats["dropped_traces"] == 2 and stats["kept_traces"] == 5
