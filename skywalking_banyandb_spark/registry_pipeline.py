@@ -1425,43 +1425,55 @@ def _embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
     back half (eigendecomposition + projection) is driver-side numpy
     over this 64×64 result — pytest (tests/test_embedding_ops.py) proves
     the projection round-trip."""
-    dim = 64
-    scale = float(1 << 30)
-    emb = _emb(spark, sf)
-    vec = F.col("embedding").cast("array<double>")
-    prods = (
-        emb.select(vec.alias("v"), F.posexplode(vec).alias("i0", "xi"))
-        .select(
-            (F.col("i0") + 1).alias("i"),
-            F.col("xi"),
-            # suffix slice x[i..dim] (1-based start i0+1; over-length
-            # clamps), so (i, j=i+j0) enumerates exactly i <= j
-            F.posexplode(
-                F.slice(F.col("v"), F.col("i0") + 1, F.lit(dim))
-            ).alias("j0", "xj"),
+    return _emb_cov_scratch(spark, sf).orderBy("i", "j")
+
+
+def _emb_cov_scratch(spark: SparkSession, sf: str) -> DataFrame:
+    """The unordered (i, j, cov) relation, persisted once per
+    (session, sf) via the generalized scratch cache — shared by the
+    covariance entry and the PCA fit (`embedding_pca_project` collects
+    the same 2080 cells), so the corpus-scanning Gram pass runs once
+    per session, not once per consumer (the r5 winnow lesson)."""
+    def build() -> DataFrame:
+        dim = 64
+        scale = float(1 << 30)
+        emb = _emb(spark, sf)
+        vec = F.col("embedding").cast("array<double>")
+        prods = (
+            emb.select(vec.alias("v"), F.posexplode(vec).alias("i0", "xi"))
+            .select(
+                (F.col("i0") + 1).alias("i"),
+                F.col("xi"),
+                # suffix slice x[i..dim] (1-based start i0+1; over-length
+                # clamps), so (i, j=i+j0) enumerates exactly i <= j
+                F.posexplode(
+                    F.slice(F.col("v"), F.col("i0") + 1, F.lit(dim))
+                ).alias("j0", "xj"),
+            )
+            .select(
+                "i", (F.col("i") + F.col("j0")).alias("j"),
+                (F.col("xi") * F.col("xj")).alias("p"),
+            )
         )
-        .select(
-            "i", (F.col("i") + F.col("j0")).alias("j"),
-            (F.col("xi") * F.col("xj")).alias("p"),
+        g = prods.groupBy("i", "j").agg(
+            F.sum(F.floor(F.col("p") * F.lit(scale))
+                  .cast("decimal(38,0)")).alias("sq"),
+            F.count(F.lit(1)).alias("cnt"),
         )
-    )
-    g = prods.groupBy("i", "j").agg(
-        F.sum(F.floor(F.col("p") * F.lit(scale))
-              .cast("decimal(38,0)")).alias("sq"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
-    means = _emb_quant_means(emb)
-    mi = means.select(F.col("i"), F.col("m").alias("mi"))
-    mj = means.select(F.col("i").alias("j"), F.col("m").alias("mj"))
-    return (
-        g.join(mi, "i").join(mj, "j")
-        .select(
-            "i", "j",
-            (F.col("sq").cast("double") / F.lit(scale) / F.col("cnt")
-             - F.col("mi") * F.col("mj")).alias("cov"),
+        means = _emb_quant_means(emb)
+        mi = means.select(F.col("i"), F.col("m").alias("mi"))
+        mj = means.select(F.col("i").alias("j"), F.col("m").alias("mj"))
+        return (
+            g.join(mi, "i").join(mj, "j")
+            .select(
+                "i", "j",
+                (F.col("sq").cast("double") / F.lit(scale) / F.col("cnt")
+                 - F.col("mi") * F.col("mj")).alias("cov"),
+            )
+            .persist()
         )
-        .orderBy("i", "j")
-    )
+
+    return _cached_scratch("emb_cov", spark, sf, build)
 
 
 _EMB_V_CTE = """WITH v AS (
@@ -1546,7 +1558,7 @@ def _embedding_pca_project(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = _emb(spark, sf)
     cov_cells = [(r["i"], r["j"], r["cov"])
-                 for r in _embedding_covariance(spark, sf).collect()]
+                 for r in _emb_cov_scratch(spark, sf).collect()]
     mean_cells = [(r["i"], r["m"])
                   for r in _emb_quant_means(emb).collect()]
     mean, V = _pca_basis(cov_cells, mean_cells)
