@@ -77,6 +77,7 @@ EXTENDED = [
     "ann_ivf_incremental_topk",
     "measure_rate_extrapolated_promql",
     "ann_ivfpq_incremental_topk",
+    "embedding_int8_quantization",
 ]
 
 

@@ -1611,6 +1611,74 @@ register(
 )
 
 
+def _embedding_int8_quantization(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric per-dimension int8 scalar quantization (NEW r7) — the
+    4×-smaller storage format a 100 TB embedding store actually ships
+    (FAISS SQ8 / the common int8 ANN shape), reported as a per-dim
+    quality relation: scale = max|x|/127 (max is exact AND associative —
+    no float-sum hazard), q = clamp(floor(x/scale), ±127), and the
+    dequantization MSE plus the saturation count. Shuffle shape: two
+    64-key map-side-combined aggregations and one broadcast join of the
+    64-row scale relation back onto the component stream — scan-bound at
+    any corpus size.
+
+    Determinism: floor (not round — half-up vs half-even differs across
+    engines) makes the quantizer IEEE-identical everywhere; the MSE sum
+    quantizes each squared error to 2^-40 units and accumulates
+    long-backed DECIMAL(38,0), the covariance entry's exact associative
+    pattern; the saturation count is an integer."""
+    emb = _emb(spark, sf)
+    vec = F.col("embedding").cast("array<double>")
+    comp = emb.select(F.posexplode(vec).alias("i0", "x")) \
+        .select((F.col("i0") + 1).alias("i"), "x")
+    scales = comp.groupBy("i").agg(
+        (F.max(F.abs(F.col("x"))) / F.lit(127.0)).alias("scale"))
+    q = F.greatest(F.lit(-127.0), F.least(
+        F.lit(127.0), F.floor(F.col("x") / F.col("scale"))
+        .cast("double")))
+    err2 = (F.col("x") - q * F.col("scale")) \
+        * (F.col("x") - q * F.col("scale"))
+    eq = float(1 << 40)
+    return (
+        comp.join(scales, "i")
+        .withColumn("q", q)
+        .groupBy("i")
+        .agg(
+            F.min("scale").alias("scale"),  # constant per group
+            (F.sum(F.floor(err2 * F.lit(eq)).cast("decimal(38,0)"))
+             .cast("double") / F.lit(eq) / F.count(F.lit(1))).alias("mse"),
+            F.sum(F.when(F.abs(F.col("q")) >= 127.0, 1).otherwise(0))
+            .cast("bigint").alias("saturated"),
+        )
+        .orderBy("i")
+    )
+
+
+register(
+    "embedding_int8_quantization",
+    _embedding_int8_quantization,
+    """WITH v AS (
+         SELECT u.i AS i, u.x AS x FROM (
+           SELECT unnest([{'i': i, 'x': CAST(embedding[i] AS DOUBLE)}
+                          FOR i IN generate_series(1, 64)]) AS u
+           FROM embeddings)),
+       s AS (SELECT i, MAX(abs(x)) / 127.0 AS scale FROM v GROUP BY i),
+       e AS (
+         SELECT v.i AS i, s.scale AS scale,
+                GREATEST(-127.0, LEAST(127.0, floor(v.x / s.scale)))
+                    AS q,
+                v.x AS x
+         FROM v JOIN s ON s.i = v.i)
+       SELECT i, MIN(scale) AS scale,
+              CAST(SUM(CAST(floor((x - q * scale) * (x - q * scale)
+                                  * 1099511627776e0) AS HUGEINT))
+                   AS DOUBLE) / 1099511627776e0 / COUNT(*) AS mse,
+              CAST(SUM(CASE WHEN abs(q) >= 127.0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS saturated
+       FROM e GROUP BY i ORDER BY i""",
+)
+
+
 def _embedding_centroid_confusion(spark: SparkSession, sf: str) -> DataFrame:
     """Nearest-centroid (Rocchio) label confusion (NEW r6) — the
     label-quality / outlier sanity check a pipeline runs over labeled

@@ -154,3 +154,31 @@ def test_pca_oracle_is_lazy_and_resolves():
     assert isinstance(sql, str)
     assert sql.count("list_sum") == _PCA_K
     assert f"pc{_PCA_K}" in sql and "generate_series(1, 64)" in sql
+
+
+def test_int8_quantization_matches_numpy(spark):
+    """r7: per-dim symmetric int8 quantization — scale, dequantization
+    MSE and saturation count must match a direct numpy recomputation of
+    the same floor-based quantizer."""
+    from skywalking_banyandb_spark.registry_pipeline import (
+        _embedding_int8_quantization,
+    )
+
+    ids, X, _ = _collect_embeddings(spark)
+    scale = np.abs(X).max(axis=0) / 127.0
+    q = np.clip(np.floor(X / scale), -127.0, 127.0)
+    mse = ((X - q * scale) ** 2).mean(axis=0)
+    sat = (np.abs(q) >= 127.0).sum(axis=0)
+
+    rows = _embedding_int8_quantization(spark, SF_SMALL).collect()
+    assert [r.i for r in rows] == list(range(1, 65))
+    for r in rows:
+        d = r.i - 1
+        assert abs(r.scale - scale[d]) < 1e-15
+        assert abs(r.mse - mse[d]) < 1e-9
+        assert r.saturated == sat[d]
+    # quantization quality sanity: error is bounded by one quantum step
+    for r in rows:
+        assert r.mse <= (r.scale ** 2)
+    # at least one dim saturates (its max-|x| element maps to +/-127)
+    assert sum(r.saturated for r in rows) >= 1
