@@ -369,6 +369,11 @@ def _write_ts(v) -> dt.datetime:
     return _parse_ts(v)
 
 
+# snowflake epoch (2021-01-01), pkg/idgen/snowflake.go:12 — generated
+# element ids are (ms_since_epoch << 17) | (node=0 << 10) | sequence
+_ELEMENT_ID_EPOCH_MS = 1609459200000
+
+
 def load_write_requests(docs: Sequence, catalog, kind: str) -> Dict[tuple, List[dict]]:
     """Parse a mixed WriteRequest stream into per-resource row dicts.
 
@@ -392,6 +397,7 @@ def load_write_requests(docs: Sequence, catalog, kind: str) -> Dict[tuple, List[
     spec_names: Optional[List[str]] = None
     field_names: Optional[List[str]] = None
     seq = 0
+    _eid_seq: Dict[tuple, int] = {}  # per-request-stream, so replays match
     out: Dict[tuple, List[dict]] = {}
     for raw in docs:
         d = _as_dict(raw)
@@ -443,7 +449,24 @@ def load_write_requests(docs: Sequence, catalog, kind: str) -> Dict[tuple, List[
                     f"{len(tag_order)} ({tag_order})")
             row.update(zip(tag_order, vals))
             row[schema.ts_column] = _write_ts(el["timestamp"])
-            row[schema.element_id_column] = el["elementId"]
+            eid = el.get("elementId")
+            if eid is None:
+                # reference 0.10: server-side element-id generation when
+                # the client omits it (banyand/stream/write_standalone.go
+                # :181-183 falls back to the snowflake idGen). Same bit
+                # layout (pkg/idgen/snowflake.go: 47-bit ms since
+                # 2021-01-01 | 7-bit node | 10-bit sequence) but seeded
+                # from the element's OWN timestamp + per-ms arrival
+                # sequence instead of the wall clock, so a replayed
+                # request stream generates the identical ids
+                # (restart-idempotent writes, like the rest of the
+                # loader).
+                ms = int((_write_ts(el["timestamp"])
+                          - dt.datetime(1970, 1, 1)).total_seconds() * 1000)
+                seq = _eid_seq.get((grp, name, ms), 0)
+                _eid_seq[(grp, name, ms)] = seq + 1
+                eid = ((ms - _ELEMENT_ID_EPOCH_MS) << 17) | (seq & 0x3FF)
+            row[schema.element_id_column] = eid
         elif kind == "trace":
             tag_order = spec_names or [
                 schema.trace_id_column, schema.span_id_column,

@@ -224,3 +224,53 @@ def test_write_wrong_arity_rejected():
               md={"group": "g1", "name": "metrics"})
     with pytest.raises(QueryAnalyzeError, match="expected 3"):
         load_write_requests([doc], cat0, "measure")
+
+
+def test_stream_write_generates_element_id_when_omitted(spark, tmp_path):
+    """Reference 0.10: server-side element-id generation when the client
+    omits elementId (banyand/stream/write_standalone.go:181-183 falls
+    back to the snowflake idGen, pkg/idgen/snowflake.go layout). Ours is
+    seeded from the element's own timestamp + per-ms sequence, so a
+    REPLAYED request stream generates identical ids."""
+    import datetime as dt
+
+    from skywalking_banyandb_spark.request_loader import (
+        _ELEMENT_ID_EPOCH_MS,
+        load_write_requests,
+    )
+
+    s = lambda v: {"str": {"value": v}}
+    i = lambda v: {"int": {"value": v}}
+    f = lambda v: {"float": {"value": v}}
+
+    def el(ts, tags, eid=None, md=None):
+        e = {"element": {"timestamp": ts,
+                         "tagFamilies": [{"tags": tags}]}}
+        if eid is not None:
+            e["element"]["elementId"] = eid
+        if md:
+            e["metadata"] = md
+        return e
+
+    docs = [
+        el("2024-01-03T01:00:00Z", [i(1), s("click"), f(1.5), s("a")],
+           md={"group": "g1", "name": "event_log"}),
+        el("2024-01-03T01:00:00Z", [i(2), s("view"), f(2.5), s("b")]),
+        el("2024-01-03T02:00:00Z", [i(3), s("error"), f(3.5), s("c")],
+           eid=777),  # explicit id honored verbatim
+    ]
+    cat = default_catalog(SF_SMALL)
+    rows = load_write_requests(docs, cat, "stream")[("g1", "event_log")]
+    ids = [r["event_id"] for r in rows]
+    assert ids[2] == 777
+    # generated ids: unique, and the snowflake timestamp field decodes
+    # back to the element's own millisecond
+    assert len(set(ids)) == 3
+    ms = int((dt.datetime(2024, 1, 3, 1) - dt.datetime(1970, 1, 1))
+             .total_seconds() * 1000)
+    for k in (0, 1):
+        assert ids[k] >> 17 == ms - _ELEMENT_ID_EPOCH_MS
+        assert (ids[k] & 0x3FF) == k  # per-ms arrival sequence
+    # replay determinism: the same stream yields the same ids
+    rows2 = load_write_requests(docs, cat, "stream")[("g1", "event_log")]
+    assert [r["event_id"] for r in rows2] == ids
