@@ -365,6 +365,29 @@ class Catalog:
         self._resources[key] = schema
         self._revisions[schema.group] = self._revisions.get(schema.group, 0) + 1
 
+    def delete_group(self, group: str, remove_data: bool = False) -> int:
+        """Entire-group deletion (reference 0.10,
+        ``banyand/metadata/schema/schema.go:172`` DeleteGroup: "delete
+        all items belonging to the group"): drop every resource
+        registered under ``group`` and, with ``remove_data``, the data
+        directories their path sets point at (whole-directory removal —
+        O(#resources) metadata ops like TTL's segment drop, no row
+        rewrite). The group's mod_revision bumps so queries pinned to a
+        pre-deletion revision fail fast instead of reading a vanished
+        group. Returns the number of resources deleted; subsequent
+        ``get`` raises SchemaError."""
+        victims = [k for k in self._resources if k[0] == group]
+        for key in victims:
+            schema = self._resources.pop(key)
+            if remove_data:
+                import shutil as _shutil
+
+                for p in getattr(schema, "paths", ()) or ():
+                    _shutil.rmtree(p, ignore_errors=True)
+        if victims:
+            self._revisions[group] = self._revisions.get(group, 0) + 1
+        return len(victims)
+
     def mod_revision(self, group: str) -> int:
         return self._revisions.get(group, 0)
 

@@ -266,3 +266,50 @@ def test_sharding_key_subset_validation():
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         cat.register(good)
+
+
+def test_entire_group_deletion(tmp_path):
+    """Reference 0.10 DeleteGroup (metadata/schema/schema.go:172): every
+    resource of the group disappears, data directories go with it when
+    asked, the revision bumps (pinned queries fail fast), and other
+    groups are untouched."""
+    import os
+
+    import pytest as _pytest
+
+    from skywalking_banyandb_spark.catalog import (
+        Catalog,
+        MeasureSchema,
+        StreamSchema,
+    )
+    from skywalking_banyandb_spark.errors import QueryAnalyzeError, SchemaError
+
+    d1 = tmp_path / "m1"
+    d1.mkdir()
+    (d1 / "x.parquet").write_bytes(b"stub")
+    cat = Catalog()
+    cat.register(MeasureSchema(
+        group="gx", name="m1", paths=(str(d1),), ts_column="ts",
+        tags=(), fields=(), entity=()))
+    cat.register(StreamSchema(
+        group="gx", name="s1", paths=(), ts_column="ts",
+        element_id_column="eid", tags=()))
+    cat.register(MeasureSchema(
+        group="gy", name="m1", paths=(), ts_column="ts",
+        tags=(), fields=(), entity=()))
+    rev_before = cat.mod_revision("gx")
+
+    assert cat.delete_group("gx", remove_data=True) == 2
+    with _pytest.raises(SchemaError):
+        cat.get("gx", "measure", "m1")
+    with _pytest.raises(SchemaError):
+        cat.get("gx", "stream", "s1")
+    assert not os.path.exists(d1)
+    # the surviving group is untouched
+    assert cat.get("gy", "measure", "m1").group == "gy"
+    # revision bumped -> pinned queries fail fast
+    assert cat.mod_revision("gx") == rev_before + 1
+    with _pytest.raises(QueryAnalyzeError):
+        cat.check_revisions({"gx": rev_before})
+    # deleting a vanished group is a no-op
+    assert cat.delete_group("gx") == 0
