@@ -388,6 +388,26 @@ class Catalog:
             self._revisions[group] = self._revisions.get(group, 0) + 1
         return len(victims)
 
+    def delete_resource(self, group: str, kind: str, name: str,
+                        remove_data: bool = False) -> bool:
+        """Single-resource deletion (the registry Delete RPCs,
+        ``database/v1/rpc.proto``; conformance
+        ``test/cases/schema/deletion.go``): the resource vanishes from
+        the registry — subsequent writes AND queries raise SchemaError —
+        while sibling resources and groups are untouched. Returns the
+        reference's ``deleted`` confirmation flag (False when absent)."""
+        key = (group, kind, name)
+        schema = self._resources.pop(key, None)
+        if schema is None:
+            return False
+        if remove_data:
+            import shutil as _shutil
+
+            for p in getattr(schema, "paths", ()) or ():
+                _shutil.rmtree(p, ignore_errors=True)
+        self._revisions[group] = self._revisions.get(group, 0) + 1
+        return True
+
     def mod_revision(self, group: str) -> int:
         return self._revisions.get(group, 0)
 

@@ -274,3 +274,56 @@ def test_stream_write_generates_element_id_when_omitted(spark, tmp_path):
     # replay determinism: the same stream yields the same ids
     rows2 = load_write_requests(docs, cat, "stream")[("g1", "event_log")]
     assert [r["event_id"] for r in rows2] == ids
+
+
+def test_schema_deletion_replay(spark, tmp_path):
+    """Replay of test/cases/schema/deletion.go VerifyMeasureDeletion:
+    write data -> delete the resource -> writes AND queries to it are
+    rejected, its data is gone, and a sibling resource in the same group
+    keeps working."""
+    import dataclasses as dc
+    import os
+
+    import pytest as _pytest
+
+    from skywalking_banyandb_spark.errors import SchemaError
+    from skywalking_banyandb_spark.model import AggFunc, AggregationSpec
+    from skywalking_banyandb_spark.model import MeasureQuery
+    from skywalking_banyandb_spark.plans.measure import compile_measure
+
+    s = lambda v: {"str": {"value": v}}
+    i = lambda v: {"int": {"value": v}}
+    f = lambda v: {"float": {"value": v}}
+    docs = [
+        _dp("2024-01-03T01:00:00Z", [i(1), s("click"), s("p")], [f(1.0)],
+            md={"group": "g1", "name": "metrics"}),
+        _dp("2024-01-03T02:00:00Z", [i(2), s("view"), s("q")], [f(2.0)]),
+    ]
+    cat0 = default_catalog(SF_SMALL)
+    paths = apply_write_requests(spark, cat0, "measure", docs, str(tmp_path))
+    store = paths[("g1", "metrics")]
+
+    cat = Catalog()
+    base = cat0.get("g1", "measure", "metrics")
+    cat.register(dataclasses.replace(base, paths=(store,)))
+    sibling = dc.replace(cat0.get("g1", "stream", "event_log"))
+    cat.register(sibling)
+
+    q = MeasureQuery(
+        groups=["g1"], name="metrics", time_range=TR,
+        agg=AggregationSpec(AggFunc.COUNT, "value"), limit=10)
+    assert compile_measure(spark, cat, q).collect()[0][0] == 2
+
+    # step 2-3: delete -> confirmed; queries and writes now rejected
+    assert cat.delete_resource("g1", "measure", "metrics",
+                               remove_data=True) is True
+    with _pytest.raises(SchemaError):
+        compile_measure(spark, cat, q)
+    with _pytest.raises(SchemaError):
+        load_write_requests(docs, cat, "measure")
+    assert not os.path.exists(store)
+    # double delete is not confirmed (deleted=False)
+    assert cat.delete_resource("g1", "measure", "metrics") is False
+
+    # step 4-5: the sibling resource still registers and resolves
+    assert cat.get("g1", "stream", "event_log") is sibling
