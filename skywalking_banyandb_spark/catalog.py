@@ -411,18 +411,50 @@ class Catalog:
     def mod_revision(self, group: str) -> int:
         return self._revisions.get(group, 0)
 
+    def group_statuses(self, expected: Dict[str, int]) -> Dict[str, str]:
+        """Per-group gate verdicts, the reference's status taxonomy
+        (``test/cases/schema/query_gate.go`` / ``write_gate.go``):
+
+        - revision ``0`` or group absent from the map → ungated,
+          ``STATUS_SUCCEED`` (write_gate: "skips the revision check and
+          succeeds when ModRevision is zero");
+        - match → ``STATUS_SUCCEED``;
+        - client BEHIND the registry → ``STATUS_EXPIRED_SCHEMA``;
+        - client AHEAD (a revision that never applies — we have no
+          async propagation to wait on) → ``STATUS_SCHEMA_NOT_APPLIED``.
+        """
+        out: Dict[str, str] = {}
+        for group, rev in (expected or {}).items():
+            if rev == 0:
+                out[group] = "STATUS_SUCCEED"
+                continue
+            have = self.mod_revision(group)
+            if rev == have:
+                out[group] = "STATUS_SUCCEED"
+            elif rev < have:
+                out[group] = "STATUS_EXPIRED_SCHEMA"
+            else:
+                out[group] = "STATUS_SCHEMA_NOT_APPLIED"
+        return out
+
     def check_revisions(self, expected: Dict[str, int]) -> None:
-        """Fail fast when a pinned group revision is stale — the reference
-        rejects the query rather than answering from a changed schema."""
+        """Fail fast when a pinned group revision mismatches — the
+        compile path rejects the query rather than answering from a
+        changed schema (the response layer offers the short-circuit
+        group_statuses form instead — ``response.gated_statuses``)."""
         from .errors import QueryAnalyzeError
 
-        for group, rev in (expected or {}).items():
-            have = self.mod_revision(group)
-            if have != rev:
+        for group, status in self.group_statuses(expected).items():
+            if status == "STATUS_EXPIRED_SCHEMA":
                 raise QueryAnalyzeError(
-                    f"group {group!r} schema revision changed "
-                    f"(expected {rev}, have {have})"
-                )
+                    f"group {group!r} schema revision changed: expired "
+                    f"schema (expected {expected[group]}, have "
+                    f"{self.mod_revision(group)})")
+            if status == "STATUS_SCHEMA_NOT_APPLIED":
+                raise QueryAnalyzeError(
+                    f"group {group!r} schema revision changed: revision "
+                    f"{expected[group]} not applied (have "
+                    f"{self.mod_revision(group)})")
 
     def get(self, group: str, kind: str, name: str) -> ResourceSchema:
         try:

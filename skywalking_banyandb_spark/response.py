@@ -198,3 +198,28 @@ def property_response(df: DataFrame, schema: PropertySchema) -> Dict[str, Any]:
         p["tags"] = tags
         props.append(p)
     return {"properties": props}
+
+
+def gated_statuses(catalog, expected) -> Dict[str, str]:
+    """Per-group gate verdicts for the response envelope
+    (``QueryResponse.group_statuses``) — see
+    ``Catalog.group_statuses`` for the taxonomy."""
+    return catalog.group_statuses(expected or {})
+
+
+def gated_query_response(catalog, expected, result_key: str,
+                         produce) -> Dict[str, Any]:
+    """The reference's gate-then-query response shape
+    (``test/cases/schema/query_gate.go``): evaluate every pinned group's
+    status first; when ANY gated group is not SUCCEED the query
+    SHORT-CIRCUITS — the response still succeeds transport-wise, carries
+    the per-group ``groupStatuses`` map, and the result list is EMPTY
+    (no partial answers from a half-consistent schema view). Only when
+    every gated group passes is ``produce()`` invoked to run the query
+    and shape ``result_key``."""
+    statuses = gated_statuses(catalog, expected)
+    if any(s != "STATUS_SUCCEED" for s in statuses.values()):
+        return {"groupStatuses": statuses, result_key: []}
+    out = produce()
+    out.setdefault("groupStatuses", statuses)
+    return out

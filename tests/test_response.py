@@ -115,3 +115,78 @@ def test_property_shape(spark, cat):
     assert p["metadata"] == {"group": "g1", "name": "documents"}
     assert p["id"] in {"1", "2"}
     assert {t["key"] for t in p["tags"]} == {"lang", "source"}
+
+
+def test_schema_gate_statuses_and_short_circuit(spark):
+    """Replay of the reference's schema gate tables
+    (test/cases/schema/query_gate.go + write_gate.go) at the engine
+    API level: stale revision -> STATUS_EXPIRED_SCHEMA; ahead ->
+    STATUS_SCHEMA_NOT_APPLIED; match -> STATUS_SUCCEED; revision 0 and
+    unlisted groups are ungated; a mixed query short-circuits with
+    per-group statuses and EMPTY results."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from skywalking_banyandb_spark.catalog import default_catalog
+    from skywalking_banyandb_spark.errors import QueryAnalyzeError
+    from skywalking_banyandb_spark.model import StreamQuery, TimeRange
+    from skywalking_banyandb_spark.plans.stream import compile_stream
+    from skywalking_banyandb_spark.response import (
+        gated_query_response,
+        stream_response,
+    )
+
+    cat = default_catalog(SF_SMALL)
+    r1 = cat.mod_revision("g1")
+    # advance g1 to R2 (re-register = schema update)
+    cat.register(cat.get("g1", "stream", "event_log"))
+    r2 = cat.mod_revision("g1")
+    assert r2 > r1
+
+    # status taxonomy
+    assert cat.group_statuses({"g1": r1}) == {
+        "g1": "STATUS_EXPIRED_SCHEMA"}
+    assert cat.group_statuses({"g1": r2 + 5}) == {
+        "g1": "STATUS_SCHEMA_NOT_APPLIED"}
+    assert cat.group_statuses({"g1": r2}) == {"g1": "STATUS_SUCCEED"}
+    assert cat.group_statuses({"g1": 0}) == {"g1": "STATUS_SUCCEED"}
+    assert cat.group_statuses({}) == {}
+
+    # compile path fails fast with the distinguished reasons
+    q = StreamQuery(
+        groups=["g1"], name="event_log",
+        time_range=TimeRange.of("2024-01-01T00:00:00",
+                                "2024-02-01T00:00:00"),
+        limit=1, group_mod_revisions={"g1": r1})
+    with _pytest.raises(QueryAnalyzeError, match="expired schema"):
+        compile_stream(spark, cat, q)
+    ahead = dataclasses.replace(q, group_mod_revisions={"g1": r2 + 5})
+    with _pytest.raises(QueryAnalyzeError, match="not applied"):
+        compile_stream(spark, cat, ahead)
+    # revision 0 skips the check (write_gate's zero-ModRevision rule)
+    zero = dataclasses.replace(q, group_mod_revisions={"g1": 0})
+    assert compile_stream(spark, cat, zero).count() == 1
+
+    # mixed-group short-circuit: g1 stale, g2 current -> statuses carry
+    # both verdicts, elements are EMPTY, and the query never runs
+    ran = []
+
+    def produce():
+        ran.append(True)
+        schema = cat.get("g1", "stream", "event_log")
+        ok = dataclasses.replace(q, group_mod_revisions=None)
+        return stream_response(compile_stream(spark, cat, ok), schema)
+
+    resp = gated_query_response(
+        cat, {"g1": r1, "g2": cat.mod_revision("g2")}, "elements", produce)
+    assert resp["groupStatuses"] == {
+        "g1": "STATUS_EXPIRED_SCHEMA", "g2": "STATUS_SUCCEED"}
+    assert resp["elements"] == [] and ran == []
+
+    # all-pass: the query executes and statuses ride along
+    resp2 = gated_query_response(
+        cat, {"g1": r2, "g2": cat.mod_revision("g2")}, "elements", produce)
+    assert ran == [True]
+    assert resp2["groupStatuses"]["g1"] == "STATUS_SUCCEED"
+    assert len(resp2["elements"]) == 1
