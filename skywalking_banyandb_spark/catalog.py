@@ -362,6 +362,27 @@ class Catalog:
 
                 warnings.warn(warn, stacklevel=2)
         key = (schema.group, schema.kind, schema.name)
+        prev = self._resources.get(key)
+        if prev is not None and schema.kind == "measure":
+            # shape-break rejection (test/cases/schema/shape_break.go):
+            # an UPDATE may not change the entity — the series identity
+            # of every stored row; the rejected update leaves the
+            # registry (incl. mod_revision) untouched, and the sanctioned
+            # path to a new shape is delete + recreate, which drops the
+            # old data (delete_resource(remove_data=True)).
+            if tuple(prev.entity or ()) != tuple(schema.entity or ()):
+                raise SchemaError(
+                    f"measure {schema.name!r} in group {schema.group!r}: "
+                    f"entity change {list(prev.entity)} -> "
+                    f"{list(schema.entity)} is rejected on update; "
+                    "delete and recreate the measure instead")
+            # created_at survives updates (apply_rollback.go / the 0.11
+            # "Schema consistency" created_at contract): an update that
+            # does not restate it inherits the first-appearance stamp
+            if prev.created_at is not None and schema.created_at is None:
+                import dataclasses as _dc
+
+                schema = _dc.replace(schema, created_at=prev.created_at)
         self._resources[key] = schema
         self._revisions[schema.group] = self._revisions.get(schema.group, 0) + 1
 

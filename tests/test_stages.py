@@ -313,3 +313,47 @@ def test_entire_group_deletion(tmp_path):
         cat.check_revisions({"gx": rev_before})
     # deleting a vanished group is a no-op
     assert cat.delete_group("gx") == 0
+
+
+def test_shape_break_entity_change_rejected():
+    """Replay of test/cases/schema/shape_break.go + apply_rollback.go:
+    an update changing the measure entity is REJECTED and leaves
+    mod_revision AND the stored schema (incl. created_at) unchanged; the
+    sanctioned path is delete + recreate, which drops old data; an
+    accepted update inherits created_at when not restated."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from skywalking_banyandb_spark.catalog import Catalog, MeasureSchema
+    from skywalking_banyandb_spark.errors import SchemaError
+
+    t0 = dt.datetime(2024, 1, 1)
+    cat = Catalog()
+    orig = MeasureSchema(
+        group="g", name="m", paths=(), ts_column="ts", tags=(),
+        fields=(), entity=("a", "b"), created_at=t0)
+    cat.register(orig)
+    rev = cat.mod_revision("g")
+
+    broken = MeasureSchema(
+        group="g", name="m", paths=(), ts_column="ts", tags=(),
+        fields=(), entity=("a",))  # entity change
+    with _pytest.raises(SchemaError, match="entity change"):
+        cat.register(broken)
+    # rejected update: revision and stored schema untouched
+    assert cat.mod_revision("g") == rev
+    assert cat.get("g", "measure", "m") is orig
+
+    # accepted same-entity update: revision bumps, created_at inherited
+    upd = MeasureSchema(
+        group="g", name="m", paths=("/tmp/x",), ts_column="ts", tags=(),
+        fields=(), entity=("a", "b"))
+    cat.register(upd)
+    assert cat.mod_revision("g") == rev + 1
+    assert cat.get("g", "measure", "m").created_at == t0
+
+    # delete + recreate with the new shape is the sanctioned path
+    assert cat.delete_resource("g", "measure", "m") is True
+    cat.register(broken)
+    assert cat.get("g", "measure", "m").entity == ("a",)
