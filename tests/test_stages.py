@@ -357,3 +357,45 @@ def test_shape_break_entity_change_rejected():
     assert cat.delete_resource("g", "measure", "m") is True
     cat.register(broken)
     assert cat.get("g", "measure", "m").entity == ("a",)
+
+
+def test_tag_family_move_is_transparent(spark):
+    """Replay of test/cases/schema/tag_family_move.go: moving a tag
+    between families (searchable <-> storage-only) must keep writes and
+    queries working unchanged. In this engine a family is a logical
+    GROUPING attribute on the column (the physical layout is columnar
+    parquet either way), so the move is metadata-only: the re-registered
+    schema answers the same query with identical rows, and family-
+    qualified projection reflects the new family."""
+    import dataclasses as dc
+
+    from skywalking_banyandb_spark.catalog import default_catalog
+    from skywalking_banyandb_spark.model import (
+        BinaryOp,
+        StreamQuery,
+        TimeRange,
+        cond,
+    )
+    from skywalking_banyandb_spark.plans.stream import compile_stream
+
+    cat = default_catalog(SF_SMALL)
+    schema = cat.get("g1", "stream", "event_log")
+    q = StreamQuery(
+        groups=["g1"], name="event_log",
+        time_range=TimeRange.of("2024-01-01T00:00:00",
+                                "2024-02-01T00:00:00"),
+        criteria=cond("event_type", BinaryOp.EQ, "click"),
+        projection=["user_id", "event_type"], limit=20,
+    )
+    before = [tuple(r) for r in compile_stream(spark, cat, q).collect()]
+    assert len(before) == 20
+
+    moved_tags = tuple(
+        dc.replace(t, family="storage" if t.name == "event_type"
+                   else t.family)
+        for t in schema.tags)
+    cat.register(dc.replace(schema, tags=moved_tags))
+    after = [tuple(r) for r in compile_stream(spark, cat, q).collect()]
+    assert after == before
+    assert cat.get("g1", "stream", "event_log") \
+        .tag("event_type").family == "storage"
