@@ -399,3 +399,33 @@ def test_tag_family_move_is_transparent(spark):
     assert after == before
     assert cat.get("g1", "stream", "event_log") \
         .tag("event_type").family == "storage"
+
+
+def test_created_at_not_inherited_across_delete_recreate():
+    """Replay of test/cases/schema/tombstone_gc.go's query-visible rule:
+    created_at survives UPDATES (apply_rollback) but NOT delete +
+    recreate — the recreated schema gets a fresh first-appearance stamp
+    (here: whatever the new registration declares, never the deleted
+    one's)."""
+    import datetime as dt
+
+    from skywalking_banyandb_spark.catalog import Catalog, MeasureSchema
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 6, 1)
+    cat = Catalog()
+    cat.register(MeasureSchema(
+        group="g", name="m", paths=(), ts_column="ts", tags=(),
+        fields=(), entity=("a",), created_at=t0))
+    assert cat.delete_resource("g", "measure", "m") is True
+    # recreate: fresh stamp, not the tombstoned one
+    cat.register(MeasureSchema(
+        group="g", name="m", paths=(), ts_column="ts", tags=(),
+        fields=(), entity=("a",), created_at=t1))
+    assert cat.get("g", "measure", "m").created_at == t1
+    # recreate without a stamp stays unstamped (no inheritance)
+    assert cat.delete_resource("g", "measure", "m") is True
+    cat.register(MeasureSchema(
+        group="g", name="m", paths=(), ts_column="ts", tags=(),
+        fields=(), entity=("a",)))
+    assert cat.get("g", "measure", "m").created_at is None
