@@ -1415,7 +1415,9 @@ def _embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
     bit-identical in Spark, DuckDB and IEEE (the power-of-two scaling is
     exact, floor is exact) — and the integer sums are associative, so
     the result is independent of partitioning/merge order on BOTH
-    engines. Sums accumulate as DECIMAL(38,0) built from longs (Spark's
+    engines. Domain bound: the quantized product must fit a long,
+    i.e. |x_i·x_j| < 2^33 (component magnitude < ~9e4) — embeddings are
+    unit-scale, 1000× past any real corpus. Sums accumulate as DECIMAL(38,0) built from longs (Spark's
     compact long-backed Decimal fast path — the r6 DECIMAL(38,18) cast
     of each double product forced BigDecimal adds at ~1.4 µs/row, the
     real cost behind the 17.2 s wall) with 10^29-row headroom before the

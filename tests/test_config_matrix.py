@@ -32,6 +32,7 @@ _ENTRIES = [
     "embedding_pca_project",            # driver eigh + literal-fold projection
     "ann_ivf_incremental_topk",         # frozen-centroid append + tombstones
     "measure_rate_extrapolated_promql", # edge-extrapolation IEEE expression
+    "embedding_int8_quantization",      # quantized-integer MSE sums
 ]
 
 
