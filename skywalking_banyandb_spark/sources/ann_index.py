@@ -584,12 +584,18 @@ def ivf_incremental_compact(spark: SparkSession, path: str) -> None:
     hit = [r.cluster_id for r in
            idx.where(F.col("id").isin(tombs))
            .select("cluster_id").distinct().collect()]
-    if hit:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (idx.where(F.col("cluster_id").isin(hit))
+    # per-partition staged rewrite + atomic swap (the compact_segments
+    # pattern): never overwrite a directory while a job is reading it
+    for cid in hit:
+        segdir = os.path.join(path, f"cluster_id={cid}")
+        tmp = segdir + "._compact"
+        (spark.read.parquet(segdir)
             .where(~F.col("id").isin(tombs))
-            .write.mode("overwrite").partitionBy("cluster_id")
-            .parquet(path))
+            .write.mode("overwrite").parquet(tmp))
+        old = segdir + "._old"
+        os.rename(segdir, old)
+        os.rename(tmp, segdir)
+        shutil.rmtree(old, ignore_errors=True)
     with open(tfile + ".tmp", "w") as f:
         json.dump([], f)
     os.replace(tfile + ".tmp", tfile)
