@@ -1562,3 +1562,77 @@ register(
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
        FROM d GROUP BY user_id, hour ORDER BY user_id, hour""",
 )
+
+
+def _streaming_extrapolated_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming twin of measure_rate_extrapolated_promql (NEW r7): the
+    estimator's per-(series, hour) inputs accumulate as associative
+    micro-batch parts — counts/raw sum, window edges min/max, first_v on
+    an argmin carrier — with the same (last_ts, last_value) per-series
+    state as the counter operator (the in-window reset chain restarts at
+    hour boundaries, so cross-batch chaining needs nothing more). Two
+    chronological batches drain, then the view applies the IDENTICAL
+    estimator expression. Oracle: the EXACT columns (counts, window-edge
+    micros, the carried first value) — `raw` chains in Python floats vs
+    the batch DECIMAL accumulation, so increase/rate stay in the pytest
+    differential (tests/test_streaming_counter.py, 1e-9), the counter
+    twin's documented posture."""
+    import datetime as dt
+    import shutil
+    import time
+
+    from .sources.parquet import read_table
+    from .streaming.counter import (
+        extrapolated_rate_view,
+        start_extrapolated_rate_materialization,
+    )
+
+    cut = dt.datetime(2024, 1, 15)
+    work = _scratch_dir("extrap_entry")
+    src = f"{work}/src"
+    ev = read_table(spark, f"{sf}/events.parquet")
+    ev.where(F.col("ts") < F.lit(cut)).coalesce(1).write.parquet(f"{src}/b0")
+    time.sleep(1.1)  # file-source ordering is by modification time
+    ev.where(F.col("ts") >= F.lit(cut)).coalesce(1) \
+        .write.parquet(f"{src}/b1")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{src}/b0").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = start_extrapolated_rate_materialization(
+        spark, stream, output_path=f"{work}/out",
+        checkpoint_path=f"{work}/ckpt", trigger_once=True)
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise RuntimeError("streaming extrapolated-rate entry timed out")
+    shutil.rmtree(f"{work}/src", ignore_errors=True)
+    shutil.rmtree(f"{work}/ckpt", ignore_errors=True)
+    return (
+        extrapolated_rate_view(spark, f"{work}/out")
+        .select("user_id", "hour", "n_samples",
+                "first_us", "last_us", "first_v")
+        .orderBy("user_id", "hour")
+    )
+
+
+register(
+    "streaming_extrapolated_rate_materialized",
+    _streaming_extrapolated_rate,
+    """WITH d AS (
+         SELECT user_id, ts, value,
+                CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                first_value(value) OVER (
+                    PARTITION BY user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING) AS first_v
+         FROM events)
+       SELECT user_id, hour, COUNT(*) AS n_samples,
+              MIN(epoch_us(ts)) AS first_us,
+              MAX(epoch_us(ts)) AS last_us,
+              MIN(first_v) AS first_v
+       FROM d GROUP BY user_id, hour
+       HAVING COUNT(*) >= 2 AND MAX(epoch_us(ts)) > MIN(epoch_us(ts))
+       ORDER BY user_id, hour""",
+)

@@ -112,3 +112,52 @@ def test_streaming_counter_restart_resumes_state(spark):
         assert got == want
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_streaming_extrapolated_rate_matches_batch(spark):
+    """r7: the streaming extrapolated-rate twin must equal the batch
+    Prometheus estimator on the same rows — exact on counts / window
+    edges / carried first value, 1e-9 on the float-chained increase and
+    rate."""
+    import datetime as dt
+
+    from skywalking_banyandb_spark.registry_observability import (
+        _rate_extrapolated_promql,
+    )
+    from skywalking_banyandb_spark.streaming.counter import (
+        extrapolated_rate_view,
+        start_extrapolated_rate_materialization,
+    )
+
+    work = tempfile.mkdtemp(prefix="extrap_stream_")
+    try:
+        ev = read_table(spark, f"{SF_SMALL}/events.parquet")
+        cut = dt.datetime(2024, 1, 15)
+        ev.where(F.col("ts") < F.lit(cut)).coalesce(1) \
+            .write.parquet(f"{work}/src/b0")
+        ev.where(F.col("ts") >= F.lit(cut)).coalesce(1) \
+            .write.parquet(f"{work}/src/b1")
+        schema = spark.read.parquet(f"{work}/src/b0").schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(f"{work}/src/*"))
+        q = start_extrapolated_rate_materialization(
+            spark, stream, output_path=f"{work}/out",
+            checkpoint_path=f"{work}/ckpt", trigger_once=True)
+        assert q.awaitTermination(timeout=300), "drain timed out"
+
+        got = {(r.user_id, r.hour): r
+               for r in extrapolated_rate_view(
+                   spark, f"{work}/out").collect()}
+        want = {(r.user_id, r.hour): r
+                for r in _rate_extrapolated_promql(
+                    spark, SF_SMALL).collect()}
+        assert set(got) == set(want) and len(want) > 0
+        for k, w in want.items():
+            g = got[k]
+            assert g.n_samples == w.n_samples, k
+            assert abs(g.increase - w.increase) < 1e-9, (k, g.increase,
+                                                         w.increase)
+            assert abs(g.rate_per_s - w.rate_per_s) < 1e-12, k
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
