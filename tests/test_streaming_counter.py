@@ -161,3 +161,68 @@ def test_streaming_extrapolated_rate_matches_batch(spark):
             assert abs(g.rate_per_s - w.rate_per_s) < 1e-12, k
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_streaming_extrapolated_rate_restart_resumes_state(spark):
+    """Restart on the same checkpoint mid-corpus: the rebuilt per-series
+    state keeps the in-window chain exact — same estimator inputs as one
+    uninterrupted run (exact columns compared; float raw covered by the
+    batch differential above)."""
+    import datetime as dt
+    import time
+
+    from skywalking_banyandb_spark.registry_observability import (
+        _rate_extrapolated_promql,
+    )
+    from skywalking_banyandb_spark.streaming.counter import (
+        extrapolated_rate_view,
+        start_extrapolated_rate_materialization,
+    )
+
+    work = tempfile.mkdtemp(prefix="extrap_restart_")
+    try:
+        ev = read_table(spark, f"{SF_SMALL}/events.parquet")
+        cut = dt.datetime(2024, 1, 15)
+        ev.where(F.col("ts") < F.lit(cut)).coalesce(1) \
+            .write.parquet(f"{work}/src/b0")
+        schema = spark.read.parquet(f"{work}/src/b0").schema
+
+        def run_once():
+            stream = (spark.readStream.schema(schema)
+                      .option("maxFilesPerTrigger", "1")
+                      .parquet(f"{work}/src/*"))
+            q = start_extrapolated_rate_materialization(
+                spark, stream, output_path=f"{work}/out",
+                checkpoint_path=f"{work}/ckpt", trigger_once=True)
+            assert q.awaitTermination(timeout=300), "drain timed out"
+
+        run_once()
+        time.sleep(1.1)
+        ev.where(F.col("ts") >= F.lit(cut)).coalesce(1) \
+            .write.parquet(f"{work}/src/b1")
+        run_once()
+
+        got = {(r.user_id, r.hour): (r.n_samples, r.first_us, r.last_us,
+                                     r.first_v, r.increase)
+               for r in extrapolated_rate_view(
+                   spark, f"{work}/out").collect()}
+
+        # one uninterrupted run over the same two batches
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(f"{work}/src/*"))
+        q = start_extrapolated_rate_materialization(
+            spark, stream, output_path=f"{work}/out2",
+            checkpoint_path=f"{work}/ckpt2", trigger_once=True)
+        assert q.awaitTermination(timeout=300), "drain timed out"
+        want = {(r.user_id, r.hour): (r.n_samples, r.first_us, r.last_us,
+                                      r.first_v, r.increase)
+                for r in extrapolated_rate_view(
+                    spark, f"{work}/out2").collect()}
+        assert got == want and len(want) > 0
+        # and the batch operator agrees on the window set
+        batch_keys = {(r.user_id, r.hour) for r in
+                      _rate_extrapolated_promql(spark, SF_SMALL).collect()}
+        assert set(got) == batch_keys
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
