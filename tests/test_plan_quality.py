@@ -289,3 +289,18 @@ def test_embedding_covariance_codegen_no_bigdecimal_input(spark):
     # decimal with fractional scale appears anywhere in the plan
     assert "FLOOR" in plan
     assert "decimal(38,18)" not in plan
+
+
+def test_pca_projection_apply_is_narrow_map(spark):
+    """r7: the PCA APPLY must be one scan + one narrow Project folding
+    against the literal basis — the only Exchange is the output orderBy,
+    and no Python UDF sneaks into the projection."""
+    from skywalking_banyandb_spark.registry_pipeline import (
+        _embedding_pca_project,
+    )
+
+    plan = _plan(_embedding_pca_project(spark, SF_SMALL))
+    tail = plan.split("Scan parquet")[0]  # the apply subtree above the scan
+    assert tail.count("Exchange") <= 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in tail  # fit artifacts are literals, not a join
