@@ -194,3 +194,48 @@ def test_write_stream_materializes_derived_tags(spark, tmp_path):
     g = sorted(tuple(r) for r in got.collect())
     w = sorted(tuple(r) for r in want.collect())
     assert g == w and len(g) > 0
+
+
+def test_index_mode_time_range_strict_under_wide_segments(spark, tmp_path):
+    """Reference 0.11 bug-fix parity ("index-mode measure queries
+    returning documents outside the requested time range when a widened
+    segment overlaps the query window"): with an index-mode store whose
+    SEGMENT spans more than the query window, the [begin, end) predicate
+    must still bound every returned row — segment (partition) pruning is
+    an optimization, never the filter."""
+    import datetime as dt
+
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from skywalking_banyandb_spark.catalog import default_catalog
+    from skywalking_banyandb_spark.model import MeasureQuery, TimeRange
+    from skywalking_banyandb_spark.plans.measure import compile_measure
+    from skywalking_banyandb_spark.sources.parquet import read_table
+    from skywalking_banyandb_spark.sources.writer import write_measure
+
+    cat = default_catalog(SF_SMALL)
+    m = cat.get("g1", "measure", "metrics")
+    # DAY segments (the widest IntervalRule unit) with a SUB-DAY query
+    # window: the segment containing the window is strictly wider than
+    # it, so partition pruning alone can never narrow to the answer
+    src = read_table(spark, f"{SF_SMALL}/events.parquet")
+    path = str(tmp_path / "wide")
+    wide = dataclasses.replace(m, paths=(path,), index_mode=True)
+    write_measure(src, wide, path, mode="overwrite",
+                  segment_interval="DAY")
+    cat.register(wide)
+
+    begin = dt.datetime(2024, 1, 5, 6)
+    end = dt.datetime(2024, 1, 5, 18)
+    q = MeasureQuery(
+        groups=["g1"], name="metrics",
+        time_range=TimeRange(begin, end), limit=100000,
+    )
+    rows = compile_measure(spark, cat, q).select("ts").collect()
+    assert rows, "window must not be empty"
+    assert all(begin <= r.ts < end for r in rows)
+    # and the widened segment really is wider than the window
+    n_all = spark.read.parquet(path).count()
+    assert n_all > len(rows)
