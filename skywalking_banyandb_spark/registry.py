@@ -285,13 +285,8 @@ _R6_DRIVER_SEEN = frozenset({
 # traded for first driver rows on the ten new operators (the driver
 # prioritizes never-seen entries, so every new operator without a row
 # would otherwise wait a full round).
-_R6_TOUCHED = (
-    "dedup_substring_winnow", "dedup_resolution_keep_best",
-    "quality_rare_token_ratio",
-    "measure_ohlc_window", "events_alert_intervals",
-    "tpch_q3_shipping_priority", "tpch_q10_returned_items",
-    "tpch_q14_promo_effect", "tpch_q18_large_volume",
-)
+# (the r6 touched list itself is retired — every r6-touched entry got its
+# driver row in CORRECTNESS_r06.json, recorded in _R6_DRIVER_SEEN above)
 
 # Round-7 window front (VERDICT r6 Next #3): the seven entries whose
 # newest driver row is still r3 go FIRST — the 50-row window cannot
