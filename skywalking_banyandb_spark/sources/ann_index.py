@@ -601,6 +601,53 @@ def ivf_incremental_compact(spark: SparkSession, path: str) -> None:
     os.replace(tfile + ".tmp", tfile)
 
 
+def ivf_incremental_retrain(
+    spark: SparkSession,
+    path: str,
+    k_clusters: int = 8,
+) -> None:
+    """Periodic re-train + atomic swap — the answer to centroid drift
+    (frozen centroids degrade as the corpus distribution moves; the
+    standard IVF posture is re-training on a schedule, never per batch).
+    Reads the LIVE rows of the maintained index (current assignments
+    minus tombstones), derives FRESH smallest-``md5(id)`` centroids from
+    them — the same deterministic sample as the base build, so the
+    result equals a one-shot base build over the live corpus (invariant
+    tested) — re-assigns, and swaps the directory atomically. The
+    tombstone sidecar resets: a retrain is also a full compaction."""
+    with open(os.path.join(path, "_tombstones.json")) as f:
+        tombs = json.load(f)
+    live = spark.read.parquet(path)
+    if tombs:
+        live = live.where(~F.col("id").isin(tombs))
+    cent_rows = (
+        live.select("id", "vec")
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(k_clusters)
+        .collect()
+    )
+    centroids = [(int(r.id), [float(x) for x in r.vec]) for r in cent_rows]
+    assigned = _ivf_assign_frozen(live.select("id", "vec"),
+                                  "id", "vec", centroids)
+    tmp = path + ".retrain"
+    shutil.rmtree(tmp, ignore_errors=True)
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
+    with open(os.path.join(tmp, "_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    with open(os.path.join(tmp, "_tombstones.json"), "w") as f:
+        json.dump([], f)
+    # applied-batch markers survive the swap: a retrain re-homes rows,
+    # it does not forget which append batches are already in the index
+    for m in os.listdir(path):
+        if m.startswith("_applied_"):
+            shutil.copy(os.path.join(path, m), os.path.join(tmp, m))
+    old = path + "._old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def ivf_incremental_probe_topk(
     spark: SparkSession,
     path: str,

@@ -233,3 +233,48 @@ def test_incremental_probes_prune_partitions(spark, tmp_path, monkeypatch):
                                        m_sub=16, exclude_id=0)
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan2 and "cluster_id" in plan2, plan2
+
+
+def test_retrain_equals_one_shot_over_live_rows(spark, tmp_path,
+                                                monkeypatch):
+    """Centroid-drift answer (SCALE.md): re-train + atomic swap over the
+    LIVE rows must equal a one-shot base build over the same live
+    corpus — fresh centroids from the identical md5 sample, identical
+    (id, cluster_id) state, identical probe rows; tombstones are
+    physically gone and applied-batch markers survive."""
+    import json as _json
+
+    from skywalking_banyandb_spark.sources.ann_index import (
+        ivf_incremental_retrain,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "a"))
+    pa = build_ivf_incremental_base(spark, SF_SMALL, k_clusters=8,
+                                    base_pred=_IVF_INC_BASE)
+    new = _emb(spark).where(F.expr(_IVF_INC_NEW))
+    ivf_incremental_append(spark, pa, new, marker="inc")
+    dead = [r.vec_id for r in _emb(spark)
+            .where(F.expr("vec_id % 97 = 0")).select("vec_id").collect()]
+    ivf_incremental_delete(pa, dead)
+    ivf_incremental_retrain(spark, pa, k_clusters=8)
+
+    # one-shot over the live corpus (everything minus the tombstones)
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "b"))
+    pb = build_ivf_incremental_base(spark, SF_SMALL, k_clusters=8,
+                                    base_pred="vec_id % 97 != 0")
+    assert _index_rows(spark, pa) == _index_rows(spark, pb)
+    assert _json.load(open(os.path.join(pa, "_tombstones.json"))) == []
+    assert os.path.exists(os.path.join(pa, "_applied_inc"))
+    # centroids were RETRAINED: the json matches the one-shot's
+    ca = _json.load(open(os.path.join(pa, "_centroids.json")))
+    cb = _json.load(open(os.path.join(pb, "_centroids.json")))
+    assert ca == cb
+
+    q = _query_vec(spark, SF_SMALL)
+    got_a = [(r.vec_id, r.score) for r in
+             ivf_incremental_probe_topk(spark, pa, q, 10, nprobe=4,
+                                        exclude_id=0).collect()]
+    got_b = [(r.vec_id, r.score) for r in
+             ivf_incremental_probe_topk(spark, pb, q, 10, nprobe=4,
+                                        exclude_id=0).collect()]
+    assert got_a == got_b and len(got_a) == 10
