@@ -1190,6 +1190,56 @@ def ivfpq_incremental_append(
             f.write("applied")
 
 
+def ivfpq_incremental_retrain(
+    spark: SparkSession,
+    path: str,
+    k_clusters: int = 8,
+    m_sub: int = 16,
+    k_cw: int = 32,
+    dim: int = 64,
+) -> None:
+    """Re-train + atomic swap for the compressed index: fresh centroids
+    AND per-subspace codebooks hash-sampled from the LIVE rows (one
+    scan), every live row re-assigned and re-encoded, tombstones reset.
+    Equal to a one-shot base build over the live corpus by the same
+    determinism argument as :func:`ivf_incremental_retrain`."""
+    with open(os.path.join(path, "_tombstones.json")) as f:
+        tombs = json.load(f)
+    live = spark.read.parquet(path)
+    if tombs:
+        live = live.where(~F.col("id").isin(tombs))
+    sub = dim // m_sub
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col("vec"), lambda x: x * x),
+        F.lit(0.0), lambda a, v: a + v))
+    vecd = live.select("id", "vec") \
+        .withColumn("nvec", F.transform(F.col("vec"), lambda x: x / norm))
+    tops = _hash_sample_tops(vecd, m_sub, sub, k_cw, k_clusters=k_clusters)
+    centroids = [(cid, cv) for cid, cv in tops[m_sub]]
+    codebooks: List[List[List[float]]] = [
+        [payload for _, payload in tops[m]] for m in range(m_sub)
+    ]
+    coded = _ivfpq_encode_frozen(live.select("id", "vec"), "id", "vec",
+                                 centroids, codebooks, m_sub, sub)
+    tmp = path + ".retrain"
+    shutil.rmtree(tmp, ignore_errors=True)
+    coded.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
+    with open(os.path.join(tmp, "_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    with open(os.path.join(tmp, "_codebooks.json"), "w") as f:
+        json.dump(codebooks, f)
+    with open(os.path.join(tmp, "_tombstones.json"), "w") as f:
+        json.dump([], f)
+    for m in os.listdir(path):
+        if m.startswith("_applied_"):
+            shutil.copy(os.path.join(path, m), os.path.join(tmp, m))
+    old = path + "._old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def ivfpq_incremental_probe_topk(
     spark: SparkSession,
     path: str,

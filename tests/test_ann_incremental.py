@@ -278,3 +278,53 @@ def test_retrain_equals_one_shot_over_live_rows(spark, tmp_path,
              ivf_incremental_probe_topk(spark, pb, q, 10, nprobe=4,
                                         exclude_id=0).collect()]
     assert got_a == got_b and len(got_a) == 10
+
+
+def test_ivfpq_retrain_equals_one_shot_over_live_rows(spark, tmp_path,
+                                                      monkeypatch):
+    """Compressed-index retrain: fresh centroids AND codebooks from the
+    live rows, state + probe identical to a one-shot base build over the
+    same corpus; tombstones physically gone."""
+    import json as _json
+
+    from skywalking_banyandb_spark.sources.ann_index import (
+        build_ivfpq_incremental_base,
+        ivfpq_incremental_append,
+        ivfpq_incremental_probe_topk,
+        ivfpq_incremental_retrain,
+    )
+
+    def _state(path):
+        return {
+            (r.id, r.cluster_id, tuple(r.codes))
+            for r in spark.read.parquet(path)
+            .select("id", "cluster_id", "codes").collect()
+        }
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "a"))
+    pa = build_ivfpq_incremental_base(spark, SF_SMALL, k_clusters=8,
+                                      m_sub=16, k_cw=32,
+                                      base_pred=_IVF_INC_BASE)
+    ivfpq_incremental_append(
+        spark, pa, _emb(spark).where(F.expr(_IVF_INC_NEW)), m_sub=16,
+        marker="inc")
+    dead = [r.vec_id for r in _emb(spark)
+            .where(F.expr("vec_id % 97 = 0")).select("vec_id").collect()]
+    ivf_incremental_delete(pa, dead)
+    ivfpq_incremental_retrain(spark, pa, k_clusters=8, m_sub=16, k_cw=32)
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "b"))
+    pb = build_ivfpq_incremental_base(spark, SF_SMALL, k_clusters=8,
+                                      m_sub=16, k_cw=32,
+                                      base_pred="vec_id % 97 != 0")
+    assert _state(pa) == _state(pb)
+    assert _json.load(open(os.path.join(pa, "_tombstones.json"))) == []
+
+    q = _query_vec(spark, SF_SMALL)
+    got_a = [(r.vec_id, r.score) for r in
+             ivfpq_incremental_probe_topk(spark, pa, q, 10, nprobe=4,
+                                          m_sub=16, exclude_id=0).collect()]
+    got_b = [(r.vec_id, r.score) for r in
+             ivfpq_incremental_probe_topk(spark, pb, q, 10, nprobe=4,
+                                          m_sub=16, exclude_id=0).collect()]
+    assert got_a == got_b and len(got_a) == 10
