@@ -87,3 +87,30 @@ def test_extrapolated_rate_fuzz(spark, samples):
     assert set(got) == set(want)
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-6 + 1e-9 * abs(v), (k, got[k], v)
+
+
+def test_finalize_hash_rate_sampler_matches_python(spark):
+    """The finalization hash-rate sampler's keep decision (Spark
+    conv(substring(md5...)) path) must equal the Python recomputation on
+    arbitrary trace ids — including unicode and md5 prefixes with
+    leading zeros — at several rates."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from skywalking_banyandb_spark.sources.trace_finalize import (
+        hash_rate_sampler,
+    )
+
+    tids = (["t" + str(i) for i in range(50)]
+            + ["", "a b", "トレース", "λ-1", "0" * 12, "ffffff"]
+            + [hashlib.md5(str(i).encode()).hexdigest() for i in range(20)])
+    df = spark.createDataFrame([(t,) for t in tids], "trace_id string")
+    for rate in (0.0, 0.1, 0.5, 0.9, 1.0):
+        got = {r.trace_id for r in
+               df.where(hash_rate_sampler(rate).decide(df)).collect()}
+        cut = int(rate * 0xFFFFFF)
+        want = {t for t in tids
+                if int(hashlib.md5(f"finalize|{t}".encode())
+                       .hexdigest()[:6], 16) < cut}
+        assert got == want, rate
