@@ -22,7 +22,6 @@ Scale design (the point of each variant):
 
 from __future__ import annotations
 
-from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

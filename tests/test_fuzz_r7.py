@@ -96,7 +96,6 @@ def test_finalize_hash_rate_sampler_matches_python(spark):
     leading zeros — at several rates."""
     import hashlib
 
-    from pyspark.sql import functions as F
 
     from skywalking_banyandb_spark.sources.trace_finalize import (
         hash_rate_sampler,

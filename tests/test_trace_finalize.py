@@ -12,7 +12,6 @@ import hashlib
 import json
 import os
 
-import pytest
 from pyspark.sql import functions as F
 
 from skywalking_banyandb_spark.catalog import TraceSchema
