@@ -712,8 +712,12 @@ def ivfpq_topk_sql(
     then exact-cosine re-rank on the unrounded cosine (bit-stable, see
     :func:`cosine_raw`); the rounded score is display-only.
 
-    ``base_pred`` (over the bare id column — the T0 subset centroids AND
-    codebooks were frozen on) and ``live_pred`` (over ``vid`` — base ∪
+    ``base_pred`` (a TEMPLATE over an ``{id}`` placeholder — the T0
+    subset centroids AND codebooks were frozen on; a placeholder rather
+    than a raw predicate because the id column appears under different
+    aliases in the cent/codebook CTEs, and a textual column-name
+    substitution would corrupt predicates where the name occurs as a
+    substring — ADVICE r7) and ``live_pred`` (over ``vid`` — base ∪
     appended minus tombstones) parameterize the INCREMENTAL twin
     (``ann_index.build_ivfpq_incremental_base`` lifecycle): a one-shot
     recomputation over the live rows with base-trained artifacts equals
@@ -726,9 +730,13 @@ def ivfpq_topk_sql(
     cosf = cosine_raw_sql(f"e.{vec_col}", "q.qv")
     diff_e = f"(en.nv[cb.m * {sub} + i] - cb.cw[i])"
     diff_q = f"(nq.nqv[cb.m * {sub} + i] - cb.cw[i])"
-    cent_where = (f"\n  WHERE {base_pred.replace(id_col, 'eid')}"
+    if base_pred and "{id}" not in base_pred:
+        raise ValueError(
+            "ivfpq_topk_sql base_pred must be a template over '{id}' "
+            f"(got {base_pred!r})")
+    cent_where = (f"\n  WHERE {base_pred.format(id='eid')}"
                   if base_pred else "")
-    cb_where = (f"\n    WHERE {base_pred.replace(id_col, 'en.eid')}"
+    cb_where = (f"\n    WHERE {base_pred.format(id='en.eid')}"
                 if base_pred else "")
     live_and = f" AND {live_pred}" if live_pred else ""
     return f"""

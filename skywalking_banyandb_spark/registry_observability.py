@@ -884,12 +884,12 @@ register(
 #   raw       = last − first + Σ reset corrections  (in-window samples
 #               only — PromQL never looks outside the range)
 #   avgDur    = sampledInterval / (n − 1)
-#   durStart  = firstT − start, capped by the zero-crossing estimate
+#   durStart  = firstT − start, clamped to avgDur/2 when ≥ 1.1·avgDur,
+#               THEN capped by the zero-crossing estimate
 #               sampledInterval · (firstV / raw) when raw > 0 ∧ firstV ≥ 0
-#   durEnd    = end − lastT
-#   extrapolateToInterval = sampledInterval
-#       + (durStart if durStart < 1.1·avgDur else avgDur/2)
-#       + (durEnd   if durEnd   < 1.1·avgDur else avgDur/2)
+#               (Prometheus ≥ 2.46 order — the clamp runs before the cap)
+#   durEnd    = end − lastT, clamped to avgDur/2 when ≥ 1.1·avgDur
+#   extrapolateToInterval = sampledInterval + durStart + durEnd
 #   increase  = raw · extrapolateToInterval / sampledInterval
 #   rate      = increase / 3600
 # Windows with < 2 samples yield no result (PromQL drops them), and
@@ -941,14 +941,19 @@ def _rate_extrapolated_promql(spark: SparkSession, sf: str) -> DataFrame:
     dur_start0 = (F.col("first_us") - hour_us) / F.lit(1_000_000.0)
     dur_end = (hour_us + F.lit(3_600_000_000) - F.col("last_us")) \
         / F.lit(1_000_000.0)
+    # promql/functions.go (Prometheus >= 2.46) order: threshold-clamp
+    # durationToStart FIRST, then apply the zero-crossing cap to the
+    # clamped value (ADVICE r7 — pre-2.46 applied the cap first)
+    thresh = avg_dur * F.lit(1.1)
+    dur_start1 = F.when(dur_start0 < thresh, dur_start0) \
+        .otherwise(avg_dur / F.lit(2.0))
     dtz = sampled * (F.col("first_v") / F.col("raw"))
     dur_start = F.when(
-        (F.col("raw") > 0) & (F.col("first_v") >= 0) & (dtz < dur_start0),
-        dtz).otherwise(dur_start0)
-    thresh = avg_dur * F.lit(1.1)
+        (F.col("raw") > 0) & (F.col("first_v") >= 0) & (dtz < dur_start1),
+        dtz).otherwise(dur_start1)
     extrap = (
         sampled
-        + F.when(dur_start < thresh, dur_start).otherwise(avg_dur / F.lit(2.0))
+        + dur_start
         + F.when(dur_end < thresh, dur_end).otherwise(avg_dur / F.lit(2.0))
     )
     return (
@@ -999,20 +1004,24 @@ register(
          FROM g),
        x AS (
          SELECT *,
-                CASE WHEN raw > 0 AND first_v >= 0
-                          AND sampled * (first_v / raw) < dur_start0
-                     THEN sampled * (first_v / raw) ELSE dur_start0 END
-                    AS dur_start,
+                CASE WHEN dur_start0 < avg_dur * 1.1 THEN dur_start0
+                     ELSE avg_dur / 2.0 END AS dur_start1,
                 avg_dur * 1.1 AS thresh
          FROM e),
+       y AS (
+         SELECT *,
+                CASE WHEN raw > 0 AND first_v >= 0
+                          AND sampled * (first_v / raw) < dur_start1
+                     THEN sampled * (first_v / raw) ELSE dur_start1 END
+                    AS dur_start
+         FROM x),
        f AS (
          SELECT *,
                 sampled
-                + CASE WHEN dur_start < thresh THEN dur_start
-                       ELSE avg_dur / 2.0 END
+                + dur_start
                 + CASE WHEN dur_end < thresh THEN dur_end
                        ELSE avg_dur / 2.0 END AS extrap
-         FROM x)
+         FROM y)
        SELECT user_id, hour, n_samples, raw,
               raw * (extrap / sampled) AS increase,
               raw * (extrap / sampled) / 3600.0 AS rate_per_s

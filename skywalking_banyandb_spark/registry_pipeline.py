@@ -389,7 +389,8 @@ register(
 # Deterministic and engine-portable, so the one-shot DuckDB recomputation
 # over (base ∪ increment) ∖ tombstones with base-trained centroids is the
 # exact oracle for the engine's base ⊕ append ⊖ delete index state.
-_IVF_INC_BASE = "vec_id % 10 != 0"
+_IVF_INC_BASE_TPL = "{id} % 10 != 0"  # ivfpq_topk_sql placeholder form
+_IVF_INC_BASE = _IVF_INC_BASE_TPL.format(id="vec_id")
 _IVF_INC_NEW = "vec_id % 10 = 0"
 _IVF_INC_DEAD = "vec_id % 97 = 0"
 
@@ -470,7 +471,7 @@ register(
     sim.ivfpq_topk_sql(
         "embeddings", "vec_id", "embedding", 0, 10,
         k_clusters=8, nprobe=4, m_sub=16, k_cw=32,
-        base_pred=_IVF_INC_BASE,
+        base_pred=_IVF_INC_BASE_TPL,
         live_pred="vid % 97 <> 0",
     ),
 )

@@ -463,9 +463,18 @@ def load_write_requests(docs: Sequence, catalog, kind: str) -> Dict[tuple, List[
                 # loader).
                 ms = int((_write_ts(el["timestamp"])
                           - dt.datetime(1970, 1, 1)).total_seconds() * 1000)
-                seq = _eid_seq.get((grp, name, ms), 0)
-                _eid_seq[(grp, name, ms)] = seq + 1
-                eid = ((ms - _ELEMENT_ID_EPOCH_MS) << 17) | (seq & 0x3FF)
+                # pkg/idgen/snowflake.go NextID: when the 10-bit sequence
+                # for one millisecond is exhausted it ADVANCES the logical
+                # clock and resets the sequence — it never wraps via a
+                # mask, so the 1025th id in one ms stays unique.  Mirror
+                # that: spill into the next logical ms (whose counter then
+                # continues from wherever the spill left it, keeping later
+                # real arrivals at that ms unique too).
+                while _eid_seq.get((grp, name, ms), 0) > 0x3FF:
+                    ms += 1
+                ms_seq = _eid_seq.get((grp, name, ms), 0)
+                _eid_seq[(grp, name, ms)] = ms_seq + 1
+                eid = ((ms - _ELEMENT_ID_EPOCH_MS) << 17) | ms_seq
             row[schema.element_id_column] = eid
         elif kind == "trace":
             tag_order = spec_names or [

@@ -467,8 +467,21 @@ def ivf_sampled_probe_topk(
 # frozen centroids) — assignment depends only on (vector, centroids), so
 # order of arrival cannot change any probe result.
 
-def ivf_incremental_index_path(sf_dir: str, k_clusters: int) -> str:
-    return _index_dir(sf_dir, "ivfinc", f"k{k_clusters}")
+def _base_pred_token(base_pred: str) -> str:
+    """Fold the base predicate into the persisted-index key (ADVICE r7):
+    without it, two consumers building with different base subsets would
+    silently share an index trained on the wrong base, breaking the
+    frozen-artifact oracle invariant."""
+    if base_pred.strip().lower() == "true":
+        return "all"
+    import hashlib
+    return hashlib.md5(base_pred.encode("utf-8")).hexdigest()[:8]
+
+
+def ivf_incremental_index_path(sf_dir: str, k_clusters: int,
+                               base_pred: str = "true") -> str:
+    return _index_dir(sf_dir, "ivfinc",
+                      f"k{k_clusters}_p{_base_pred_token(base_pred)}")
 
 
 def _ivf_assign_frozen(df, id_col: str, vec_col: str, centroids):
@@ -502,8 +515,8 @@ def build_ivf_incremental_base(
     the ``k_clusters`` smallest-``md5(id)`` BASE vectors (deterministic
     sample, engine-portable like :func:`build_ivf_sampled_index`),
     frozen for the life of the index; assignment partitioned by
-    ``cluster_id``. Idempotent per (sf, params) directory."""
-    final = ivf_incremental_index_path(sf_dir, k_clusters)
+    ``cluster_id``. Idempotent per (sf, params, base_pred) directory."""
+    final = ivf_incremental_index_path(sf_dir, k_clusters, base_pred)
     if os.path.isdir(final):
         return final
     df = read_table(spark, f"{sf_dir}/embeddings.parquet") \
@@ -1061,8 +1074,10 @@ def ivfpq_probe_topk(
 # sidecar protocol only touches (id, cluster_id) and is layout-agnostic.
 
 def ivfpq_incremental_index_path(sf_dir: str, k_clusters: int, m_sub: int,
-                                 k_cw: int) -> str:
-    return _index_dir(sf_dir, "ivfpqinc", f"c{k_clusters}_m{m_sub}_k{k_cw}")
+                                 k_cw: int, base_pred: str = "true") -> str:
+    return _index_dir(
+        sf_dir, "ivfpqinc",
+        f"c{k_clusters}_m{m_sub}_k{k_cw}_p{_base_pred_token(base_pred)}")
 
 
 def _ivfpq_encode_frozen(df, id_col: str, vec_col: str, centroids,
@@ -1127,7 +1142,8 @@ def build_ivfpq_incremental_base(
     corpus in one scan (:func:`_hash_sample_tops`) and frozen; rows are
     encoded with :func:`_ivfpq_encode_frozen` and partitioned by
     ``cluster_id``."""
-    final = ivfpq_incremental_index_path(sf_dir, k_clusters, m_sub, k_cw)
+    final = ivfpq_incremental_index_path(sf_dir, k_clusters, m_sub, k_cw,
+                                         base_pred)
     if os.path.isdir(final):
         return final
     df = read_table(spark, f"{sf_dir}/embeddings.parquet") \

@@ -263,14 +263,19 @@ def extrapolated_rate_view(spark: SparkSession, output_path: str) -> DataFrame:
     dur_start0 = (F.col("first_us") - F.col("hour_us")) / F.lit(1_000_000.0)
     dur_end = (F.col("hour_us") + F.lit(_HOUR_US) - F.col("last_us")) \
         / F.lit(1_000_000.0)
+    # promql/functions.go (Prometheus >= 2.46) order: threshold-clamp
+    # first, then zero-crossing cap on the clamped value (ADVICE r7) —
+    # identical expression to the batch operator
+    thresh = avg_dur * F.lit(1.1)
+    dur_start1 = F.when(dur_start0 < thresh, dur_start0) \
+        .otherwise(avg_dur / F.lit(2.0))
     dtz = sampled * (F.col("first_v") / F.col("raw"))
     dur_start = F.when(
-        (F.col("raw") > 0) & (F.col("first_v") >= 0) & (dtz < dur_start0),
-        dtz).otherwise(dur_start0)
-    thresh = avg_dur * F.lit(1.1)
+        (F.col("raw") > 0) & (F.col("first_v") >= 0) & (dtz < dur_start1),
+        dtz).otherwise(dur_start1)
     extrap = (
         sampled
-        + F.when(dur_start < thresh, dur_start).otherwise(avg_dur / F.lit(2.0))
+        + dur_start
         + F.when(dur_end < thresh, dur_end).otherwise(avg_dur / F.lit(2.0))
     )
     return g.select(

@@ -328,3 +328,43 @@ def test_ivfpq_retrain_equals_one_shot_over_live_rows(spark, tmp_path,
              ivfpq_incremental_probe_topk(spark, pb, q, 10, nprobe=4,
                                           m_sub=16, exclude_id=0).collect()]
     assert got_a == got_b and len(got_a) == 10
+
+
+def test_index_path_keyed_by_base_pred(tmp_path, monkeypatch):
+    """ADVICE r7: the persisted-index key must include the base
+    predicate — two consumers with different base subsets must NOT share
+    a directory (the frozen artifacts would be trained on the wrong
+    base)."""
+    from skywalking_banyandb_spark.sources.ann_index import (
+        ivfpq_incremental_index_path,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    p_all = ivf_incremental_index_path(SF_SMALL, 8)
+    p_base = ivf_incremental_index_path(SF_SMALL, 8, _IVF_INC_BASE)
+    p_other = ivf_incremental_index_path(SF_SMALL, 8, "vec_id % 97 != 0")
+    assert len({p_all, p_base, p_other}) == 3
+    # deterministic: same predicate → same directory
+    assert p_base == ivf_incremental_index_path(SF_SMALL, 8, _IVF_INC_BASE)
+    q_base = ivfpq_incremental_index_path(SF_SMALL, 8, 16, 32,
+                                          _IVF_INC_BASE)
+    q_other = ivfpq_incremental_index_path(SF_SMALL, 8, 16, 32,
+                                           "vec_id % 97 != 0")
+    assert q_base != q_other
+
+
+def test_ivfpq_topk_sql_base_pred_requires_placeholder():
+    """ADVICE r7: a raw-column base predicate is rejected — the old
+    textual replace silently corrupted predicates where the id column
+    name occurred as a substring of another identifier."""
+    import pytest
+
+    from skywalking_banyandb_spark.functions import similarity as sim
+
+    with pytest.raises(ValueError, match="template over"):
+        sim.ivfpq_topk_sql("embeddings", "vec_id", "embedding", 0, 10,
+                           base_pred="vec_id % 10 != 0")
+    # the placeholder form renders both alias contexts correctly
+    sql = sim.ivfpq_topk_sql("embeddings", "vec_id", "embedding", 0, 10,
+                             base_pred="{id} % 10 != 0")
+    assert "eid % 10 != 0" in sql and "en.eid % 10 != 0" in sql

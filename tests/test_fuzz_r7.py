@@ -40,14 +40,18 @@ def _prom_increase(samples, start, end):
     avg_dur = sampled / (len(samples) - 1)
     dur_start = first_t - start
     dur_end = end - last_t
+    # promql/functions.go (Prometheus >= 2.46): threshold-clamp FIRST,
+    # then the zero-crossing cap applies to the clamped value (ADVICE r7)
+    thresh = avg_dur * 1.1
+    if dur_start >= thresh:
+        dur_start = avg_dur / 2
     if raw > 0 and first_v >= 0:
         dtz = sampled * (first_v / raw)
         if dtz < dur_start:
             dur_start = dtz
-    thresh = avg_dur * 1.1
-    extrap = sampled
-    extrap += dur_start if dur_start < thresh else avg_dur / 2
-    extrap += dur_end if dur_end < thresh else avg_dur / 2
+    if dur_end >= thresh:
+        dur_end = avg_dur / 2
+    extrap = sampled + dur_start + dur_end
     return raw * (extrap / sampled)
 
 

@@ -276,6 +276,56 @@ def test_stream_write_generates_element_id_when_omitted(spark, tmp_path):
     assert [r["event_id"] for r in rows2] == ids
 
 
+def test_stream_element_id_sequence_overflow_advances_clock():
+    """pkg/idgen/snowflake.go NextID: when the 10-bit per-ms sequence is
+    exhausted the logical clock advances and the sequence resets — the
+    1025th client-omitted-id element in one millisecond must get a UNIQUE
+    id, never a masked duplicate (ADVICE r7).  Later real arrivals in the
+    spilled-into millisecond must stay unique too."""
+    import datetime as dt
+
+    from skywalking_banyandb_spark.request_loader import (
+        _ELEMENT_ID_EPOCH_MS,
+        load_write_requests,
+    )
+
+    i = lambda v: {"int": {"value": v}}
+    s = lambda v: {"str": {"value": v}}
+    f = lambda v: {"float": {"value": v}}
+
+    def el(ts, n, md=None):
+        e = {"element": {"timestamp": ts,
+                         "tagFamilies": [{"tags": [
+                             i(n), s("click"), f(0.5), s("x")]}]}}
+        if md:
+            e["metadata"] = md
+        return e
+
+    t0 = "2024-01-03T01:00:00Z"          # ms M
+    t1 = "2024-01-03T01:00:00.001Z"      # ms M+1 (real arrival)
+    docs = [el(t0, 0, md={"group": "g1", "name": "event_log"})]
+    docs += [el(t0, n) for n in range(1, 1030)]   # 1030 at ms M (> 1024)
+    docs += [el(t1, 2000), el(t1, 2001)]          # 2 real at ms M+1
+    cat = default_catalog(SF_SMALL)
+    rows = load_write_requests(docs, cat, "stream")[("g1", "event_log")]
+    ids = [r["event_id"] for r in rows]
+    assert len(set(ids)) == len(ids) == 1032
+    ms = int((dt.datetime(2024, 1, 3, 1) - dt.datetime(1970, 1, 1))
+             .total_seconds() * 1000) - _ELEMENT_ID_EPOCH_MS
+    # first 1024 fill ms M with sequences 0..1023
+    assert ids[1023] == (ms << 17) | 1023
+    # 1025th spills into the NEXT logical millisecond, sequence reset
+    assert ids[1024] == ((ms + 1) << 17) | 0
+    assert ids[1029] == ((ms + 1) << 17) | 5
+    # real arrivals at ms M+1 continue the spilled counter (no collision)
+    assert ids[1030] == ((ms + 1) << 17) | 6
+    assert ids[1031] == ((ms + 1) << 17) | 7
+    # and the measure-version write sequence was NOT clobbered by the
+    # per-ms counter (ADVICE r7 low: distinct local name)
+    rows2 = load_write_requests(docs, cat, "stream")[("g1", "event_log")]
+    assert [r["event_id"] for r in rows2] == ids
+
+
 def test_schema_deletion_replay(spark, tmp_path):
     """Replay of test/cases/schema/deletion.go VerifyMeasureDeletion:
     write data -> delete the resource -> writes AND queries to it are
