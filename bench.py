@@ -152,6 +152,13 @@ def main() -> None:
         for n in (*names, *ext_names) if n.startswith("ann_")
     }
 
+    # ANN recall@10 vs brute force (VERDICT r7 #6): quality next to the
+    # build/probe split, so the recall/latency trade-off is visible per
+    # round; tests/test_ann_recall.py asserts the floors.
+    from skywalking_banyandb_spark.sources.ann_recall import ann_recall_at_k
+
+    ann_recall = ann_recall_at_k(spark, sf_dir, k=10, n_queries=8)
+
     total = round(sum(timings.values()), 4)
     ext_total = round(sum(extended.values()), 4)
     # Canary-normalized ratios (VERDICT r6 #4): dividing by the same-run
@@ -178,6 +185,7 @@ def main() -> None:
         "canary": {"query": "count(lineitem)", "sec": canary_warm},
         "normalized": norm,
         "ann_build_probe": ann_split,
+        "ann_recall_at_10": ann_recall,
         "sf": sf,
     }))
 

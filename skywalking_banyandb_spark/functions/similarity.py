@@ -631,7 +631,7 @@ def pq_topk_sql(
     order-independent sums), candidates by (adc, id), exact-cosine re-rank
     ordered on the unrounded cosine; the rounded score is display-only."""
     sub = dim // m_sub
-    c_n = candidates or max(4 * k, 32)
+    c_n = candidates or max(20 * k, 200)
     diff_e = "(en.nv[cb.m * %d + i] - cb.cw[i])" % sub
     diff_q = f"(nq.nqv[cb.m * {sub} + i] - cb.cw[i])"
     cosf = cosine_raw_sql(f"e.{vec_col}", "q.qv")
@@ -724,7 +724,7 @@ def ivfpq_topk_sql(
     the engine's base ⊕ append ⊖ delete state because encoding depends
     only on (vector, frozen artifacts)."""
     sub = dim // m_sub
-    c_n = candidates or max(4 * k, 32)
+    c_n = candidates or max(20 * k, 200)
     cosc = cosine_raw_sql("ev.v", "c.cv")
     cosp = cosine_raw_sql("cent.cv", "q.qv")
     cosf = cosine_raw_sql(f"e.{vec_col}", "q.qv")
@@ -830,7 +830,7 @@ def ivfpq_residual_topk_sql(
     double (bit-stable across engines, see :func:`cosine_raw`); the
     integer micro-unit LUT keeps the ADC sum exact and order-independent."""
     sub = dim // m_sub
-    c_n = candidates or max(4 * k, 32)
+    c_n = candidates or max(20 * k, 200)
     cosc = cosine_raw_sql("ev.v", "c.cv")
     cosp = cosine_raw_sql("cent.cv", "q.qv")
     cosf = cosine_raw_sql(f"e.{vec_col}", "q.qv")

@@ -342,12 +342,17 @@ _R4_STALE_FIRST = (
 #   takes the base predicate as an {id} template (ADVICE r7);
 # - embedding_centroid_confusion: assignment switched from the
 #   literal-argmax expression to the broadcast-centroid-table join
-#   (VERDICT r7 #3).
+#   (VERDICT r7 #3);
+# - ann_pq_topk / ann_ivfpq_topk / ann_ivfpq_residual_topk: the default
+#   ADC re-rank shortlist grew max(4k,32) → max(20k,200) in BOTH engines
+#   (recall@10 0.56–0.66 → 0.94–0.99 at sf0.1, VERDICT r7 #6 — the
+#   recall gate in tests/test_ann_recall.py pins the floor).
 _R8_TOUCHED = (
     "measure_rate_extrapolated_promql",
     "streaming_extrapolated_rate_materialized",
     "ann_ivf_incremental_topk", "ann_ivfpq_incremental_topk",
     "embedding_centroid_confusion",
+    "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_residual_topk",
 )
 
 _SWEEP_CAP = 50

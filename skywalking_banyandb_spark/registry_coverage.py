@@ -1636,3 +1636,97 @@ register(
        HAVING COUNT(*) >= 2 AND MAX(epoch_us(ts)) > MIN(epoch_us(ts))
        ORDER BY user_id, hour""",
 )
+
+
+# --------------------------------------------------------------------------
+# Trace finalization sampling (NEW r8 — VERDICT r7 #4, driver-checkable):
+# the reference-0.11 retention sweep (banyand/trace/finalize_scanner.go +
+# pipeline_chain.go mergeChain) as an oracle-paired entry. Writes the
+# events-derived trace table into a 3-day-segment scratch store, runs the
+# chain "errors always, the rest at a deterministic 30% md5 rate"
+# (pkg/pipeline/sdk EvaluateChain semantics; the hash sampler's
+# conv(substring(md5(seed|trace_id),1,6),16,10) keep-rule is fuzz-proven
+# against a Python md5 recomputation in tests/test_fuzz_r7.py), replays
+# the sweep at the SAME generation to prove the finalize.json stamp makes
+# it a no-op, and returns the per-trace survivor aggregates. The oracle
+# recomputes the kept (trace, segment) set from the same md5 rule —
+# decisions are PER SEGMENT, exactly like the reference's per-part merge:
+# a trace with an error span only in day 1 keeps day 1 and is
+# rate-sampled in day 2.
+# --------------------------------------------------------------------------
+
+_FIN_RATE = 0.3
+_FIN_CUT = int(_FIN_RATE * 0xFFFFFF)
+_FIN_T0, _FIN_T1 = "2024-01-03 00:00:00", "2024-01-06 00:00:00"
+
+
+def _trace_finalize_sampling(spark: SparkSession, sf: str) -> DataFrame:
+    import datetime as dt
+
+    from .sources.parquet import read_table
+    from .sources.trace_finalize import (
+        any_of,
+        finalize_segments,
+        hash_rate_sampler,
+        keep_matching_traces,
+    )
+    from .sources.writer import write_trace
+
+    schema = default_catalog(sf).get("g1", "trace", "event_trace")
+    work = _scratch_dir("trace_finalize")
+    path = f"{work}/event_trace"
+    t0 = dt.datetime.fromisoformat(_FIN_T0)
+    t1 = dt.datetime.fromisoformat(_FIN_T1)
+    ev = read_table(spark, f"{sf}/events.parquet").where(
+        (F.col("ts") >= F.lit(t0)) & (F.col("ts") < F.lit(t1)))
+    write_trace(ev, schema, path, mode="overwrite")
+
+    chain = [any_of(
+        "errors_or_rate",
+        keep_matching_traces("errors", F.col("event_type") == "error"),
+        hash_rate_sampler(_FIN_RATE),
+    )]
+    finalize_segments(spark, schema, path, chain, generation=1)
+    replay = finalize_segments(spark, schema, path, chain, generation=1)
+    if replay["segments"] != 0:  # the generation stamp must make replays no-ops
+        raise RuntimeError(f"finalize replay re-sampled: {replay}")
+
+    surv = spark.read.parquet(path)
+    return (
+        surv.groupBy(F.col("user_id").alias("trace_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.countDistinct("ts_bucket").alias("n_segments"),
+            F.expr(SUM6.format(x="value")).alias("value_sum"),
+        )
+        .orderBy("trace_id")
+    )
+
+
+register(
+    "trace_finalize_sampling",
+    _trace_finalize_sampling,
+    f"""WITH sp AS (
+         SELECT user_id, ts, value, event_type,
+                CAST(date_trunc('day', ts) AS TIMESTAMP) AS seg
+         FROM events
+         WHERE ts >= TIMESTAMP '{_FIN_T0}' AND ts < TIMESTAMP '{_FIN_T1}'),
+       blocks AS (
+         SELECT user_id, seg,
+                MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS has_err
+         FROM sp GROUP BY user_id, seg),
+       kept AS (
+         SELECT user_id, seg FROM blocks
+         WHERE has_err = 1
+            OR CAST(concat('0x', substring(md5(concat('finalize|',
+                   CAST(user_id AS VARCHAR))), 1, 6)) AS BIGINT)
+               < {_FIN_CUT}),
+       surv AS (
+         SELECT sp.* FROM sp
+         JOIN kept ON sp.user_id = kept.user_id AND sp.seg = kept.seg)
+       SELECT user_id AS trace_id, COUNT(*) AS n_spans,
+              COUNT(DISTINCT seg) AS n_segments,
+              {SUM6.format(x='value')} AS value_sum
+       FROM surv GROUP BY user_id ORDER BY trace_id""",
+)

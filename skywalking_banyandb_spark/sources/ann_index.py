@@ -870,7 +870,7 @@ def pq_probe_topk(
     with open(os.path.join(path, "_codebooks.json")) as f:
         codebooks = json.load(f)
     sub = len(query) // m_sub
-    c_n = candidates or max(4 * k, 32)
+    c_n = candidates or max(20 * k, 200)
     # LUT against the NORMALIZED query (codebooks quantize unit vectors);
     # the left-fold norm matches build-time and the DuckDB twin exactly
     s = 0.0
@@ -1028,7 +1028,7 @@ def ivfpq_probe_topk(
     with open(os.path.join(path, "_codebooks.json")) as f:
         codebooks = json.load(f)
     sub = len(query) // m_sub
-    c_n = candidates or max(4 * k, 32)
+    c_n = candidates or max(20 * k, 200)
     probe = [cid for _, cid in _rank_centroids(centroids, query)[:nprobe]]
 
     s = 0.0
@@ -1278,7 +1278,7 @@ def ivfpq_incremental_probe_topk(
     with open(os.path.join(path, "_tombstones.json")) as f:
         tombs = json.load(f)
     sub = len(query) // m_sub
-    c_n = candidates or max(4 * k, 32)
+    c_n = candidates or max(20 * k, 200)
     probe = [cid for _, cid in _rank_centroids(centroids, query)[:nprobe]]
     s = 0.0
     for x in query:
@@ -1461,7 +1461,7 @@ def ivfpq_residual_probe_topk(
     with open(os.path.join(path, "_codebooks.json")) as f:
         codebooks = json.load(f)
     sub = len(query) // m_sub
-    c_n = candidates or max(4 * k, 32)
+    c_n = candidates or max(20 * k, 200)
     probe = [cid for _, cid in _rank_centroids(centroids, query)[:nprobe]]
 
     qn = math.sqrt(sum(x * x for x in query)) or 1e-12
