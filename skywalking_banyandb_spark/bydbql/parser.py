@@ -51,7 +51,7 @@ _TOKEN_RE = re.compile(
   | (?P<dcolon>::)
   | (?P<op><=|>=|!=|=|<|>)
   | (?P<punct>[(),*])
-  | (?P<ident>[A-Za-z_][A-Za-z0-9_.\-]*)
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_.\-*]*)
     """,
     re.VERBOSE,
 )
@@ -151,6 +151,10 @@ class SelectStmt:
     time: Optional[TimeCond] = None
     where: Optional[CriteriaNode] = None
     group_by: Tuple[str, ...] = ()
+    # per-column ::TAG/::FIELD specifier of group_by (None = auto-resolve
+    # against the projection, bydbql_test.go "GROUP BY with Type
+    # Specifiers" / transformer.go convertGroupBy)
+    group_by_hints: Tuple[Optional[str], ...] = ()
     order_by: Optional[OrderClause] = None
     query_trace: bool = False
     limit: Optional[int] = None
@@ -269,12 +273,14 @@ class _Parser:
         time = self.time_clause() if self.accept_kw("TIME") else None
         where = self.criteria() if self.accept_kw("WHERE") else None
         group_by: Tuple[str, ...] = ()
+        group_by_hints: Tuple[Optional[str], ...] = ()
         if self.accept_kw("GROUP"):
             self.expect_kw("BY")
-            names = [self.expect_ident()]
+            items = [self.group_by_item()]
             while self.accept_punct(","):
-                names.append(self.expect_ident())
-            group_by = tuple(names)
+                items.append(self.group_by_item())
+            group_by = tuple(n for n, _ in items)
+            group_by_hints = tuple(h for _, h in items)
         order_by = self.order_clause() if self.accept_kw("ORDER") else None
         query_trace = self.with_clause()
         limit = self.expect_count() if self.accept_kw("LIMIT") else None
@@ -282,9 +288,28 @@ class _Parser:
         return SelectStmt(
             resource=resource, name=name, groups=groups, stages=stages,
             projection=projection, top=top, time=time, where=where,
-            group_by=group_by, order_by=order_by, query_trace=query_trace,
+            group_by=group_by, group_by_hints=group_by_hints,
+            order_by=order_by, query_trace=query_trace,
             limit=limit, offset=offset,
         )
+
+    def group_by_item(self) -> Tuple[str, Optional[str]]:
+        """GROUP BY column with optional ``::TAG``/``::FIELD`` specifier
+        (grammar.go:97-101; bydbql_test.go "GROUP BY with Type
+        Specifiers" — specifiers are case-insensitive, anything else
+        after ``::`` is a syntax error)."""
+        name = self.expect_ident()
+        hint = None
+        if self.peek().kind == "DCOLON":
+            self.next()
+            t2 = self.peek()
+            if t2.kind in ("IDENT", "KW") and t2.text.upper() in ("TAG", "FIELD"):
+                self.next()
+                hint = t2.text.upper()
+            else:
+                raise BydbQLSyntaxError(
+                    f"expected TAG or FIELD after :: at {t2.pos}")
+        return name, hint
 
     def show_top_stmt(self) -> ShowTopStmt:
         self.expect_kw("TOP")

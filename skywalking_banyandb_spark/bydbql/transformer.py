@@ -188,6 +188,56 @@ def _split_projection(
     return tuple(tags), tuple(fields), agg
 
 
+def _resolve_group_by(
+    stmt: SelectStmt, schema: MeasureSchema,
+    proj_tags: Tuple[str, ...], proj_fields: Tuple[str, ...],
+) -> Tuple[str, ...]:
+    """``transformer.go:746-825`` convertGroupBy: each GROUP BY column
+    resolves against the PROJECTION — auto (no specifier) requires the
+    name in exactly one of the projected tag/field sets (both → "specify
+    the type explicitly", neither → "not found in projection"); ``::TAG``
+    requires a projected tag; ``::FIELD`` requires a projected field and
+    at most ONE field is allowed. A ``SELECT *``/``()`` projection
+    projects the whole schema, so resolution falls back to the declared
+    tags/fields. The field-resolved column is validated then carried no
+    further — identical to the YAML boundary, where
+    ``groupBy.fieldName`` is accepted and inert (the reference's own
+    golden group_max/group_mean outputs show the field does not join the
+    grouping key)."""
+    star = stmt.projection in ("*", "()")
+    tag_set = ({t.name for t in schema.tags} if star else set(proj_tags))
+    field_set = ({f.name for f in schema.fields} if star
+                 else set(proj_fields))
+    hints = stmt.group_by_hints or (None,) * len(stmt.group_by)
+    out_tags = []
+    field_seen = None
+    for name, hint in zip(stmt.group_by, hints):
+        if hint is None:
+            in_t, in_f = name in tag_set, name in field_set
+            if in_t and in_f:
+                raise QueryAnalyzeError(
+                    f"column {name!r} found in both tags and fields, "
+                    "please specify the type explicitly in group by")
+            if not in_t and not in_f:
+                raise QueryAnalyzeError(
+                    f"column {name!r} not found in projection")
+            hint = "TAG" if in_t else "FIELD"
+        if hint == "FIELD":
+            if field_seen is not None:
+                raise QueryAnalyzeError(
+                    "only one field is allowed in GROUP BY")
+            if name not in field_set:
+                raise QueryAnalyzeError(
+                    f"field {name!r} not found in projection")
+            field_seen = name
+            continue
+        if name not in tag_set:
+            raise QueryAnalyzeError(
+                f"tag {name!r} not found in projection")
+        out_tags.append(name)
+    return tuple(out_tags)
+
+
 def to_query(
     stmt: Statement, catalog: Catalog, now: Optional[dt.datetime] = None
 ):
@@ -226,13 +276,14 @@ def to_query(
             if stmt.order_by else None
         )
         tags, fields, agg = _split_projection(stmt, schema)
+        group_by = _resolve_group_by(stmt, schema, tags, fields)
         top = None
         if stmt.top is not None:
             top = TopSpec(stmt.top.number, stmt.top.field_name, stmt.top.sort)
         return MeasureQuery(
             groups=stmt.groups, name=stmt.name, time_range=tr,
             criteria=stmt.where, tag_projection=tags, field_projection=fields,
-            group_by=stmt.group_by, agg=agg, top=top, order_by=order,
+            group_by=group_by, agg=agg, top=top, order_by=order,
             limit=stmt.limit, offset=stmt.offset or 0, stages=stmt.stages,
         )
     if stmt.resource == "STREAM":
