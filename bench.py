@@ -78,6 +78,10 @@ EXTENDED = [
     "measure_rate_extrapolated_promql",
     "ann_ivfpq_incremental_topk",
     "embedding_int8_quantization",
+    # round-8 additions
+    "embedding_kmeans_clusters",
+    "trace_finalize_sampling",
+    "dedup_minhash_lsh",
 ]
 
 

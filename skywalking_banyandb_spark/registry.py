@@ -347,12 +347,20 @@ _R4_STALE_FIRST = (
 #   ADC re-rank shortlist grew max(4k,32) → max(20k,200) in BOTH engines
 #   (recall@10 0.56–0.66 → 0.94–0.99 at sf0.1, VERDICT r7 #6 — the
 #   recall gate in tests/test_ann_recall.py pins the floor).
+# - dedup_minhash_lsh: duplicate-collapse + pair-keyed verify +
+#   corpus-scaled stop-bucket cap (skew-proof findings, both engines);
+# - bydbql_* (measure): GROUP BY columns now validate against the
+#   projection per convertGroupBy (transformer change — all 11 bydbql
+#   entries re-verified green locally, but the measure group-by ones
+#   re-verify first).
 _R8_TOUCHED = (
     "measure_rate_extrapolated_promql",
     "streaming_extrapolated_rate_materialized",
     "ann_ivf_incremental_topk", "ann_ivfpq_incremental_topk",
     "embedding_centroid_confusion",
     "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_residual_topk",
+    "dedup_minhash_lsh",
+    "bydbql_measure_group_agg", "bydbql_family_qualified_agg",
 )
 
 _SWEEP_CAP = 50

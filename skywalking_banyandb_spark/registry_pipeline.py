@@ -274,13 +274,15 @@ register(
 
 
 def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
-    return dd.minhash_lsh_pairs(_docs(spark, sf), "doc_id", "text", n=1, threshold=0.5)
+    return dd.minhash_lsh_pairs(_docs(spark, sf), "doc_id", "text", n=1,
+                            threshold=0.5, bucket_cap_frac=0.05)
 
 
 register(
     "dedup_minhash_lsh",
     _dedup_minhash,
-    dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", n=1, threshold=0.5),
+    dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", n=1,
+                             threshold=0.5, bucket_cap_frac=0.05),
 )
 
 
@@ -1783,4 +1785,121 @@ register(
        SELECT label, assigned, COUNT(*) AS n
        FROM assigned GROUP BY label, assigned
        ORDER BY label, assigned""",
+)
+
+
+def _embedding_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed spherical k-means clustering (NEW r8) — the corpus
+    partitioner every embedding-store pipeline runs before building
+    per-cluster indexes or sampling balanced training mixes. Unlike
+    ``functions/similarity.ivf_build`` (the numpy-UDF training loop),
+    this is the FULLY DECLARATIVE, oracle-paired twin: two Lloyd
+    iterations expressed as one Catalyst DAG with no driver-side data
+    collection at all.
+
+    Shape per iteration = the broadcast-centroid-assign of
+    ``_embedding_centroid_confusion``: the k×64 centroid relation rolls
+    into ONE broadcast row, assignment is a constant-size
+    transform/array_max fold ranking on dot(v, c)/‖c‖ (argmax-equivalent
+    to cosine — the row's own norm is a constant positive factor), and
+    the re-estimation is a posexplode → decimal-exact per-dim mean
+    (map-side combined, k×64 groups). Initialization is the
+    smallest-md5(id) sample (deterministic, engine-portable — the
+    sampled-IVF initializer). Output columns are INTEGERS
+    (cluster_id = the init vector's id, member count, id checksum), so
+    the driver hash is insensitive to float formatting while the full
+    float pipeline feeds the assignment.
+
+    Cites: reference has no clustering operator (SURVEY §2.4 "approx
+    sketches absent") — this is a pipeline extension; the Lloyd loop is
+    public knowledge (Lloyd 1982; spherical variant Dhillon & Modha
+    2001).
+    """
+    from .functions.similarity import _dot
+
+    emb = _emb(spark, sf)
+    vec = F.col("embedding").cast("array<double>")
+    e = emb.select(F.col("vec_id").alias("id"), vec.alias("v"))
+
+    def pack(cent_df):
+        """(cid, cv) relation -> one broadcast row of (cid, cv, cn)."""
+        return cent_df.select(
+            "cid", "cv", F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cn")
+        ).agg(F.collect_list(F.struct("cid", "cv", "cn")).alias("cents"))
+
+    def assign(cents1):
+        best = F.array_max(F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (_dot(F.col("v"), c["cv"]) / c["cn"]).alias("s"),
+                (-c["cid"]).alias("nc"),
+            )))
+        return (
+            e.crossJoin(F.broadcast(cents1))
+            .select("id", "v", (-best["nc"]).alias("cid"))
+        )
+
+    def means(assigned):
+        comp = assigned.select("cid", F.posexplode("v").alias("i", "x"))
+        cent = comp.groupBy("cid", "i").agg(
+            (F.sum(F.col("x").cast("decimal(38,18)")).cast("double")
+             / F.count(F.lit(1))).alias("c"))
+        return cent.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))),
+                lambda s: s["c"],
+            ).alias("cv"))
+
+    init = (
+        e.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(8)
+        .select(F.col("id").alias("cid"), F.col("v").alias("cv"))
+    )
+    a1 = assign(pack(init))
+    a2 = assign(pack(means(a1)))
+    return (
+        a2.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"),
+             F.sum("id").alias("id_sum"))
+        .orderBy("cluster_id")
+    )
+
+
+_KM_ARGMAX = """
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) / c.cn DESC, c.cid ASC)
+               AS rn
+    FROM e, {cents} c) WHERE rn = 1"""
+
+register(
+    "embedding_kmeans_clusters",
+    _embedding_kmeans_clusters,
+    f"""WITH e AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       init AS (
+         SELECT vec_id AS cid, v AS cv FROM e
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       c0 AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn
+              FROM init),
+       a1 AS ({_KM_ARGMAX.format(cents='c0')}),
+       x1 AS (
+         SELECT cid, u.i AS i, u.x AS x FROM (
+           SELECT cid,
+                  unnest([{{'i': i, 'x': v[i]}}
+                          FOR i IN generate_series(1, 64)]) AS u
+           FROM a1)),
+       m1 AS (
+         SELECT cid, i,
+                CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+                    / COUNT(*) AS c
+         FROM x1 GROUP BY cid, i),
+       c1 AS (SELECT cid, list(c ORDER BY i) AS cv FROM m1 GROUP BY cid),
+       c1n AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn
+               FROM c1),
+       a2 AS ({_KM_ARGMAX.format(cents='c1n')})
+       SELECT cid AS cluster_id, COUNT(*) AS n_vectors,
+              SUM(vec_id) AS id_sum
+       FROM a2 GROUP BY cid ORDER BY cluster_id""",
 )

@@ -182,3 +182,45 @@ def test_int8_quantization_matches_numpy(spark):
         assert r.mse <= (r.scale ** 2)
     # at least one dim saturates (its max-|x| element maps to +/-127)
     assert sum(r.saturated for r in rows) >= 1
+
+
+def test_kmeans_clusters_match_numpy(spark):
+    """The declarative two-iteration spherical k-means must reproduce a
+    numpy transcription exactly: same md5 init, same dot/||c|| argmax
+    with smallest-cid tie-break, same per-dim means."""
+    import hashlib
+
+    from skywalking_banyandb_spark.registry_pipeline import (
+        _embedding_kmeans_clusters,
+    )
+
+    ids, X, _ = _collect_embeddings(spark)
+    order = sorted(range(len(ids)),
+                   key=lambda i: (hashlib.md5(str(ids[i]).encode())
+                                  .hexdigest(), ids[i]))
+    init = [(int(ids[i]), X[i].astype(float)) for i in order[:8]]
+
+    def assign(cents):
+        out = {}
+        for vid, v in zip(ids, X):
+            scored = sorted(
+                ((float(v @ cv) / float(np.linalg.norm(cv)), -cid)
+                 for cid, cv in cents), reverse=True)
+            out[int(vid)] = -scored[0][1]
+        return out
+
+    a1 = assign(init)
+    cents1 = []
+    for cid, _cv in init:
+        members = [X[i] for i, vid in enumerate(ids) if a1[int(vid)] == cid]
+        if members:
+            cents1.append((cid, np.mean(members, axis=0)))
+    a2 = assign(cents1)
+    want = {}
+    for vid, cid in a2.items():
+        n, s = want.get(cid, (0, 0))
+        want[cid] = (n + 1, s + vid)
+    got = {r.cluster_id: (r.n_vectors, r.id_sum)
+           for r in _embedding_kmeans_clusters(spark, SF_SMALL).collect()}
+    assert got == want
+    assert sum(n for n, _ in got.values()) == len(ids)  # partition
