@@ -33,7 +33,7 @@ UI_PORT = 4051
 SF = "/root/testdata/sf0.1"
 WORK = "/tmp/banyandb_spark_skew_proof"
 ENTRIES = ["quality_tfidf_top_terms", "dedup_minhash_lsh",
-           "dedup_substring_winnow"]
+           "dedup_substring_winnow", "dedup_ngram_jaccard"]
 
 
 def _rest(app, path):

@@ -33,6 +33,11 @@ _ENTRIES = [
     "ann_ivf_incremental_topk",         # frozen-centroid append + tombstones
     "measure_rate_extrapolated_promql", # edge-extrapolation IEEE expression
     "embedding_int8_quantization",      # quantized-integer MSE sums
+    # r8 families
+    "embedding_kmeans_clusters",        # broadcast-centroid argmax, 2 Lloyd iters
+    "embedding_centroid_confusion",     # factored dot/||c|| ranking (r8 reshape)
+    "dedup_minhash_lsh",                # collapse + stop-buckets + pair verify
+    "trace_finalize_sampling",          # md5 rate sampler + segment rewrite
 ]
 
 
