@@ -246,17 +246,19 @@ def minhash_lsh_pairs(
                 F.col("_bb.bh").alias("bh"))
     )
     if bucket_cap_frac is not None:
-        # "Stop buckets" (r8, third skew-proof finding; the winnow
-        # stop-fingerprint precedent): on a shared-vocabulary corpus a
-        # band's min-hashes collapse and one bucket can swallow half the
-        # DISTINCT corpus (measured: a 22,850-doc bucket at 50k docs —
-        # 0.5 G candidate rows from ONE key; skew-split cannot help, the
-        # blow-up is join output inside the key). A bucket larger than
-        # max(8, frac x distinct-docs) is degenerate — its band carries
-        # ~no information — so it generates no candidates; true near-dup
-        # pairs still collide in their other, informative bands. The
-        # floor keeps tiny corpora exhaustive. The DuckDB twin applies
-        # the identical cap, so the approximation stays oracle-exact.
+        # OPT-IN "stop buckets" (r8): skip buckets larger than
+        # max(8, frac x distinct-docs) for candidate generation. This is
+        # a recall-sacrificing safety valve for corpora whose giant
+        # buckets are BANDING NOISE — use it only there. Measured
+        # honestly on the synthetic corpus, where ambient similarity is
+        # real (73% of ALL pairs exceed tau=0.5 at sf0.001), the giant
+        # buckets hold true near-dups and the cap destroys recall
+        # (0.52 -> 0.006 vs brute-force truth) — which is why the
+        # registry entry does NOT set it. When the true answer is
+        # near-quadratic, candidate volume is the ANSWER's size; no cap
+        # or partitioning trick makes a quadratic answer sub-quadratic.
+        # The DuckDB twin applies the identical cap, so the capped
+        # configuration stays oracle-exact too.
         cap = max(8, int(bucket_cap_frac * sig.count()))
         small = (
             banded.groupBy("band", "bh")

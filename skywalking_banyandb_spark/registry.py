@@ -347,8 +347,8 @@ _R4_STALE_FIRST = (
 #   ADC re-rank shortlist grew max(4k,32) → max(20k,200) in BOTH engines
 #   (recall@10 0.56–0.66 → 0.94–0.99 at sf0.1, VERDICT r7 #6 — the
 #   recall gate in tests/test_ann_recall.py pins the floor).
-# - dedup_minhash_lsh: duplicate-collapse + pair-keyed verify +
-#   corpus-scaled stop-bucket cap (skew-proof findings, both engines);
+# - dedup_minhash_lsh: duplicate-collapse + pair-keyed verify (skew-
+#   proof findings; results byte-identical to r7, plan reshaped);
 # - bydbql_* (measure): GROUP BY columns now validate against the
 #   projection per convertGroupBy (transformer change — all 11 bydbql
 #   entries re-verified green locally, but the measure group-by ones

@@ -275,14 +275,14 @@ register(
 
 def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     return dd.minhash_lsh_pairs(_docs(spark, sf), "doc_id", "text", n=1,
-                            threshold=0.5, bucket_cap_frac=0.05)
+                            threshold=0.5)
 
 
 register(
     "dedup_minhash_lsh",
     _dedup_minhash,
     dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", n=1,
-                             threshold=0.5, bucket_cap_frac=0.05),
+                             threshold=0.5),
 )
 
 
