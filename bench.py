@@ -78,10 +78,13 @@ EXTENDED = [
     "measure_rate_extrapolated_promql",
     "ann_ivfpq_incremental_topk",
     "embedding_int8_quantization",
-    # round-8 additions
+    # round-8 additions (dedup_minhash_lsh is deliberately absent: its
+    # sf0.1 answer is 4.4M pairs — the ambient-similarity corpus makes
+    # near-dup truth quadratic-ish — so a bench .collect() measures 80s
+    # of Python row serialization, not engine speed; the distributed
+    # plan itself runs in ~19s end-to-end, see SCALE.md r8)
     "embedding_kmeans_clusters",
     "trace_finalize_sampling",
-    "dedup_minhash_lsh",
 ]
 
 
