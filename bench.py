@@ -85,6 +85,7 @@ EXTENDED = [
     # plan itself runs in ~19s end-to-end, see SCALE.md r8)
     "embedding_kmeans_clusters",
     "trace_finalize_sampling",
+    "dedup_minhash_lsh_3gram",
 ]
 
 

@@ -286,6 +286,28 @@ register(
 )
 
 
+def _dedup_minhash_3gram(spark: SparkSession, sf: str) -> DataFrame:
+    """The SELECTIVE MinHash configuration (NEW r8): 3-token shingles at
+    τ=0.4 — the shape production near-dup pipelines actually ship. The
+    unigram sibling (``dedup_minhash_lsh``) exercises the dup-heavy
+    regime where the corpus's ambient word-set similarity makes the
+    answer huge (44 k pairs at sf0.01); 3-gram shingles demand shared
+    PHRASES, so candidates collapse to true template-duplicates (24
+    pairs at sf0.01, 250 at sf0.1) and the LSH pruning — not the
+    verify — carries the cost. Same engine pipeline, same collapse and
+    pair-keyed verify, same oracle machinery, one parameter apart."""
+    return dd.minhash_lsh_pairs(_docs(spark, sf), "doc_id", "text", n=3,
+                                threshold=0.4)
+
+
+register(
+    "dedup_minhash_lsh_3gram",
+    _dedup_minhash_3gram,
+    dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", n=3,
+                             threshold=0.4),
+)
+
+
 def _emb_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return sim.embedding_neardup_pairs(_emb(spark, sf), "vec_id", "embedding", 0.45)
 
