@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import datetime as dt
 import re
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 

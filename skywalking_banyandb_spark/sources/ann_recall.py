@@ -28,7 +28,6 @@ both sides, like every ann_* registry entry.
 
 from __future__ import annotations
 
-import hashlib
 from typing import Dict, List, Sequence
 
 from pyspark.sql import SparkSession
