@@ -829,3 +829,4 @@ from . import registry_criteria  # noqa: E402,F401
 from . import registry_observability  # noqa: E402,F401
 from . import registry_pipeline  # noqa: E402,F401
 from . import registry_sketches  # noqa: E402,F401
+from . import registry_tpch2  # noqa: E402,F401

@@ -325,3 +325,52 @@ def test_centroid_confusion_broadcast_constant_plan(spark):
     assert "array_max(transform(cents" in plan
     assert "from_json" not in plan and plan.count("array(") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tpch2_correlated_set_decorrelates(spark):
+    """r8: the q2/q11/q15/q20/q22 completion set runs the SAME correlated
+    SQL on both engines; Catalyst must decorrelate every member — scalar
+    subqueries become aggregate + equi-join, IN becomes LeftSemi,
+    NOT EXISTS becomes LeftAnti. A CartesianProduct or nested-loop join
+    over lineitem/customer is the 100 TB scale-killer these gates exist
+    to catch."""
+    from skywalking_banyandb_spark.registry_tpch2 import (
+        _tpch_q2, _tpch_q11, _tpch_q15, _tpch_q20, _tpch_q22)
+
+    for fn in (_tpch_q2, _tpch_q11, _tpch_q15, _tpch_q20, _tpch_q22):
+        p = _plan(fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+        assert "HashAggregate" in p or "SortAggregate" in p, p
+
+    assert "LeftSemi" in _plan(_tpch_q20(spark, SF_SMALL))
+    assert "LeftAnti" in _plan(_tpch_q22(spark, SF_SMALL))
+
+
+def test_tpch_q19_disjunction_splits_to_both_scans(spark):
+    """r8: q19's OR-of-ANDs join predicate must DECOMPOSE — the quantity
+    union pushed into the lineitem scan and the brand/size union into the
+    part scan (each side can row-group-skip independently), with the full
+    disjunction re-checked post-join. One big post-join filter over
+    unfiltered scans reads 100% of both tables at 100 TB."""
+    from skywalking_banyandb_spark.registry_tpch2 import _tpch_q19
+
+    p = _plan(_tpch_q19(spark, SF_SMALL))
+    scans = [s.split("\n")[0] for s in p.split("FileScan parquet")[1:]]
+    li = next(s for s in scans if "l_quantity" in s)
+    pa = next(s for s in scans if "p_brand" in s)
+    # lineitem scan carries the quantity-range union as a data filter
+    assert "l_quantity" in li and "40.0" in li, li
+    # part scan carries the brand/size union
+    assert "Brand#12" in pa and "p_size" in pa, pa
+
+
+def test_tpch_q13_left_join_preserves_zero_bucket(spark):
+    """r8: q13's LEFT OUTER join must stay outer after optimization (an
+    inner rewrite would silently drop the c_count=0 customers), and the
+    priority filter must reach the orders scan, not run post-join."""
+    from skywalking_banyandb_spark.registry_tpch2 import _tpch_q13
+
+    p = _plan(_tpch_q13(spark, SF_SMALL))
+    assert "LeftOuter" in p, p
+    assert "EqualTo(o_orderpriority,1-URGENT)" in p, p
