@@ -73,59 +73,52 @@ def _shingles_sql(expr: str, n: int) -> str:
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 2, threshold: float = 0.5,
-    df_cap_frac: float | None = None,
+def _verify_pairs_exact(
+    cand: DataFrame, sh: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact pairwise n-gram Jaccard >= threshold, ids ordered a < b.
+    """Exact-Jaccard verification of candidate pairs (``a`` < ``b``) against
+    an exploded ``(id, sh)`` distinct-shingle relation.
 
-    jaccard = |A∩B| / (|A| + |B| - |A∩B|) computed by exploding distinct
-    shingles and joining on the shingle (common-count groupBy) — only pairs
-    that share at least one shingle are ever materialized.
+    PER-PAIR array intersection (the r8 skew-proof shape): each candidate
+    joins its two docs' shingle SETS and computes |∩| locally — partitioned
+    by pair, per-doc fan-out bounded by candidate degree, never by shingle
+    frequency (a shingle-keyed count join puts df² rows on every stop-word
+    key once the candidate set grows corpus-sized — join OUTPUT inside
+    single keys, which AQE skew-split cannot divide).
 
-    ``df_cap_frac`` bounds the quadratic hot-shingle blowup that makes the
-    bare self-join unusable for corpus-wide discovery: shingles present in
-    more than that fraction of documents ("stop shingles" — every pair of
-    docs sharing 'the cat' meets in one reducer) are dropped from the
-    shingle SETS on both sides of the ratio, so each join key fans out to
-    at most cap² pairs. The hot set is tiny in realistic corpora (high-df
-    ⇒ few), so AQE ships the anti-join broadcast — but its size is
-    data-dependent, so the hint is deliberately NOT forced; the per-key
-    work bound makes the discovery cost candidate-linear. With ``None`` the
-    full-vocabulary semantics are kept (verification primitive).
+    A conservative length prune runs before the intersection: J >= τ forces
+    τ·|A| <= |B| and τ·|B| <= |A|; the margin (1e-6) keeps every pair the
+    final round(·,6) >= τ filter could accept, so the prune is cost-only.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_shingles(F.col(text_col), n)).alias("sh"),
+    t_eff = threshold - 1e-6
+    ids = (
+        cand.select(F.col("a").alias("id"))
+        .unionByName(cand.select(F.col("b").alias("id")))
+        .distinct()
     )
-    if df_cap_frac is not None:
-        # floor at 2 — same rationale as winnow_pairs: below 2 every
-        # pair-discoverable shingle (df = 2) would be dropped and small
-        # corpora would silently yield zero pairs on both engines
-        cap = max(2, int(df_cap_frac * df.count()))
-        hot = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") > cap)
-            .select("sh")
-        )
-        # hot-set size is data-dependent (≤ postings/cap but unbounded in
-        # absolute terms) — no forced broadcast; AQE ships it broadcast
-        # while it is small and falls back to a shuffle anti-join if a
-        # pathological corpus makes it big
-        sh = sh.join(hot, "sh", "left_anti")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    common = (
-        sh.alias("x")
-        .join(sh.alias("y"), on="sh")
-        .where(F.col("x.id") < F.col("y.id"))
-        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+    sets = (
+        # candidate-id cardinality is data-dependent (could approach the
+        # corpus in a dup-heavy crawl), so no forced broadcast — AQE
+        # broadcasts the semi-join side when it is actually small
+        sh.join(ids, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_set("sh").alias("shset"))
+        .select("id", "shset", F.size("shset").alias("sz"))
     )
-    out = (
-        common.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
-        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
-        .withColumn(
+    both = (
+        cand
+        .join(sets.select(F.col("id").alias("a"),
+                          F.col("shset").alias("seta"),
+                          F.col("sz").alias("sza")), "a")
+        .join(sets.select(F.col("id").alias("b"),
+                          F.col("shset").alias("setb"),
+                          F.col("sz").alias("szb")), "b")
+        .where((F.col("szb") >= F.lit(t_eff) * F.col("sza"))
+               & (F.col("sza") >= F.lit(t_eff) * F.col("szb")))
+        .withColumn("common", F.size(F.array_intersect("seta", "setb")))
+    )
+    return (
+        both.withColumn(
             "jaccard",
             F.round(
                 F.col("common")
@@ -136,7 +129,121 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
-    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, threshold: float = 0.5,
+    df_cap_frac: float | None = None, prefix_filter: bool = False,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard >= threshold, ids ordered a < b.
+
+    jaccard = |A∩B| / (|A| + |B| - |A∩B|). Two candidate strategies with
+    IDENTICAL results (the DuckDB oracle keeps the naive form for both):
+
+    - **naive count-join** (the DEFAULT): explode distinct shingles,
+      self-join on the shingle, count common per pair — only pairs
+      sharing >= 1 shingle materialize, and the common count comes out
+      of the one join with no second pass: candidate generation and
+      verification are FUSED into a single shuffle.
+    - **prefix filtering** (AllPairs/PPJoin, Bayardo 2007 / Xiao 2008;
+      ``prefix_filter=True``): shingles are globally ordered by ascending
+      document frequency (ties broken lexically) and each doc posts only
+      its first |S| - ⌈τ·|S|⌉ + 1 shingles in that order — any pair
+      with J >= τ must share an element of BOTH prefixes (the smallest
+      common shingle is in each side's prefix, else the >= ⌈τ·|S|⌉
+      common elements would have to fit in a ⌈τ·|S|⌉ - 1 suffix), so
+      the self-join never touches each doc's high-df tail. Verification
+      is exact per-pair set intersection (:func:`_verify_pairs_exact`).
+      (The ⌈·⌉ uses τ - 1e-6 so pairs the final round(·,6) >= τ
+      filter accepts are never pruned.)
+
+      **Measured negative result (r8, SCALE.md)** — the textbook
+      candidate/verify split LOSES to the fused count-join in every
+      regime we measured (dense 50 k-doc skew corpus: 280 s vs 944 s at
+      τ=0.5, >20 min aborted at τ=0.12; sparse 5 k-doc sf0.1: 42 s vs
+      57 s at τ=0.5; identical outputs throughout). AllPairs' win
+      assumes an engine where candidate generation dominates and
+      verification is a cheap indexed probe; in the DataFrame model the
+      naive join IS the verification, while the split pays a df join, a
+      per-doc window, a candidate ``distinct`` and a set-materializing
+      verify re-pass — two extra shuffles plus array materialization
+      that the fused shape never builds. Kept as an opt-in so the
+      measurement stays reproducible (`scripts/ngram_tau_compare.py`,
+      `scripts/ngram_sparse_compare.py`).
+
+    ``df_cap_frac`` additionally bounds the SEMANTICS to capped-vocabulary
+    discovery: shingles present in more than that fraction of documents
+    ("stop shingles") are dropped from the shingle SETS on both sides of
+    the ratio (mirrored in the oracle; floor 2 so df-2 pair-discoverable
+    shingles survive small corpora). The hot-set size is data-dependent —
+    no forced broadcast; AQE ships the anti-join broadcast while small.
+    """
+    from pyspark.sql.window import Window
+
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    if df_cap_frac is not None:
+        cap = max(2, int(df_cap_frac * df.count()))
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > cap)
+            .select("sh")
+        )
+        sh = sh.join(hot, "sh", "left_anti")
+
+    if not prefix_filter:
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        common = (
+            sh.alias("x")
+            .join(sh.alias("y"), on="sh")
+            .where(F.col("x.id") < F.col("y.id"))
+            .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+        return (
+            common.join(
+                sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"),
+                "a")
+            .join(
+                sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"),
+                "b")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("common")
+                    / (F.col("sza") + F.col("szb") - F.col("common"))
+                    .cast("double"),
+                    6,
+                ),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard")
+        )
+
+    t_eff = threshold - 1e-6
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    # global canonical order = (df ASC, sh) — rarest shingles first; the
+    # per-doc window is one shuffle on id with O(|S| log |S|) local sort
+    w = Window.partitionBy("id").orderBy(F.col("_df").asc(), F.col("sh").asc())
+    ranked = (
+        sh.join(dfreq, "sh")
+        .withColumn("_pos", F.row_number().over(w))
+        .withColumn("_sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    )
+    prefix = ranked.where(
+        F.col("_pos") <= F.col("_sz") - F.ceil(F.lit(t_eff) * F.col("_sz")) + 1
+    ).select("id", "sh")
+    cand = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), on="sh")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    return _verify_pairs_exact(cand, sh, threshold)
 
 
 def ngram_jaccard_pairs_sql(
@@ -277,57 +384,16 @@ def minhash_lsh_pairs(
     # Exact-Jaccard verification restricted to the CANDIDATE set — the whole
     # point of LSH discovery: only candidate pairs are verified, so cost
     # tracks the (linear) candidate volume, never all-pairs volume.
-    #
-    # Shape (r8, second skew-proof finding): verification is a PER-PAIR
-    # array intersection — each candidate pair joins its two docs'
-    # distinct-shingle SETS and computes |∩| with array_intersect. The
-    # r1–r7 shape self-joined exploded shingles on the shingle key; with
-    # unigram shingles the keys are WORDS, and as soon as the candidate
-    # set grows corpus-sized (a replica-heavy crawl) stop-word keys carry
-    # df² joined rows each — a blow-up AQE cannot split because it is
-    # join OUTPUT inside single keys. The pair-keyed join partitions by
-    # pair, each row does O(|set| log |set|) local work, and a doc's
-    # fan-out is its candidate degree — bounded by band-collision counts,
-    # never by word frequency.
-    ids = (
-        cand.select(F.col("a").alias("id"))
-        .unionByName(cand.select(F.col("b").alias("id")))
-        .distinct()
-    )
-    sets = (
+    # Per-pair array intersection (r8, second skew-proof finding — see
+    # _verify_pairs_exact: a shingle-keyed verify join puts df² rows on
+    # stop-word keys once the candidate set grows corpus-sized).
+    verified = _verify_pairs_exact(
+        cand,
         df.select(
             F.col(id_col).alias("id"),
             F.explode(_shingles(F.col(text_col), n)).alias("sh"),
-        )
-        # candidate-id cardinality is data-dependent (could approach the
-        # corpus in a dup-heavy crawl), so no forced broadcast — AQE
-        # broadcasts the semi-join side when it is actually small
-        .join(ids, "id", "left_semi")
-        .groupBy("id")
-        .agg(F.collect_set("sh").alias("shset"))
-        .select("id", "shset", F.size("shset").alias("sz"))
-    )
-    both = (
-        cand
-        .join(sets.select(F.col("id").alias("a"),
-                          F.col("shset").alias("seta"),
-                          F.col("sz").alias("sza")), "a")
-        .join(sets.select(F.col("id").alias("b"),
-                          F.col("shset").alias("setb"),
-                          F.col("sz").alias("szb")), "b")
-        .withColumn("common", F.size(F.array_intersect("seta", "setb")))
-    )
-    verified = (
-        both.withColumn(
-            "jaccard",
-            F.round(
-                F.col("common")
-                / (F.col("sza") + F.col("szb") - F.col("common")).cast("double"),
-                6,
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
+        ),
+        threshold,
     )
     # pair-level restriction applied LAST, on the already-thresholded small
     # result (a candidate-doc pair can still fail to band-collide)

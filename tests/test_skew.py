@@ -123,3 +123,43 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in keep.items():
             spark.conf.set(k, v)
+
+
+def test_ngram_prefix_filter_equals_naive(spark):
+    """The two candidate strategies of ngram_jaccard_pairs must be
+    result-identical (prefix filtering is cost-only): force each path on
+    the same corpus at a high and a low threshold and compare pair sets
+    and rounded jaccards exactly. Also pins the default: the naive
+    fused count-join at every tau (the measured winner, SCALE.md r8 —
+    no row_number window in the plan), prefix only on opt-in."""
+    from skywalking_banyandb_spark.functions.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon eta"),
+        (2, "alpha beta gamma theta iota kappa"),
+        (3, "completely different words here now"),
+        (4, "completely different words here too"),
+        (5, "alpha beta mu nu xi omicron"),
+        (6, "alpha beta gamma delta epsilon zeta"),  # exact dup of 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for tau in (0.12, 0.5, 0.8):
+        got = {}
+        for forced in (False, True):
+            pairs = ngram_jaccard_pairs(
+                df, "doc_id", "text", n=2, threshold=tau,
+                prefix_filter=forced)
+            got[forced] = sorted(
+                (r.a, r.b, r.jaccard) for r in pairs.collect())
+        assert got[False] == got[True], (tau, got)
+        assert len(got[False]) > 0, tau  # non-vacuous at every tau
+
+    default = ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.5)
+    opted = ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.5,
+                                prefix_filter=True)
+    default_plan = default._jdf.queryExecution().optimizedPlan().toString()
+    opted_plan = opted._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" not in default_plan
+    assert "row_number" in opted_plan
