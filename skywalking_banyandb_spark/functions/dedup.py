@@ -90,7 +90,6 @@ def _verify_pairs_exact(
     τ·|A| <= |B| and τ·|B| <= |A|; the margin (1e-6) keeps every pair the
     final round(·,6) >= τ filter could accept, so the prune is cost-only.
     """
-    t_eff = threshold - 1e-6
     ids = (
         cand.select(F.col("a").alias("id"))
         .unionByName(cand.select(F.col("b").alias("id")))
@@ -105,6 +104,17 @@ def _verify_pairs_exact(
         .agg(F.collect_set("sh").alias("shset"))
         .select("id", "shset", F.size("shset").alias("sz"))
     )
+    return _verify_pairs_with_sets(cand, sets, threshold)
+
+
+def _verify_pairs_with_sets(
+    cand: DataFrame, sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Pair-keyed exact verification against a prebuilt ``(id, shset,
+    sz)`` relation — the back half of :func:`_verify_pairs_exact`, split
+    out so a PERSISTED shingle-set table (sources/dedup_index.py) can
+    feed it directly without re-exploding the corpus."""
+    t_eff = threshold - 1e-6
     both = (
         cand
         .join(sets.select(F.col("id").alias("a"),
