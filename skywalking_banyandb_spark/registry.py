@@ -319,17 +319,53 @@ _R7_DRIVER_SEEN = frozenset({
     "trace_spans_payload",
 })
 
-# Round-8 window front (VERDICT r7 Next #7): after r7 the oldest cohort
-# is the 13 entries whose newest driver row is r4 — seed them FIRST so
-# the full registry stays ≤3 rounds stale (after r8, nothing older
-# than r5).
-_R4_STALE_FIRST = (
-    "measure_rate_delta", "measure_zscore_anomalies",
+# Entries the round-8 driver sweep recorded (CORRECTNESS_r08.json):
+# 50 rows, 49 green — the r4-stale thirteen seeded first per VERDICT r7
+# #7, the ten new TPC-H shapes, and the r8-touched cohort. The one red
+# (embedding_kmeans_clusters) was a hash-only oracle-type artifact
+# (DuckDB HUGEINT from SUM(BIGINT)); its oracle now casts to BIGINT and
+# it re-verifies first in r9 via _R9_TOUCHED.
+_R8_DRIVER_SEEN = frozenset({
+    "ann_cosine_topk", "ann_ivf_incremental_topk", "ann_ivf_topk",
+    "ann_ivfpq_incremental_topk", "ann_ivfpq_residual_topk",
+    "ann_ivfpq_topk", "ann_lsh_topk", "ann_pq_topk",
+    "bydbql_family_qualified_agg", "bydbql_measure_group_agg",
+    "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_minhash_lsh",
+    "dedup_minhash_lsh_3gram", "documents_stratified_sample",
+    "documents_train_split", "embedding_centroid_confusion",
+    "embedding_kmeans_clusters", "embedding_l2_norms",
+    "events_cohort_retention", "json_extract_agg",
+    "measure_groupby_mean_salted", "measure_histogram_quantile",
+    "measure_multigroup_schema_merge", "measure_rate_delta",
+    "measure_rate_extrapolated_promql", "measure_zscore_anomalies",
     "property_crud_roundtrip", "quality_repetition", "sequence_packing",
     "sketch_bloom_membership", "sketch_hll_users",
     "stream_having_derived_tag", "stream_multigroup_schema_merge",
-    "stream_write_roundtrip", "streaming_hll_distinct_materialized",
+    "stream_write_roundtrip", "streaming_extrapolated_rate_materialized",
+    "streaming_hll_distinct_materialized", "tpch_q11_important_stock",
+    "tpch_q12_priority_shipclass", "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_relationship",
+    "tpch_q19_discounted_revenue", "tpch_q20_part_promotion",
+    "tpch_q22_sales_opportunity", "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit", "trace_finalize_sampling",
     "trace_multigroup_schema_merge", "write_mixed_roundtrip",
+})
+
+# Round-9 window front (VERDICT r8 Next #6): after r8 the oldest cohort
+# is the 27 entries whose newest driver row is r5 — seed them FIRST so
+# after r9 no entry's newest driver row is older than r6.
+_R5_STALE_FIRST = (
+    "measure_scan_filter", "pii_scrub", "property_ids_select",
+    "property_match_and", "property_match_keyword",
+    "property_match_url_and", "property_orderby_offset",
+    "request_yaml_measure", "request_yaml_property",
+    "request_yaml_stream", "request_yaml_topn", "request_yaml_trace",
+    "sketch_cms_tokens", "stream_filter_in_orderby_tag",
+    "stream_filter_not_in_range", "stream_match_props",
+    "streaming_interval_join_materialized", "text_simhash", "text_stats",
+    "topn_entity_conditions", "topn_multigroup_postagg_max",
+    "topn_per_window", "topn_postagg_mean", "trace_by_ids",
+    "trace_orderby_duration", "trace_regroup_stats", "vocab_top_tokens",
 )
 
 # Entries whose code round 8 changed (re-verify ahead of the stale rest):
@@ -363,11 +399,29 @@ _R8_TOUCHED = (
     "bydbql_measure_group_agg", "bydbql_family_qualified_agg",
 )
 
+# Entries whose code round 9 changed (re-verify ahead of the stale rest):
+# - embedding_kmeans_clusters: the r8 red row — oracle id_sum now
+#   CAST(... AS BIGINT) (DuckDB HUGEINT artifact, VERDICT r8 #1);
+# - dedup_minhash_lsh / dedup_minhash_lsh_3gram: MinHash signatures now
+#   ONE md5 per shingle + 128 multiply-shift permutations instead of 128
+#   md5 calls per shingle (VERDICT r8 #2) — engine and oracle changed in
+#   lockstep, pair semantics re-derived;
+# - trace_finalize_sampling: the day-segment fixture is now built once
+#   per (sf, params) under an idempotent marker so bench times the sweep
+#   (VERDICT r8 #4) — driver result unchanged (fixture deterministic).
+_R9_TOUCHED = (
+    "embedding_kmeans_clusters",
+    "dedup_minhash_lsh", "dedup_minhash_lsh_3gram",
+    "trace_finalize_sampling",
+)
+
 _SWEEP_CAP = 50
 
 
 def _newest_driver_round(k: str) -> int:
     """Most recent round whose sweep recorded this entry (0 = never)."""
+    if k in _R8_DRIVER_SEEN:
+        return 8
     if k in _R7_DRIVER_SEEN:
         return 7
     if k in _R6_DRIVER_SEEN:
@@ -387,15 +441,15 @@ def _newest_driver_round(k: str) -> int:
 
 def _sweep_order(d: Dict[str, "object"]) -> list:
     """Driver sweeps record the FIRST 50 entries only, so order by need:
-    the r4-stale thirteen (oldest driver rows anywhere — VERDICT r7 #7),
-    then never-driver-seen entries (new this round), then entries whose
-    code changed this round (_R8_TOUCHED), then everything else
+    the r5-stale twenty-seven (oldest driver rows anywhere — VERDICT r8
+    #6), then never-driver-seen entries (new this round), then entries
+    whose code changed this round (_R9_TOUCHED), then everything else
     oldest-driver-row first so no entry's newest row goes stale
     silently. Warn when the priority prefix itself overflows the cap
     (ADVICE r3)."""
-    stale = [k for k in _R4_STALE_FIRST if k in d]
+    stale = [k for k in _R5_STALE_FIRST if k in d]
     fresh = [k for k in d if _newest_driver_round(k) == 0 and k not in stale]
-    touched = [k for k in _R8_TOUCHED
+    touched = [k for k in _R9_TOUCHED
                if k in d and k not in fresh and k not in stale]
     front = stale + fresh + touched
     if len(front) > _SWEEP_CAP:

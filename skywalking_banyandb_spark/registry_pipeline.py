@@ -1922,6 +1922,6 @@ register(
                FROM c1),
        a2 AS ({_KM_ARGMAX.format(cents='c1n')})
        SELECT cid AS cluster_id, COUNT(*) AS n_vectors,
-              SUM(vec_id) AS id_sum
+              CAST(SUM(vec_id) AS BIGINT) AS id_sum
        FROM a2 GROUP BY cid ORDER BY cluster_id""",
 )
