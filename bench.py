@@ -183,18 +183,35 @@ def main() -> None:
             for n, v in (timings | extended).items()
         },
     }
+    # The driver captures a bounded tail of stdout; r7/r8 proved the full
+    # record (extended + canary + recall + build/probe) outgrows that
+    # window and the driver stores `parsed: null` (VERDICT r8 #5). So the
+    # ONE stdout line is the compact headline contract only, and the full
+    # record goes to a sidecar it names.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump({
+            "metric": "headline_query_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "extended": extended,
+            "extended_total": ext_total,
+            "canary": {"query": "count(lineitem)", "sec": canary_warm},
+            "normalized": norm,
+            "ann_build_probe": ann_split,
+            "ann_recall_at_10": ann_recall,
+            "sf": sf,
+        }, fh, indent=1)
     print(json.dumps({
         "metric": "headline_query_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "extended": extended,
-        "extended_total": ext_total,
-        "canary": {"query": "count(lineitem)", "sec": canary_warm},
-        "normalized": norm,
-        "ann_build_probe": ann_split,
-        "ann_recall_at_10": ann_recall,
         "sf": sf,
+        "canary_sec": canary_warm,
+        "detail": "BENCH_DETAIL.json",
     }))
 
 
