@@ -18,6 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as em
 
 SF = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
+# lazy corpus-fitted oracles (embedding_pca_project) must follow the sweep
+# SF — see .claude/skills/verify/driver_sim.py for the r9 footgun story
+os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", SF)
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
 

@@ -60,10 +60,18 @@ class TagSpec:
 
 @dataclass(frozen=True)
 class FieldSpec:
-    """``database/v1/schema.proto:74-80`` FieldSpec (measure values)."""
+    """``database/v1/schema.proto:74-80`` FieldSpec (measure values).
+
+    ``expr`` declares a DERIVED field, symmetric with ``TagSpec.expr``:
+    a Spark-SQL expression over the resource's physical columns,
+    materialized at scan time. Lets one physical fact table back measures
+    whose schema declares several fields (e.g. the conformance corpus's
+    ``service_cpm_minute`` with ``total`` + ``value``); at 100 TB the
+    expression becomes a generated column written at ingest."""
 
     name: str
     type: str = "FLOAT"
+    expr: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -90,6 +98,9 @@ def materialize_derived(df, schema):
     for t in getattr(schema, "tags", ()) or ():
         if t.expr is not None and t.name not in df.columns:
             df = df.withColumn(t.name, F.expr(t.expr))
+    for f in getattr(schema, "fields", ()) or ():
+        if getattr(f, "expr", None) is not None and f.name not in df.columns:
+            df = df.withColumn(f.name, F.expr(f.expr))
     return df
 
 
@@ -306,6 +317,12 @@ class TraceSchema:
     default_stages: Tuple[str, ...] = ()
     # see MeasureSchema.created_at (reference 0.11 clamp)
     created_at: Optional[object] = None
+    # The reference trace schema names its timestamp TAG
+    # (``schema.proto`` trace ``timestamp_tag_name``; the conformance
+    # ``sw`` trace declares tag "timestamp"), and queries may order by
+    # that tag name (``orderBy.indexRuleName: timestamp``). When set,
+    # an order-by on this alias means time ordering on ``ts_column``.
+    ts_tag_alias: Optional[str] = None
 
     kind: str = "trace"
 

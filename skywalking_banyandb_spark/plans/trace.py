@@ -59,7 +59,11 @@ def _order_key(ref: TraceSchema, q: TraceQuery):
     """
     order = q.order_by
     desc = bool(order and order.sort is Sort.DESC)
-    if order is None or order.tag is None:
+    # the timestamp tag alias (TraceSchema.ts_tag_alias, the reference's
+    # timestamp_tag_name) addresses the time column by its tag name
+    if order is None or order.tag is None or order.tag in (
+        ref.ts_column, ref.ts_tag_alias,
+    ):
         return F.min(F.col(ref.ts_column)), desc
     tspec = ref.tag(order.tag)
     if tspec is None:

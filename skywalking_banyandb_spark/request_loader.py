@@ -77,17 +77,33 @@ def _sort(v: Any, default: Sort = Sort.ASC) -> Sort:
 
 
 def _tag_value(v: Dict[str, Any]):
-    """``model/v1/common.proto`` TagValue oneof in protobuf-JSON form."""
+    """``model/v1/common.proto`` TagValue oneof in protobuf-JSON form.
+
+    Protobuf-JSON fidelity (protojson spec; the conformance corpus's
+    machine-generated ``gen_*`` inputs exercise both): int64 scalars
+    arrive as JSON *strings* (``int: {value: "1000"}``), and an empty
+    message (``int: {}``) means the field's proto3 DEFAULT — Int{value:0},
+    Str{value:""}, empty array — NOT a null. A null tag value is spelled
+    ``"null": null`` (NullValue), and only that maps to None here.
+    """
     if not isinstance(v, dict) or len(v) != 1:
         raise QueryAnalyzeError(f"invalid tag value {v!r}")
     (kind, payload), = v.items()
     if kind == "null":
         return None
     inner = payload.get("value") if isinstance(payload, dict) else payload
-    if kind in ("str", "int", "float"):
-        return inner
-    if kind in ("strArray", "intArray", "floatArray"):
-        return list(inner)
+    if kind == "int":
+        return int(inner) if inner is not None else 0
+    if kind == "float":
+        return float(inner) if inner is not None else 0.0
+    if kind == "str":
+        return inner if inner is not None else ""
+    if kind == "intArray":
+        return [int(x) for x in (inner or [])]
+    if kind == "floatArray":
+        return [float(x) for x in (inner or [])]
+    if kind == "strArray":
+        return list(inner or [])
     raise QueryAnalyzeError(f"unsupported tag value kind {kind!r}")
 
 

@@ -1096,17 +1096,20 @@ def test_stream_sort_empty(env):
     assert compile_stream(spark, cat, q).count() == 0
 
 
-# Stream WantErr — gen_err_{lt,le,gt,ge}_state feed an EMPTY operand
-# (``int: {}``); ordered comparisons reject it at analyze time.
+# Stream WantErr — a NULL operand (``"null": null``) on an ordered
+# comparison rejects at analyze time. (The reference's gen_err_*_state
+# cases err for a different reason — entity-tag op restriction — and are
+# replayed verbatim in test_golden_gen_verbatim.py; ``int: {}`` is the
+# proto3 DEFAULT 0, not a null, per protojson.)
 @pytest.mark.parametrize("op", ["LT", "LE", "GT", "GE"])
-def test_stream_gen_err_ordered_empty_operand(env, op):
+def test_stream_err_ordered_null_operand(env, op):
     spark, cat, con = env
     q = load_stream_request(_s(f"""criteria:
   condition:
     name: "user_id"
     op: "BINARY_OP_{op}"
     value:
-      int: {{}}
+      "null": null
 """))
     with pytest.raises(QueryAnalyzeError):
         compile_stream(spark, cat, q)
