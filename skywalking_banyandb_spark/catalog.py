@@ -352,7 +352,28 @@ class PropertySchema:
         return None
 
 
-ResourceSchema = object  # union of the four dataclasses above
+@dataclass(frozen=True)
+class TopNAggregationSchema:
+    """A TopNAggregation DECLARATION (``database/v1/schema.proto``
+    TopNAggregation; the reference registers these beside measures —
+    ``pkg/test/measure/testdata/topn_aggregations/*.json``). A TopN QUERY
+    names the declaration, not the source measure
+    (``topn_analyzer.go`` resolves name -> declaration -> source); the
+    declaration carries the ranked field, the groupBy tags that key the
+    ranking, and an optional write-side pre-filter criteria."""
+
+    group: str
+    name: str
+    source_measure: Tuple[str, str]       # (group, name)
+    field_name: str
+    group_by_tags: Tuple[str, ...]
+    criteria: Optional[object] = None     # CriteriaNode pre-filter
+    counters_number: int = 1000
+
+    kind: str = "topn"
+
+
+ResourceSchema = object  # union of the five dataclasses above
 
 
 class Catalog:
@@ -662,6 +683,7 @@ def _kind_map():
             "stream": StreamSchema,
             "trace": TraceSchema,
             "property": PropertySchema,
+            "topn": TopNAggregationSchema,
         }
     return _KIND_TO_CLASS
 

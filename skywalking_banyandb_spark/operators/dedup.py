@@ -20,6 +20,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .criteria import qcol
+
 
 def latest_version(
     df: DataFrame,
@@ -31,11 +33,13 @@ def latest_version(
     column from the output (the reference's responses don't carry it)."""
     keys = [*entity, ts_column]
     payload = [c for c in df.columns if c not in keys]
-    packed = df.groupBy(*[F.col(k) for k in keys]).agg(
-        F.max_by(F.struct(*[F.col(c) for c in payload]), F.col(version_column)).alias("_row")
+    packed = df.groupBy(*[qcol(k) for k in keys]).agg(
+        F.max_by(F.struct(*[qcol(c).alias(c) for c in payload]),
+                 qcol(version_column)).alias("_row")
     )
-    cols = [F.col(k) for k in keys] + [
-        F.col(f"_row.{c}").alias(c) for c in payload if c != version_column
+    cols = [qcol(k) for k in keys] + [
+        F.col("_row").getField(c).alias(c)
+        for c in payload if c != version_column
     ]
     return packed.select(*cols)
 
@@ -55,10 +59,11 @@ def distinct_element(
         return df.dropDuplicates([element_id_column])
     payload = [c for c in df.columns if c != element_id_column]
     packed = df.groupBy(F.col(element_id_column)).agg(
-        F.min_by(F.struct(*[F.col(c) for c in payload]),
+        F.min_by(F.struct(*[qcol(c).alias(c) for c in payload]),
                  F.col(prefer_min)).alias("_row")
     )
     return packed.select(
         F.col(element_id_column),
-        *[F.col(f"_row.{c}").alias(c) for c in payload if c != prefer_min],
+        *[F.col("_row").getField(c).alias(c)
+          for c in payload if c != prefer_min],
     )

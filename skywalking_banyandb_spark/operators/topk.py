@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..model import Sort
+from .criteria import qcol
 
 
 def top_n(
@@ -26,8 +27,8 @@ def top_n(
     sort: Sort = Sort.DESC,
     tiebreak: Sequence[str] = (),
 ) -> DataFrame:
-    key = F.col(field).desc() if sort is Sort.DESC else F.col(field).asc()
-    order = [key] + [F.col(c).asc() for c in tiebreak if c != field]
+    key = qcol(field).desc() if sort is Sort.DESC else qcol(field).asc()
+    order = [key] + [qcol(c).asc() for c in tiebreak if c != field]
     return df.orderBy(*order).limit(n)
 
 
@@ -43,9 +44,9 @@ def per_window_top_n(
     ``topn_plan_localscan.go``): row_number over (window) ordered by field."""
     from pyspark.sql.window import Window
 
-    key = F.col(field).desc() if sort is Sort.DESC else F.col(field).asc()
-    order = [key] + [F.col(c).asc() for c in tiebreak if c != field]
-    w = Window.partitionBy(*[F.col(c) for c in window_cols]).orderBy(*order)
+    key = qcol(field).desc() if sort is Sort.DESC else qcol(field).asc()
+    order = [key] + [qcol(c).asc() for c in tiebreak if c != field]
+    w = Window.partitionBy(*[qcol(c) for c in window_cols]).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= n)

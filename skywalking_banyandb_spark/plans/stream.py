@@ -97,7 +97,7 @@ def compile_stream(spark: SparkSession, catalog: Catalog, q: StreamQuery) -> Dat
             # NULL semantics (EQ/IN on a missing tag matches nothing).
             declared = {s.ts_column, s.element_id_column}
             declared |= {t.name for t in s.tags}
-            df = df.select(*[c for c in df.columns if c in declared])
+            df = df.select(*[qcol(c) for c in df.columns if c in declared])
             group_tags = {t.name for t in s.tags}
             for t in merged_tags:
                 if t.name in crit_tags and t.name not in group_tags:

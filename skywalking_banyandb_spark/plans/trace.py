@@ -125,7 +125,7 @@ def compile_trace(spark: SparkSession, catalog: Catalog, q: TraceQuery) -> DataF
             declared |= {t.name for t in s.tags}
             if s.span_column:
                 declared.add(s.span_column)
-            df = df.select(*[c for c in df.columns if c in declared])
+            df = df.select(*[qcol(c) for c in df.columns if c in declared])
             group_tags = {t.name for t in s.tags}
             for t in merged_tags:
                 if t.name in crit_tags and t.name not in group_tags:

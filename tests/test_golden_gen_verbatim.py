@@ -43,14 +43,6 @@ import duckdb
 import pytest
 import yaml
 
-from skywalking_banyandb_spark.catalog import (
-    Catalog,
-    FieldSpec,
-    MeasureSchema,
-    StreamSchema,
-    TagSpec,
-    TraceSchema,
-)
 from skywalking_banyandb_spark.errors import QueryAnalyzeError
 from skywalking_banyandb_spark.functions.analyzers import analyze_term, tokens_sql
 from skywalking_banyandb_spark.model import (
@@ -76,169 +68,25 @@ REF = "/root/reference/test/cases"
 T0S, T1S = T0.replace("T", " "), T1.replace("T", " ")
 
 # ---------------------------------------------------------------------------
-# Twin-schema derived-column specs: (name, type, analyzer, spark_expr,
-# duck_expr). duck_expr None => the spark expression is dialect-portable.
-# Domains are chosen so every operand the generator emitted hits real rows
-# (see module docstring).
+# Twin catalog + oracle views live in tests/twin_catalog.py (shared with
+# the named-case verbatim suite and the QL differential).
 # ---------------------------------------------------------------------------
 
-_SVC = "concat('svc', CAST(user_id % 6 + 1 AS STRING))"           # svc1..svc6
-_ENTITY = "concat('entity_', CAST(user_id % 8 AS STRING))"        # entity_0..7
-_LAYER = "user_id % 3"                                            # 0..2
-_STATE = "user_id % 2"                                            # 0/1
-_DURATION = "CAST(floor(value * 10) AS BIGINT)"                   # 0..3275
-_NODE = "CASE WHEN user_id % 3 = 0 THEN 'nodea' ELSE 'nodeb' END"
-
-_STREAM_TAGS = [
-    # searchable family of the reference's sw stream (sw.json), verbatim
-    ("trace_id", "STRING", None,
-     "concat('trace_00', CAST(event_id % 3 AS STRING))", None),
-    ("state", "INT", None, _STATE, None),
-    ("service_id", "STRING", None,
-     "CASE WHEN user_id % 3 = 0 THEN 'webapp_id' "
-     "WHEN user_id % 3 = 1 THEN 'api_id' ELSE 'db_id' END", None),
-    ("service_instance_id", "STRING", None,
-     "concat('inst_', CAST(user_id % 4 AS STRING))", None),
-    ("endpoint_id", "STRING", None, "concat('/api/', event_type)", None),
-    ("duration", "INT", None, _DURATION, None),
-    ("start_time", "INT", None, "CAST(floor(value * 100) AS BIGINT)", None),
-    ("http.method", "STRING", None,
-     "CASE WHEN event_id % 4 = 0 THEN 'GET' WHEN event_id % 4 = 1 THEN "
-     "'POST' WHEN event_id % 4 = 2 THEN 'PUT' ELSE 'DELETE' END", None),
-    ("status_code", "INT", None,
-     "CASE WHEN event_type = 'error' THEN 500 ELSE 200 END", None),
-    ("span_id", "STRING", None, "CAST(event_id AS STRING)", None),
-    ("db.type", "STRING", None,
-     "CASE WHEN user_id % 2 = 0 THEN 'sql' ELSE 'nosql' END", None),
-    # index rule db.instance.json: analyzer "url"
-    ("db.instance", "STRING", "url",
-     "CASE WHEN event_type IN ('click', 'view') THEN 'mysql' "
-     "ELSE 'pgsql' END", None),
-    ("mq.queue", "STRING", None,
-     "concat('q', CAST(user_id % 2 AS STRING))", None),
-    ("mq.topic", "STRING", None,
-     "concat('t', CAST(user_id % 2 AS STRING))", None),
-    ("mq.broker", "STRING", None,
-     "concat('b', CAST(user_id % 2 AS STRING))", None),
-    ("extended_tags", "STRING_ARRAY", None,
-     "array(substring(event_type, 1, 1), substring(event_type, 2, 1))",
-     "[substring(event_type, 1, 1), substring(event_type, 2, 1)]"),
-    ("non_indexed_tags", "STRING_ARRAY", None,
-     "array(event_type)", "[event_type]"),
-    # data family
-    ("data_binary", "DATA_BINARY", None,
-     "CAST(props AS BINARY)", "CAST(props AS BLOB)"),
-]
-
-_CPM_TAGS = [  # service_cpm_minute.json: default family (id, entity_id)
-    ("id", "STRING", None, _SVC, None),
-    ("entity_id", "STRING", None, _ENTITY, None),
-]
-
-_TRAFFIC_TAGS = [  # service_traffic.json (index_mode group)
-    ("id", "STRING", None, _SVC, None),
-    ("service_id", "STRING", None,
-     "concat('svcid_', CAST(user_id % 3 AS STRING))", None),
-    ("name", "STRING", None, _NODE, None),
-    ("short_name", "STRING", None, "upper(event_type)", None),
-    ("service_group", "STRING", None,
-     "CASE WHEN user_id % 2 = 0 THEN 'g_even' ELSE 'g_odd' END", None),
-    ("layer", "INT", None, _LAYER, None),
-]
-
-_SIT_TAGS = [  # service_instance_traffic.json; searchable_name.json: url
-    ("id", "STRING", None, _SVC, None),
-    ("service_id", "STRING", None,
-     "concat('svcid_', CAST(user_id % 3 AS STRING))", None),
-    ("name", "STRING", "url", _NODE, None),
-    ("last_ping", "INT", None, "CAST(floor(value) AS BIGINT)", None),
-    ("layer", "INT", None, _LAYER, None),
-]
-
-_TRACE_TAGS = [  # traces/sw.json (test-trace-group), verbatim tag list
-    ("trace_id", "STRING", None,
-     "concat('trace_00', CAST(event_id % 5 AS STRING))", None),
-    ("state", "INT", None, _STATE, None),
-    ("service_id", "STRING", None,
-     "CASE WHEN user_id % 4 = 0 THEN 'api_service' "
-     "WHEN user_id % 4 = 1 THEN 'auth_service' "
-     "WHEN user_id % 4 = 2 THEN 'notification_service' "
-     "ELSE 'webapp_service' END", None),
-    ("service_instance_id", "STRING", None,
-     "concat(CASE WHEN user_id % 5 = 0 THEN 'api' "
-     "WHEN user_id % 5 = 1 THEN 'database' "
-     "WHEN user_id % 5 = 2 THEN 'notification' "
-     "WHEN user_id % 5 = 3 THEN 'payment' ELSE 'webapp' END, "
-     "'_instance_', CAST(event_id % 3 AS STRING))", None),
-    ("endpoint_id", "STRING", None, "concat('/api/', event_type)", None),
-    ("duration", "INT", None, _DURATION, None),
-    ("span_id", "STRING", None, "CAST(event_id AS STRING)", None),
-]
-
-
-def _tagspecs(specs, family="default"):
-    return tuple(
-        TagSpec(n, t, family=family, analyzer=a, expr=spark)
-        for (n, t, a, spark, _) in specs
-    )
-
-
-def twin_catalog(sf_dir: str) -> Catalog:
-    ev = f"{sf_dir}/events.parquet"
-    cat = Catalog()
-    # stream sw in groups default + updated (stream multi-group gen case)
-    for grp in ("default", "updated"):
-        cat.register(StreamSchema(
-            group=grp, name="sw", paths=(ev,), ts_column="ts",
-            element_id_column="event_id",
-            tags=_tagspecs(_STREAM_TAGS, family="searchable"),
-            # sw.json entity: EQ/IN only on these (layer1_leaf.go:137-151)
-            entity=("service_id", "service_instance_id", "state"),
-        ))
-    cat.register(MeasureSchema(
-        group="sw_metric", name="service_cpm_minute", paths=(ev,),
-        ts_column="ts", tags=_tagspecs(_CPM_TAGS),
-        fields=(FieldSpec("total", "FLOAT", expr="value * 2"),
-                FieldSpec("value", "FLOAT")),
-        entity=("entity_id",), version_column="event_id",
-        interval="1 minute",
-    ))
-    cat.register(MeasureSchema(
-        group="sw_metric", name="service_instance_traffic", paths=(ev,),
-        ts_column="ts", tags=_tagspecs(_SIT_TAGS), fields=(),
-        entity=("id",), version_column="event_id",
-    ))
-    cat.register(MeasureSchema(
-        group="index_mode", name="service_traffic", paths=(ev,),
-        ts_column="ts", tags=_tagspecs(_TRAFFIC_TAGS), fields=(),
-        entity=("id",), index_mode=True,
-    ))
-    cat.register(TraceSchema(
-        group="test-trace-group", name="sw", paths=(ev,), ts_column="ts",
-        trace_id_column="trace_id", span_id_column="span_id",
-        span_column="props", tags=_tagspecs(_TRACE_TAGS),
-        ts_tag_alias="timestamp",   # sw.json timestamp_tag_name
-    ))
-    return cat
-
-
-def _view_sql(view: str, specs, sf_dir: str, extra: str = "") -> str:
-    cols = ["ts", "event_id"] + [
-        f'{duck or spark} AS "{n}"' for (n, _, _, spark, duck) in specs
-    ]
-    return (f"CREATE VIEW {view} AS SELECT {', '.join(cols)}, value{extra} "
-            f"FROM '{sf_dir}/events.parquet'")
+from twin_catalog import (  # noqa: E402
+    CPM_TAGS as _CPM_TAGS,
+    SIT_TAGS as _SIT_TAGS,
+    STREAM_TAGS as _STREAM_TAGS,
+    TRACE_TAGS as _TRACE_TAGS,
+    TRAFFIC_TAGS as _TRAFFIC_TAGS,
+    build_views,
+    twin_catalog,
+)
 
 
 @pytest.fixture(scope="module")
 def env(spark):
     con = duckdb.connect()
-    con.execute(_view_sql("v_sw", _STREAM_TAGS, SF_SMALL))
-    con.execute(_view_sql(
-        "v_cpm", _CPM_TAGS, SF_SMALL, extra=', value * 2 AS "total"'))
-    con.execute(_view_sql("v_sit", _SIT_TAGS, SF_SMALL))
-    con.execute(_view_sql("v_traffic", _TRAFFIC_TAGS, SF_SMALL))
-    con.execute(_view_sql("v_swt", _TRACE_TAGS, SF_SMALL))
+    build_views(con, SF_SMALL)
     return spark, twin_catalog(SF_SMALL), con
 
 
