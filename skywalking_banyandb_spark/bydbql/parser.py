@@ -550,6 +550,10 @@ class _Parser:
 
     def value_list(self) -> List[Any]:
         self.expect_punct("(")
+        # IN () — the empty candidate set is grammatical and matches
+        # nothing (conformance in_empty_span_ids.ql)
+        if self.accept_punct(")"):
+            return []
         vals = [self.value()]
         while self.accept_punct(","):
             vals.append(self.value())

@@ -248,8 +248,19 @@ def to_query(
     if isinstance(stmt, ShowTopStmt):
         import dataclasses
 
+        from ..errors import SchemaError
+
         tr = time_range(stmt.time, now)
-        _sch = catalog.get(stmt.groups[0], "measure", stmt.name)
+        # the name resolves to a TopNAggregation DECLARATION first
+        # (topn_analyzer.go; conformance SHOW TOP inputs name the
+        # declaration) — family-strip conditions against its source
+        # measure; a plain measure name keeps working as the shorthand
+        try:
+            _decl = catalog.get(stmt.groups[0], "topn", stmt.name)
+            _sch = catalog.get(
+                _decl.source_measure[0], "measure", _decl.source_measure[1])
+        except SchemaError:
+            _sch = catalog.get(stmt.groups[0], "measure", stmt.name)
         conds = tuple(
             dataclasses.replace(c, tag=_strip_family(c.tag, _sch))
             for c in stmt.where
@@ -270,6 +281,24 @@ def to_query(
 
     if stmt.resource == "MEASURE":
         schema: MeasureSchema = catalog.get(stmt.groups[0], "measure", stmt.name)
+        if len(stmt.groups) > 1:
+            # merged logical schema across groups, first declaration wins
+            # (measure_plan_merge.go) — projection items only one group
+            # declares must resolve (multi_group_new_tag_field)
+            import dataclasses
+
+            tags = list(schema.tags)
+            fields = list(schema.fields)
+            seen_t = {t.name for t in tags}
+            seen_f = {f.name for f in fields}
+            for g in stmt.groups[1:]:
+                s = catalog.get(g, "measure", stmt.name)
+                tags += [t for t in s.tags if t.name not in seen_t]
+                fields += [f for f in s.fields if f.name not in seen_f]
+                seen_t |= {t.name for t in s.tags}
+                seen_f |= {f.name for f in s.fields}
+            schema = dataclasses.replace(
+                schema, tags=tuple(tags), fields=tuple(fields))
         stmt = _strip_families(stmt, schema)
         order = (
             OrderBy(tag=stmt.order_by.key, sort=stmt.order_by.sort)

@@ -161,17 +161,29 @@ def compile_measure(spark: SparkSession, catalog: Catalog, q: MeasureQuery) -> D
 
         q = replace(q, time_range=clamp_time_range_begin(schemas, q.time_range))
     ref = schemas[0]
+    # merged logical schema across groups — first declaration wins; tags
+    # and fields present in only some groups NULL-fill in the others
+    # ("multi groups: new tag and fields", measure_plan_merge.go:39-176 /
+    # logical/measure/schema.go mergeSchema)
     tagmap = _schema_tagmap(ref)
+    types = types_of(ref)
+    for s in schemas[1:]:
+        for t in s.tags:
+            if t.name not in tagmap:
+                tagmap[t.name] = t.analyzer
+                types[t.name] = t.type
+        for f in s.fields:
+            tagmap.setdefault(f.name, None)
 
     # validate projections/group keys at analyze time (reference behavior)
     for name in [*q.tag_projection, *q.group_by]:
         if name not in tagmap:
             raise QueryAnalyzeError(f"projection references unknown tag {name!r}")
     for name in q.field_projection:
-        if ref.field(name) is None:
+        if all(s.field(name) is None for s in schemas):
             raise QueryAnalyzeError(f"projection references unknown field {name!r}")
 
-    pred = compile_criteria(q.criteria, tagmap, types_of(ref))
+    pred = compile_criteria(q.criteria, tagmap, types)
     parts = []
     for s in schemas:
         df = _scan_one(spark, s, q)

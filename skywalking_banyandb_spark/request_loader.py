@@ -122,9 +122,18 @@ def parse_criteria(doc: Optional[Dict[str, Any]]):
         op = _enum(c.get("op"), _BINARY_OPS, "BINARY_OP_", "binary op")
         match_op = None
         mo = c.get("matchOption")
-        if mo and mo.get("operator") not in (None, 0, "LOGICAL_OP_UNSPECIFIED"):
+        if mo and mo.get("operator") not in (
+            None, 0, "LOGICAL_OP_UNSPECIFIED", "OPERATOR_UNSPECIFIED",
+        ):
+            # MatchOption.Operator spells its enum OPERATOR_AND/OPERATOR_OR
+            # (model/v1/common.proto MatchOption; the conformance
+            # entity_match.yaml uses that form), distinct from the criteria
+            # tree's LOGICAL_OP_* spelling
             match_op = _enum(
-                mo["operator"], _LOGICAL_OPS, "LOGICAL_OP_", "match operator"
+                mo["operator"], _LOGICAL_OPS,
+                "OPERATOR_" if str(mo["operator"]).startswith("OPERATOR_")
+                else "LOGICAL_OP_",
+                "match operator",
             )
         return cond(c["name"], op, _tag_value(c.get("value", {"null": {}})),
                     match_operator=match_op)

@@ -146,6 +146,8 @@ def _cond_sql(c: Condition, analyzers: dict) -> str:
     if op is BinaryOp.NE and v is None:
         return f"{col} IS NOT NULL"
     if op in (BinaryOp.IN, BinaryOp.NOT_IN):
+        if not v:   # IN () matches nothing (in_empty_span_ids WantEmpty)
+            return "FALSE" if op is BinaryOp.IN else "TRUE"
         vals = ", ".join(_lit(x) for x in v)
         return f"{col} {'NOT ' if op is BinaryOp.NOT_IN else ''}IN ({vals})"
     if op in (BinaryOp.HAVING, BinaryOp.NOT_HAVING):

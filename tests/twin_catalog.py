@@ -405,7 +405,8 @@ def twin_catalog(sf_dir: str) -> Catalog:
         group="zipkinTrace", name="zipkin", paths=(ev,), ts_column="ts",
         trace_id_column="trace_id", span_id_column="span_id",
         span_column="props", tags=tagspecs(ZIPKIN_TAGS),
-        ts_tag_alias="timestamp",
+        # index rule zipkin-timestamp.json names the time sidx
+        ts_tag_alias="zipkin-timestamp",
     ))
 
     # ---- property ------------------------------------------------------
