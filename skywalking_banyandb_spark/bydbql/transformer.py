@@ -423,6 +423,61 @@ def execute(
     raise QueryAnalyzeError(f"cannot execute {type(q).__name__}")
 
 
+# the reference tracer caps direct children per span (tracer.go:32
+# maxChildSpans = 20); mirror it so a 1000-partition union can't bloat
+# the trace payload
+_MAX_CHILD_SPANS = 20
+
+def _metric_ms(metric, value: int) -> Optional[float]:
+    """Timing SQLMetrics -> milliseconds, by declared metric type
+    (SQLMetrics.scala: "timing" accumulates ms, "nsTiming" ns); other
+    types (sum/size/average) are not durations."""
+    mtype = metric.metricType()
+    if mtype == "timing":
+        return float(value)
+    if mtype == "nsTiming":
+        return value * 1e-6
+    return None
+
+
+def _plan_span(jnode, depth: int = 0) -> dict:
+    """One executed-plan node -> a reference-shaped span
+    (``common/v1/trace.proto`` Span: message, tags, duration, children).
+    SQLMetric values are read AFTER execution, so they carry the real
+    per-operator numbers (rows scanned, shuffle bytes, per-stage times) —
+    the analogue of ``pkg/query/tracer.go`` wiring stage metrics into
+    span tags."""
+    name = jnode.nodeName()
+    cls = jnode.getClass().getSimpleName()
+    # AQE wraps the real tree; descend into the final physical plan, and
+    # through the per-stage wrappers (Result/Shuffle/BroadcastQueryStage
+    # hide their subtree behind .plan(), not .children())
+    if cls == "AdaptiveSparkPlanExec":
+        inner = _plan_span(jnode.executedPlan(), depth)
+        inner["tags"]["adaptive"] = "true"
+        return inner
+    if "QueryStage" in cls:
+        return _plan_span(jnode.plan(), depth)
+    tags = {}
+    dur = 0.0
+    it = jnode.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        key, metric = kv._1(), kv._2()
+        val = metric.value()
+        ms = _metric_ms(metric, val)
+        if ms is not None:
+            dur += ms
+        tags[key] = val
+    children = []
+    if depth < 24:
+        kids = jnode.children()
+        for i in range(min(kids.size(), _MAX_CHILD_SPANS)):
+            children.append(_plan_span(kids.apply(i), depth + 1))
+    return {"span": name, "duration_ms": dur, "tags": tags,
+            "children": children}
+
+
 def execute_traced(
     spark: SparkSession,
     catalog: Catalog,
@@ -431,11 +486,14 @@ def execute_traced(
 ):
     """``WITH QUERY_TRACE`` surface — returns (DataFrame, trace spans).
 
-    The reference's tracer (``pkg/query/tracer.go``, ``common/v1/trace.proto``)
-    emits per-stage spans with durations; here the stages are parse /
-    transform / compile plus the optimized and physical Catalyst plans
-    (``df.explain`` content), which is where Spark's actual execution story
-    lives.
+    Mirrors the reference's tracer (``pkg/query/tracer.go``,
+    ``common/v1/trace.proto``): front-end stages (parse / transform /
+    compile) are flat spans with measured durations, and the ``execute``
+    span nests the EXECUTED physical plan as a span tree — one span per
+    operator, duration from the operator's timing SQLMetrics and every
+    other metric (numOutputRows, shuffle bytes, ...) as span tags. The
+    query runs once inside this call (metrics only exist after
+    execution); the returned DataFrame stays usable for re-collection.
     """
     import time
 
@@ -458,6 +516,21 @@ def execute_traced(
         "duration_ms": (time.perf_counter() - t2) * 1e3,
         "detail": qe.optimizedPlan().toString(),
     })
-    spans.append({"span": "physical_plan", "duration_ms": 0.0,
-                  "detail": qe.executedPlan().toString()})
+    t3 = time.perf_counter()
+    # drive THIS plan's execution so its SQLMetrics are populated
+    # (df.count() would execute a different queryExecution)
+    n_rows = len(df.collect())
+    exec_span = {
+        "span": "execute",
+        "duration_ms": (time.perf_counter() - t3) * 1e3,
+        "tags": {"numRows": n_rows},
+        "children": [],
+    }
+    try:
+        exec_span["children"] = [_plan_span(qe.executedPlan())]
+    except Exception as e:   # metrics introspection must never kill a query
+        exec_span["detail"] = (
+            f"plan metrics unavailable ({e}); "
+            + qe.executedPlan().toString())
+    spans.append(exec_span)
     return df, spans

@@ -11,11 +11,16 @@ Scale design (the point of each variant):
   with ``df_cap_frac`` set, stop-shingles are dropped (anti-join; AQE
   broadcasts the small stop set) and per-key fan-out is bounded, making it
   usable for discovery too.
-- **MinHash + LSH**: the discovery primitive. Shingle -> k md5-minhashes ->
-  band buckets -> candidates only where a band collides (join on band hash,
-  linear shuffle), then exact-Jaccard verify on the small candidate set.
-  MinHash here is the *string* minimum of ``md5(seed|shingle)`` — identical
-  in any engine that has md5, which is what makes the DuckDB oracle exact.
+- **MinHash + LSH**: the discovery primitive. Shingle -> K chunked-digest
+  minhashes -> band buckets -> candidates only where a band collides (join
+  on band hash, linear shuffle), then exact-Jaccard verify on the small
+  candidate set. Signatures (r9): ceil(K/4) md5 digests per shingle, each
+  split into four disjoint 32-bit chunks, giving K independent
+  permutations whose per-document minima are numeric BIGINT folds —
+  bit-identical in any engine with md5, which is what keeps the DuckDB
+  oracle exact. (The Kirsch–Mitzenmacher double-hashing variant was tried
+  and rejected: correlated argmins explode the candidate set — SCALE.md
+  r9.)
 - **embedding cosine**: brute-force pair filter (oracle-checkable); the ANN
   path for scale lives in ``similarity.py``.
 """
@@ -420,10 +425,13 @@ def minhash_lsh_pairs(
         # and the optional cap filter would otherwise each recompute the
         # whole shingle->signature subtree — the broadcast side of the
         # self-join defeats ReuseExchange (r9 profile: ~1 s of the 2.7 s
-        # wall at sf0.1 was the second signature computation). At cluster
-        # scale this is one banded-table materialization (2 rows/doc),
-        # the same cost class as the shuffle it replaces.
-        .localCheckpoint(eager=False)
+        # wall at sf0.1 was the second signature computation). persist()
+        # rather than localCheckpoint: same ReuseExchange/branch-sharing
+        # benefit, but blocks stay RECOMPUTABLE from lineage on executor
+        # loss (localCheckpoint stores non-replicated blocks and fails
+        # the job instead — wrong trade at cluster scale, ADVICE r9).
+        # 2 rows/doc, the same cost class as the shuffle it replaces.
+        .persist()
     )
     if bucket_cap_frac is not None:
         # OPT-IN "stop buckets" (r8): skip buckets larger than

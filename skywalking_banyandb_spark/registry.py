@@ -354,18 +354,22 @@ _R8_DRIVER_SEEN = frozenset({
 # Round-9 window front (VERDICT r8 Next #6): after r8 the oldest cohort
 # is the 27 entries whose newest driver row is r5 — seed them FIRST so
 # after r9 no entry's newest driver row is older than r6.
-_R5_STALE_FIRST = (
-    "measure_scan_filter", "pii_scrub", "property_ids_select",
-    "property_match_and", "property_match_keyword",
-    "property_match_url_and", "property_orderby_offset",
-    "request_yaml_measure", "request_yaml_property",
-    "request_yaml_stream", "request_yaml_topn", "request_yaml_trace",
-    "sketch_cms_tokens", "stream_filter_in_orderby_tag",
-    "stream_filter_not_in_range", "stream_match_props",
-    "streaming_interval_join_materialized", "text_simhash", "text_stats",
-    "topn_entity_conditions", "topn_multigroup_postagg_max",
-    "topn_per_window", "topn_postagg_mean", "trace_by_ids",
-    "trace_orderby_duration", "trace_regroup_stats", "vocab_top_tokens",
+_R6_STALE_FIRST = (
+    # the 24 entries whose newest driver row is r6 — the oldest cohort
+    # anywhere after r9 went 50/50 green (VERDICT r9 #6: after r10 no
+    # entry's newest row may be older than r7)
+    "measure_groupby_sum", "measure_multigroup_union",
+    "measure_ohlc_window", "measure_top_desc", "measure_write_roundtrip",
+    "part_never_ordered_antijoin", "property_filter_sort",
+    "property_match_or", "quality_bigram_coverage",
+    "quality_charlm_typicality", "quality_rare_token_ratio",
+    "rollup_events_daily", "slo_burn_rate_multiwindow",
+    "stream_criteria_or_tree", "stream_scan_paged",
+    "streaming_counter_increase_materialized", "topn_stateful_heap",
+    "topn_streaming_materialized", "tpch_q10_returned_items",
+    "tpch_q14_promo_effect", "tpch_q17_small_quantity",
+    "tpch_q18_large_volume", "tpch_q21_sole_delayed",
+    "tpch_q3_shipping_priority",
 )
 
 # Entries whose code round 8 changed (re-verify ahead of the stale rest):
@@ -399,20 +403,56 @@ _R8_TOUCHED = (
     "bydbql_measure_group_agg", "bydbql_family_qualified_agg",
 )
 
-# Entries whose code round 9 changed (re-verify ahead of the stale rest):
-# - embedding_kmeans_clusters: the r8 red row — oracle id_sum now
-#   CAST(... AS BIGINT) (DuckDB HUGEINT artifact, VERDICT r8 #1);
-# - dedup_minhash_lsh / dedup_minhash_lsh_3gram: MinHash signatures now
-#   ONE md5 per shingle + 128 multiply-shift permutations instead of 128
-#   md5 calls per shingle (VERDICT r8 #2) — engine and oracle changed in
-#   lockstep, pair semantics re-derived;
-# - trace_finalize_sampling: the day-segment fixture is now built once
-#   per (sf, params) under an idempotent marker so bench times the sweep
-#   (VERDICT r8 #4) — driver result unchanged (fixture deterministic).
-_R9_TOUCHED = (
-    "embedding_kmeans_clusters",
-    "dedup_minhash_lsh", "dedup_minhash_lsh_3gram",
-    "trace_finalize_sampling",
+# Entries the round-9 driver sweep recorded (CORRECTNESS_r09.json):
+# 50/50 green, zero errors — the first all-green window; the r8 red
+# (embedding_kmeans_clusters) re-verified green with the BIGINT-cast
+# oracle.
+_R9_DRIVER_SEEN = frozenset({
+    "bydbql_measure_scan_where", "bydbql_select_top",
+    "bydbql_stream_orderby_tag", "dedup_minhash_lsh",
+    "dedup_minhash_lsh_3gram", "dedup_near_dup_clusters",
+    "documents_chunking", "embedding_kmeans_clusters",
+    "events_alert_intervals", "events_sessionization", "measure_agg_all",
+    "measure_bottom_asc", "measure_count_distinct",
+    "measure_counter_increase_promql", "measure_created_at_clamp",
+    "measure_downsample_5m", "measure_filter_not_null",
+    "measure_groupby_count", "measure_groupby_max",
+    "measure_groupby_mean", "measure_groupby_min",
+    "measure_groupby_no_agg", "measure_scan_filter", "pii_scrub",
+    "property_ids_select", "property_match_and", "property_match_keyword",
+    "property_match_url_and", "property_orderby_offset",
+    "request_yaml_measure", "request_yaml_property", "request_yaml_stream",
+    "request_yaml_topn", "request_yaml_trace", "sketch_cms_tokens",
+    "stream_filter_in_orderby_tag", "stream_filter_not_in_range",
+    "stream_match_props", "streaming_interval_join_materialized",
+    "text_simhash", "text_stats", "topn_entity_conditions",
+    "topn_multigroup_postagg_max", "topn_per_window", "topn_postagg_mean",
+    "trace_by_ids", "trace_finalize_sampling", "trace_orderby_duration",
+    "trace_regroup_stats", "vocab_top_tokens",
+})
+
+# Entries whose compile paths round 10 changed (re-verify ahead of the
+# merely-stale rest):
+# - topn family + bydbql_show_top: compile_topn now resolves
+#   TopNAggregation declarations by name (topn_analyzer.go parity) and
+#   materialize_topn ranks by declaration groupBy tags;
+# - *_multigroup_schema_merge + measure_multigroup_union: measure merges
+#   tags/fields across groups before validation; stream/trace hetero
+#   scans and the dedup operators are dotted-name-safe (qcol/getField);
+# - request_yaml_*: protobuf-JSON scalar fidelity in _tag_value (int64
+#   strings, proto3 defaults for empty messages) + MatchOption
+#   OPERATOR_AND/OR spelling;
+# - bydbql_select_top / bydbql_measure_group_agg: parser accepts the
+#   empty IN () candidate set; measure transform merges multi-group
+#   schemas.
+_R10_TOUCHED = (
+    "topn_per_window", "topn_postagg_mean", "topn_multigroup_postagg_max",
+    "topn_entity_conditions", "bydbql_show_top",
+    "measure_multigroup_schema_merge", "stream_multigroup_schema_merge",
+    "trace_multigroup_schema_merge", "measure_multigroup_union",
+    "request_yaml_measure", "request_yaml_property", "request_yaml_stream",
+    "request_yaml_topn", "request_yaml_trace",
+    "bydbql_select_top", "bydbql_measure_group_agg",
 )
 
 _SWEEP_CAP = 50
@@ -420,6 +460,8 @@ _SWEEP_CAP = 50
 
 def _newest_driver_round(k: str) -> int:
     """Most recent round whose sweep recorded this entry (0 = never)."""
+    if k in _R9_DRIVER_SEEN:
+        return 9
     if k in _R8_DRIVER_SEEN:
         return 8
     if k in _R7_DRIVER_SEEN:
@@ -441,15 +483,15 @@ def _newest_driver_round(k: str) -> int:
 
 def _sweep_order(d: Dict[str, "object"]) -> list:
     """Driver sweeps record the FIRST 50 entries only, so order by need:
-    the r5-stale twenty-seven (oldest driver rows anywhere — VERDICT r8
+    the r6-stale twenty-four (oldest driver rows anywhere — VERDICT r9
     #6), then never-driver-seen entries (new this round), then entries
-    whose code changed this round (_R9_TOUCHED), then everything else
+    whose code changed this round (_R10_TOUCHED), then everything else
     oldest-driver-row first so no entry's newest row goes stale
     silently. Warn when the priority prefix itself overflows the cap
     (ADVICE r3)."""
-    stale = [k for k in _R5_STALE_FIRST if k in d]
+    stale = [k for k in _R6_STALE_FIRST if k in d]
     fresh = [k for k in d if _newest_driver_round(k) == 0 and k not in stale]
-    touched = [k for k in _R9_TOUCHED
+    touched = [k for k in _R10_TOUCHED
                if k in d and k not in fresh and k not in stale]
     front = stale + fresh + touched
     if len(front) > _SWEEP_CAP:

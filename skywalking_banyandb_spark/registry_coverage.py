@@ -1688,10 +1688,22 @@ def _trace_finalize_sampling(spark: SparkSession, sf: str) -> DataFrame:
     # work, VERDICT r8 #4). Real deployments amortize segment writes by
     # construction; the REPLAY no-op check below still runs every call,
     # so the generation-stamp semantics stay continuously asserted.
-    key = os.path.basename(os.path.normpath(sf))
+    # cache key: FULL data-root path (distinct roots sharing a basename
+    # must not collide) + every sampler parameter + the module's
+    # FIXTURE_VERSION, which is bumped alongside any semantic change to
+    # write_trace/finalize_segments/the sampler chain (ADVICE r9) —
+    # hashed so the key stays a filesystem-safe fixed-length component
+    import hashlib
+
+    from .sources.trace_finalize import FIXTURE_VERSION
+
+    key_src = "|".join((
+        os.path.abspath(sf), str(_FIN_RATE), _FIN_T0, _FIN_T1, "g1",
+        "gen1", f"v{FIXTURE_VERSION}"))
+    key = hashlib.md5(key_src.encode()).hexdigest()[:16]
     fixdir = os.path.join(
-        tempfile.gettempdir(), "banyandb_spark_fixtures", key,
-        f"trace_finalize_{_FIN_RATE}_{_FIN_T0[:10]}_{_FIN_T1[:10]}_g1_v1")
+        tempfile.gettempdir(), "banyandb_spark_fixtures",
+        f"trace_finalize_{key}")
     path = f"{fixdir}/event_trace"
     if not os.path.isdir(path):
         t0 = dt.datetime.fromisoformat(_FIN_T0)

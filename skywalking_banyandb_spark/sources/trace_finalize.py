@@ -40,6 +40,12 @@ rewrites from its own data; the sampler only emits the mask).
 
 from __future__ import annotations
 
+# Bump when the sampler chain / write_trace / finalize_segments semantics
+# change: fixture caches key on this (tests/registry build day-segment
+# fixtures once per (data, params, version) — a semantic change must not
+# silently reuse a stale tempdir fixture; ADVICE r9).
+FIXTURE_VERSION = 2
+
 import json
 import os
 import shutil

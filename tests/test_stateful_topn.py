@@ -70,8 +70,35 @@ def test_query_trace_surface(spark):
         dt.datetime(2024, 2, 1),
     )
     names = [s["span"] for s in spans]
-    assert names == ["parse", "transform", "compile", "physical_plan"]
-    assert "HashAggregate" in spans[-1]["detail"]
+    assert names == ["parse", "transform", "compile", "execute"]
+    # front-end spans carry measured durations (tracer.go per-stage spans)
+    assert all(s["duration_ms"] >= 0 for s in spans)
+    ex = spans[-1]
+    assert ex["duration_ms"] > 0 and ex["tags"]["numRows"] > 0
+
+    # the execute span nests the EXECUTED plan as a span tree with real
+    # post-execution SQLMetrics (r9 verdict #3: spans from executed-plan
+    # node metrics, not analyze-time placeholders)
+    def flat(s):
+        yield s
+        for c in s.get("children", ()):
+            yield from flat(c)
+
+    tree = list(flat(ex["children"][0]))
+    node_names = [s["span"] for s in tree]
+    assert any("HashAggregate" in n for n in node_names)
+    assert any("Scan" in n or "FileScan" in n for n in node_names)
+    # every aggregate/exchange node reports its row metric; at least one
+    # node carries a non-zero output-rows tag and one a non-zero time
+    out_rows = [s["tags"].get("numOutputRows") for s in tree
+                if "numOutputRows" in s.get("tags", {})]
+    assert out_rows and any(v > 0 for v in out_rows)
+    assert any(s["duration_ms"] > 0 for s in tree)
+    # the span tree mirrors the plan shape: the aggregate sits ABOVE the
+    # scan, as in the physical plan
+    agg_i = next(i for i, n in enumerate(node_names) if "HashAggregate" in n)
+    scan_i = next(i for i, n in enumerate(node_names) if "Scan" in n)
+    assert agg_i < scan_i
     assert len(df.collect()) > 0
 
 
