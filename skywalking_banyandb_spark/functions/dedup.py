@@ -42,7 +42,7 @@ BANDS = 2  # 2 bands x 4 rows
 # 0.44-0.56 across five seed pairs (r8's per-permutation-md5 family
 # measured 0.52 — inside the spread, i.e. statistically equivalent).
 # The shipped draw ("2","3") measured 0.5568. See SCALE.md r9.
-_DIGEST_SEEDS = ("2", "3")
+_DIGEST_SEEDS = ("2", "3", "5", "7", "11", "13", "17", "19")
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -317,7 +317,8 @@ WHERE round(common / CAST(sza + szb - common AS DOUBLE), 6) >= {threshold}
 """
 
 
-def _minhash_sig(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _minhash_sig(df: DataFrame, id_col: str, text_col: str, n: int,
+                 k: int = MINHASH_K) -> DataFrame:
     """Per-doc MinHash signature: sig_i = min over shingles of the i-th
     32-bit chunk of ceil(K/4) md5 digests.
 
@@ -341,7 +342,7 @@ def _minhash_sig(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame
         F.col(id_col).alias("id"),
         F.explode(_shingles(F.col(text_col), n)).alias("sh"),
     )
-    n_digests = (MINHASH_K + 3) // 4
+    n_digests = (k + 3) // 4
     digests = [
         F.md5(F.concat(F.lit(f"{_DIGEST_SEEDS[d]}|"), F.col("sh")))
         .alias(f"d{d}")
@@ -352,10 +353,10 @@ def _minhash_sig(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame
         *[
             F.conv(F.substring(f"d{i // 4}", 8 * (i % 4) + 1, 8), 16, 10)
             .cast("bigint").alias(f"h{i}")
-            for i in range(MINHASH_K)
+            for i in range(k)
         ],
     )
-    sigs = [F.min(F.col(f"h{i}")).alias(f"sig{i}") for i in range(MINHASH_K)]
+    sigs = [F.min(F.col(f"h{i}")).alias(f"sig{i}") for i in range(k)]
     return h.groupBy("id").agg(*sigs)
 
 
@@ -366,6 +367,8 @@ def minhash_lsh_pairs(
     n: int = 1,
     threshold: float = 0.5,
     bucket_cap_frac: float | None = None,
+    k: int = MINHASH_K,
+    bands: int = BANDS,
 ) -> DataFrame:
     """MinHash-LSH candidate discovery + exact-Jaccard verification.
 
@@ -391,7 +394,7 @@ def minhash_lsh_pairs(
     ALWAYS runs behind exact dedup, and the collapse is exactly that
     exact-dedup pass fused in.
     """
-    rows = MINHASH_K // BANDS
+    rows = k // bands
     classes = (
         df.groupBy(F.md5(F.col(text_col)).alias("_cls"))
         .agg(F.min(F.col(id_col)).alias("_rep"),
@@ -402,7 +405,7 @@ def minhash_lsh_pairs(
     # broadcast, AQE picks the strategy
     rep_ids = classes.select(F.col("_rep").alias(id_col))
     df = df.join(rep_ids, id_col, "left_semi")
-    sig = _minhash_sig(df, id_col, text_col, n)
+    sig = _minhash_sig(df, id_col, text_col, n, k=k)
     # ONE pass computes every band hash per signature row (an 8-way
     # union of per-band selects re-evaluated the 128-min signature
     # aggregate once PER BRANCH — 8x the dominant cost; found by the
@@ -415,7 +418,7 @@ def minhash_lsh_pairs(
                 for r in range(rows)
             ])).alias("bh"),
         )
-        for b in range(BANDS)
+        for b in range(bands)
     ])
     banded = (
         sig.select("id", F.explode(band_structs).alias("_bb"))
@@ -524,15 +527,16 @@ def minhash_lsh_pairs(
 def minhash_lsh_pairs_sql(
     table: str, id_col: str, text_col: str, n: int = 1,
     threshold: float = 0.5, bucket_cap_frac: float | None = None,
+    k: int = MINHASH_K, bands: int = BANDS,
 ) -> str:
     """DuckDB twin of :func:`minhash_lsh_pairs` — mirrors the duplicate
     collapse (classes of byte-identical texts run as one representative,
     pairs expand back; within-class pairs are Jaccard 1.0) and, when
     ``bucket_cap_frac`` is set, the identical stop-bucket rule over the
     COLLAPSED bucket sizes."""
-    rows = MINHASH_K // BANDS
+    rows = k // bands
     sh = _shingles_sql(text_col, n)
-    n_digests = (MINHASH_K + 3) // 4
+    n_digests = (k + 3) // 4
     digests = ", ".join(
         f"md5('{_DIGEST_SEEDS[d]}|' || sh) AS d{d}"
         for d in range(n_digests)
@@ -540,17 +544,17 @@ def minhash_lsh_pairs_sql(
     chunks = ", ".join(
         f"CAST('0x' || substr(d{i // 4}, {8 * (i % 4) + 1}, 8) AS BIGINT)"
         f" AS h{i}"
-        for i in range(MINHASH_K)
+        for i in range(k)
     )
     sigs = ", ".join(
-        f"min(h{i}) AS sig{i}" for i in range(MINHASH_K)
+        f"min(h{i}) AS sig{i}" for i in range(k)
     )
     band_selects = " UNION ALL ".join(
         "SELECT id, {b} AS band, md5({cat}) AS bh FROM sig".format(
             b=b, cat=" || ',' || ".join(
                 f"CAST(sig{b * rows + r} AS VARCHAR)" for r in range(rows))
         )
-        for b in range(BANDS)
+        for b in range(bands)
     )
     cap_ctes, banded_src = "", "banded0"
     if bucket_cap_frac is not None:

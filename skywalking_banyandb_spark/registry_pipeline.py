@@ -308,6 +308,34 @@ register(
 )
 
 
+def _dedup_minhash_k32(spark: SparkSession, sf: str) -> DataFrame:
+    """The HIGH-RECALL configuration (r10, VERDICT r9 #8): K=32
+    permutations in 16 bands of 2 rows, same unigram/tau=0.5 shape as
+    ``dedup_minhash_lsh``. The default K=8 estimator is deliberately
+    cheap and coarse — verified recall 0.44-0.56 at this tau (SCALE.md
+    r9); a production near-dup pass wants recall >= 0.8, and the
+    chunked-digest design makes larger K linear in ceil(K/4) md5 calls.
+    The 16x2 banding gives P(candidate | s=tau) = 1-(1-0.25)^16 ~ 0.99;
+    the measured recall floor >= 0.8 vs brute-force truth is
+    pytest-gated (tests/test_dedup_recall.py), with the K=8 sibling
+    measured alongside for the contrast. The trade is candidate volume:
+    lenient 2-row bands admit pairs from s ~ 0.2 up, so the verify works
+    a candidate set a few times the answer size — the knob a user turns
+    when recall is worth more than wall-clock. (On the 3-gram SELECTIVE
+    shape this corpus's true pairs all sit at jaccard >= 0.9, where even
+    K=8 recall is ~1 — no high-recall sibling needed there.)"""
+    return dd.minhash_lsh_pairs(_docs(spark, sf), "doc_id", "text", n=1,
+                                threshold=0.5, k=32, bands=16)
+
+
+register(
+    "dedup_minhash_lsh_k32",
+    _dedup_minhash_k32,
+    dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", n=1,
+                             threshold=0.5, k=32, bands=16),
+)
+
+
 def _emb_neardup(spark: SparkSession, sf: str) -> DataFrame:
     return sim.embedding_neardup_pairs(_emb(spark, sf), "vec_id", "embedding", 0.45)
 
