@@ -232,3 +232,100 @@ def test_reference_tracepipeline_merge_filter_replay(spark, tmp_path):
     post = {r.trace_id for r in spark.read.parquet(path).collect()}
     assert post == {tid for tid, _, _, kept in cases if kept}
     assert stats["dropped_traces"] == 2 and stats["kept_traces"] == 5
+
+
+def test_tracepipeline_query_inputs_verbatim(spark, tmp_path):
+    """VERBATIM replay of the trace-pipeline QUERY corpus — the seven
+    ``test/cases/tracepipeline/data/input/t_*.yml`` files (and their
+    ``.ql`` twins) loaded from disk unmodified against a twin ``filter``
+    trace in group ``test-trace-pipeline`` over the merge-filter fixture
+    (trace ids match the reference fixtures byte-for-byte:
+    ``batch1/batch2.json``). Verify semantics follow the reference
+    registrations (``tracepipeline.go:97-119``): BEFORE the merge every
+    trace — drop candidates included — answers its query
+    (AssertDropCandidatesVisible); AFTER it the two ``t_drop_*`` queries
+    are WantEmpty and the five ``t_keep_*`` queries return their trace,
+    which is exactly the ``want/*.yml`` table."""
+    import glob
+    import os
+    import re
+
+    import yaml as _yaml
+
+    from skywalking_banyandb_spark.bydbql.transformer import execute
+    from skywalking_banyandb_spark.catalog import Catalog, TagSpec
+    from skywalking_banyandb_spark.plans.trace import compile_trace
+    from skywalking_banyandb_spark.request_loader import load_trace_request
+
+    cases = [  # the reference batch fixtures (tracepipeline.go)
+        ("t-drop-1", 100, "success", False),
+        ("t-drop-2", 499, "success", False),
+        ("t-keep-boundary", 500, "success", True),
+        ("t-keep-highlat", 800, "success", True),
+        ("t-keep-errfast", 50, "error", True),
+        ("t-keep-errslow", 900, "error", True),
+        ("t-keep-nostatus", 100, None, True),
+    ]
+    rows = []
+    for i, (tid, dur, status, _kept) in enumerate(cases):
+        base = H + dt.timedelta(hours=6, minutes=i)
+        rows.append((tid, "sp0", base, status))
+        rows.append((tid, "sp1", base + dt.timedelta(milliseconds=dur),
+                     status))
+    path = _write(spark, tmp_path, rows)
+
+    twin = TraceSchema(
+        group="test-trace-pipeline", name="filter", paths=(f"{path}/*",),
+        ts_column="ts", trace_id_column="trace_id",
+        span_id_column="span_id", span_column=None,
+        tags=(TagSpec("trace_id", "STRING"), TagSpec("state", "STRING")),
+    )
+    cat = Catalog()
+    cat.register(twin)
+
+    indir = "/root/reference/test/cases/tracepipeline/data/input"
+    t0, t1 = f"{H.isoformat()}Z", f"{(H + dt.timedelta(days=1)).isoformat()}Z"
+
+    def load(name):
+        with open(f"{indir}/{name}.yml") as fh:
+            d = _yaml.safe_load(fh.read())
+        d["timeRange"] = {"begin": t0, "end": t1}
+        return load_trace_request(d)
+
+    def ql(name):
+        with open(f"{indir}/{name}.ql") as fh:
+            text = " ".join(ln.strip() for ln in fh
+                            if ln.strip() and not ln.lstrip().startswith("#"))
+        return re.sub(r"TIME\s*>\s*'-[^']*'",
+                      f"TIME BETWEEN '{t0}' AND '{t1}'", text)
+
+    names = sorted(os.path.basename(p)[:-4]
+                   for p in glob.glob(f"{indir}/t_*.yml"))
+    assert len(names) == 7
+    kept = {tid for tid, _, _, k in cases if k}
+
+    def check(expect_all_visible):
+        for name in names:
+            tid = name.replace("_", "-")
+            want = [tid] if (expect_all_visible or tid in kept) else []
+            got = compile_trace(spark, cat, load(name)).collect()
+            assert [r.trace_id for r in got] == want, (name, got)
+            if want:   # spans carry the trace's two span ids
+                assert sorted(s.span_id for s in got[0].spans) == \
+                    ["sp0", "sp1"]
+            ql_rows = execute(spark, cat, ql(name)).collect()
+            assert [r.trace_id for r in ql_rows] == want, (name, "ql")
+
+    # phase 0: before the merge the drop candidates are visible
+    check(expect_all_visible=True)
+    chain = [any_of(
+        "slow|error|fail-open",
+        keep_slow_traces(500),
+        keep_matching_traces(
+            "not_success",
+            (F.col("state") != "success") | F.col("state").isNull()),
+    )]
+    stats = finalize_segments(spark, _schema(), path, chain)
+    assert stats["dropped_traces"] == 2 and stats["kept_traces"] == 5
+    # phase 1: the want table — drops WantEmpty, keeps answer
+    check(expect_all_visible=False)
