@@ -569,44 +569,48 @@ banded AS (
 ),"""
         banded_src = "banded"
     return f"""
-WITH cls AS (
+WITH cls AS MATERIALIZED (
   SELECT md5({text_col}) AS m, MIN({id_col}) AS rep,
          list({id_col}) AS members, COUNT(*) AS nm
   FROM {table} GROUP BY md5({text_col})
-), sh0 AS (
+), sh0 AS MATERIALIZED (
   SELECT {id_col} AS id, unnest({sh}) AS sh FROM {table}
   WHERE {id_col} IN (SELECT rep FROM cls)
-), shd AS (
+), shd AS MATERIALIZED (
   SELECT id, {digests} FROM sh0
-), shh AS (
+), shh AS MATERIALIZED (
   SELECT id, {chunks} FROM shd
-), sig AS (
+), sig AS MATERIALIZED (
   SELECT id, {sigs} FROM shh GROUP BY id
-), banded0 AS ({band_selects}),{cap_ctes}
-cand AS (
+), banded0 AS MATERIALIZED ({band_selects}),{cap_ctes}
+cand AS MATERIALIZED (
   SELECT DISTINCT x.id AS a, y.id AS b
   FROM {banded_src} x JOIN {banded_src} y
     ON x.band = y.band AND x.bh = y.bh AND x.id < y.id
 ),
 cand_ids AS (SELECT a AS id FROM cand UNION SELECT b AS id FROM cand),
-shc AS (SELECT * FROM sh0 WHERE id IN (SELECT id FROM cand_ids)),
-sizes AS (SELECT id, COUNT(*) AS sz FROM shc GROUP BY id),
-common AS (
-  SELECT x.id AS a, y.id AS b, COUNT(*) AS common
-  FROM shc x JOIN shc y ON x.sh = y.sh AND x.id < y.id
-  GROUP BY x.id, y.id
-),
-verified AS (
-  SELECT common.a, common.b,
-         round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
-  FROM common
-  JOIN sizes sa ON sa.id = common.a
-  JOIN sizes sb ON sb.id = common.b
-  WHERE round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) >= {threshold}
-),
+shc AS MATERIALIZED (
+  SELECT * FROM sh0 WHERE id IN (SELECT id FROM cand_ids)),
+-- PAIR-KEYED verify (r10), mirroring the engine's _verify_pairs_exact:
+-- each candidate pair joins its two docs' shingle LISTS and intersects
+-- locally. The previous shingle-keyed self-join of all candidate docs
+-- computed |A ∩ B| for EVERY doc pair sharing any shingle — on the
+-- ambient-similar unigram corpus at sf0.1 that is stop-word-quadratic
+-- (billions of join rows) and exceeded DuckDB's temp-spill budget on an
+-- 80 GB disk; the pair-keyed form is bounded by candidate volume.
+lists AS MATERIALIZED (
+  SELECT id, list(sh) AS ls, COUNT(*) AS sz FROM shc GROUP BY id),
 rep_pairs AS (
-  SELECT verified.a, verified.b, verified.jaccard
-  FROM verified JOIN cand ON cand.a = verified.a AND cand.b = verified.b
+  SELECT c.a, c.b,
+         round(len(list_intersect(x.ls, y.ls))
+               / CAST(x.sz + y.sz - len(list_intersect(x.ls, y.ls))
+                      AS DOUBLE), 6) AS jaccard
+  FROM cand c
+  JOIN lists x ON x.id = c.a
+  JOIN lists y ON y.id = c.b
+  WHERE round(len(list_intersect(x.ls, y.ls))
+              / CAST(x.sz + y.sz - len(list_intersect(x.ls, y.ls))
+                     AS DOUBLE), 6) >= {threshold}
 ),
 cross_pairs AS (
   SELECT least(ux.x, uy.y) AS a, greatest(ux.x, uy.y) AS b, p.jaccard
