@@ -703,9 +703,21 @@ def winnow_kgram_hashes(col: Column, k: int = 8) -> Column:
     window (:func:`winnow_doc_fingerprints`)."""
     txt = F.lower(col)
     n = F.length(txt)
+    # k-grams by zipping the char array with its own shifted copies (the
+    # r9 shingle idiom): ``transform(sequence, i -> substr(txt, i, k))``
+    # re-evaluates the inlined lower() per element AND substr-by-position
+    # scans UTF8 bytes from the start — O(len^2) either way (measured on
+    # the charlm trigram twin: 5.1 s -> 1.9 s at sf0.1). Every outer
+    # expression below is an argument of arrays_zip/slice (once per row);
+    # the lambda touches only its element.
+    big = 1 << 30
+    chars = F.split(txt, "")
+    z = F.arrays_zip(
+        *([chars] + [F.slice(chars, j + 1, big) for j in range(1, k)])
+    )
+    z = F.slice(z, 1, F.greatest(n - (k - 1), F.lit(0)))
     grams = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: txt.substr(i, F.lit(k)),
+        z, lambda s: F.concat(*[s[str(j)] for j in range(k)])
     )
     hashes = F.transform(
         grams,

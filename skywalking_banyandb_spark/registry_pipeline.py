@@ -1373,11 +1373,20 @@ def _charlm_typicality(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _docs(spark, sf)
     txt = F.lower(F.col("text"))
+    # trigrams by zipping the char array with shifted copies (the r9
+    # shingle idiom): transform(sequence, i -> substr(txt, i, 3))
+    # re-evaluates the inlined lower() per element and substr-by-charpos
+    # rescans the string — O(len^2); measured 5.1 s -> 1.9 s at sf0.1
+    # for this stage, identical trigram multiset (SCALE.md r10)
+    _big = 1 << 30
+    _chars = F.split(txt, "")
+    _z = F.arrays_zip(_chars, F.slice(_chars, 2, _big),
+                      F.slice(_chars, 3, _big))
+    _z = F.slice(_z, 1, F.greatest(F.length(txt) - 2, F.lit(0)))
     tris = docs.select(
         "doc_id",
         F.explode(F.transform(
-            F.sequence(F.lit(1), F.length(txt) - 2),
-            lambda i: txt.substr(i, F.lit(3)),
+            _z, lambda s: F.concat(s["0"], s["1"], s["2"]),
         )).alias("tri"),
     ).where(F.length(txt) >= 3)
     pair = _cached_scratch(
