@@ -160,6 +160,23 @@ def main() -> None:
         for n in (*names, *ext_names) if n.startswith("ann_")
     }
 
+    # Scratch-table build/probe split (r10): the winnow posting table and
+    # the charlm trigram pair table persist per session (_cached_scratch),
+    # so — like the ANN indexes — their cold wall = build + query and the
+    # steady-state min = query only. Splitting them out makes cold-path
+    # engine changes visible (e.g. the r10 O(len^2) k-gram fix lands here,
+    # not in the steady-state numbers).
+    scratch_split = {
+        n: {
+            "cold_sec": cold[n],
+            "steady_sec": (timings | extended)[n],
+            "build_sec": round(
+                max(cold[n] - (timings | extended)[n], 0.0), 4),
+        }
+        for n in ("dedup_substring_winnow", "quality_charlm_typicality")
+        if n in cold
+    }
+
     # ANN recall@10 vs brute force (VERDICT r7 #6): quality next to the
     # build/probe split, so the recall/latency trade-off is visible per
     # round; tests/test_ann_recall.py asserts the floors.
@@ -201,6 +218,7 @@ def main() -> None:
             "canary": {"query": "count(lineitem)", "sec": canary_warm},
             "normalized": norm,
             "ann_build_probe": ann_split,
+            "scratch_build_probe": scratch_split,
             "ann_recall_at_10": ann_recall,
             "sf": sf,
         }, fh, indent=1)
