@@ -223,3 +223,26 @@ def gated_query_response(catalog, expected, result_key: str,
     out = produce()
     out.setdefault("groupStatuses", statuses)
     return out
+
+
+def query_trace_response(spans, trace_id: str = "query") -> Dict[str, Any]:
+    """Shape ``execute_traced`` spans as the reference's Trace message
+    (``common/v1/trace.proto``: Trace{trace_id, spans[Span{message,
+    duration (NANOSECONDS — ``pkg/query/tracer.go:252``), tags[Tag{key,
+    value:string}], children}]}) — the envelope a ``WITH QUERY_TRACE``
+    response carries beside its result."""
+    def _span(s: Dict[str, Any]) -> Dict[str, Any]:
+        tags = [{"key": k, "value": str(v)}
+                for k, v in (s.get("tags") or {}).items()]
+        if s.get("detail"):
+            tags.append({"key": "detail", "value": str(s["detail"])[:2048]})
+        return {
+            "message": s["span"],
+            "duration": int(round(s.get("duration_ms", 0.0) * 1e6)),
+            "error": False,
+            "tags": tags,
+            "children": [_span(c) for c in s.get("children", ())],
+        }
+
+    return {"traceId": trace_id, "spans": [_span(s) for s in spans],
+            "error": False}

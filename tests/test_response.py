@@ -190,3 +190,41 @@ def test_schema_gate_statuses_and_short_circuit(spark):
     assert ran == [True]
     assert resp2["groupStatuses"]["g1"] == "STATUS_SUCCEED"
     assert len(resp2["elements"]) == 1
+
+
+def test_query_trace_response_shape(spark):
+    """WITH QUERY_TRACE end-to-end: execute_traced spans shape into the
+    common/v1/trace.proto Trace envelope — nanosecond durations, string
+    Tag values, nested children mirroring the executed plan."""
+    import datetime as dt
+
+    from skywalking_banyandb_spark.bydbql.transformer import execute_traced
+    from skywalking_banyandb_spark.catalog import default_catalog
+    from skywalking_banyandb_spark.response import query_trace_response
+
+    cat = default_catalog(SF_SMALL)
+    _, spans = execute_traced(
+        spark, cat,
+        "SELECT event_type, COUNT(value) FROM MEASURE metrics IN g1 "
+        "TIME BETWEEN '2024-01-03T00:00:00Z' AND '2024-01-27T00:00:00Z' "
+        "GROUP BY event_type WITH QUERY_TRACE LIMIT 100",
+        dt.datetime(2024, 2, 1),
+    )
+    env = query_trace_response(spans)
+    assert env["traceId"] == "query" and env["error"] is False
+    msgs = [s["message"] for s in env["spans"]]
+    assert msgs == ["parse", "transform", "compile", "execute"]
+    ex = env["spans"][-1]
+    assert ex["duration"] > 0 and isinstance(ex["duration"], int)  # nanos
+
+    def flat(s):
+        yield s
+        for c in s["children"]:
+            yield from flat(c)
+
+    tree = list(flat(ex["children"][0]))
+    assert any("HashAggregate" in s["message"] for s in tree)
+    # proto Tag values are strings
+    for s in tree:
+        for t in s["tags"]:
+            assert isinstance(t["key"], str) and isinstance(t["value"], str)
