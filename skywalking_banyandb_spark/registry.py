@@ -444,7 +444,13 @@ _R9_DRIVER_SEEN = frozenset({
 #   OPERATOR_AND/OR spelling;
 # - bydbql_select_top / bydbql_measure_group_agg: parser accepts the
 #   empty IN () candidate set; measure transform merges multi-group
-#   schemas.
+#   schemas;
+# - dedup_minhash_lsh{,_3gram} + dedup_near_dup_clusters: banded table
+#   persist() (was localCheckpoint) and the pair-keyed MATERIALIZED-CTE
+#   DuckDB twin;
+# - dedup_substring_winnow / dedup_resolution_keep_best /
+#   quality_charlm_typicality: zipped char-k-gram construction (the
+#   O(len^2) transform+substr fix).
 _R10_TOUCHED = (
     "topn_per_window", "topn_postagg_mean", "topn_multigroup_postagg_max",
     "topn_entity_conditions", "bydbql_show_top",
@@ -453,6 +459,9 @@ _R10_TOUCHED = (
     "request_yaml_measure", "request_yaml_property", "request_yaml_stream",
     "request_yaml_topn", "request_yaml_trace",
     "bydbql_select_top", "bydbql_measure_group_agg",
+    "dedup_minhash_lsh", "dedup_minhash_lsh_3gram",
+    "dedup_near_dup_clusters", "dedup_substring_winnow",
+    "dedup_resolution_keep_best", "quality_charlm_typicality",
 )
 
 _SWEEP_CAP = 50
