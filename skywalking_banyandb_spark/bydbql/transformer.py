@@ -254,12 +254,20 @@ def to_query(
         # the name resolves to a TopNAggregation DECLARATION first
         # (topn_analyzer.go; conformance SHOW TOP inputs name the
         # declaration) — family-strip conditions against its source
-        # measure; a plain measure name keeps working as the shorthand
-        try:
-            _decl = catalog.get(stmt.groups[0], "topn", stmt.name)
-            _sch = catalog.get(
-                _decl.source_measure[0], "measure", _decl.source_measure[1])
-        except SchemaError:
+        # measure; a plain measure name keeps working as the shorthand.
+        # EVERY group is tried (a multi-group SHOW TOP may register the
+        # declaration under a later group only).
+        _sch = None
+        for _g in stmt.groups:
+            try:
+                _decl = catalog.get(_g, "topn", stmt.name)
+                _sch = catalog.get(
+                    _decl.source_measure[0], "measure",
+                    _decl.source_measure[1])
+                break
+            except SchemaError:
+                continue
+        if _sch is None:
             _sch = catalog.get(stmt.groups[0], "measure", stmt.name)
         conds = tuple(
             dataclasses.replace(c, tag=_strip_family(c.tag, _sch))
@@ -493,7 +501,13 @@ def execute_traced(
     operator, duration from the operator's timing SQLMetrics and every
     other metric (numOutputRows, shuffle bytes, ...) as span tags. The
     query runs once inside this call (metrics only exist after
-    execution); the returned DataFrame stays usable for re-collection.
+    execution) as a DISTRIBUTED count over the executed plan's own RDD —
+    rows are counted where they are produced and never buffered on the
+    driver (ADVICE r10: the previous ``collect()`` shipped the full
+    result to Python just to measure ``len``). The returned DataFrame
+    stays usable; collecting it is one further execution, which callers
+    that need rows AND trace accept (the reference's traced query also
+    materializes once per request, ``processor_topn.go:156-188``).
     """
     import time
 
@@ -518,8 +532,10 @@ def execute_traced(
     })
     t3 = time.perf_counter()
     # drive THIS plan's execution so its SQLMetrics are populated
-    # (df.count() would execute a different queryExecution)
-    n_rows = len(df.collect())
+    # (df.count() would plan and execute a DIFFERENT queryExecution);
+    # toRdd() is this queryExecution's own physical RDD, and its count
+    # runs distributed — per-partition longs, no driver row buffering
+    n_rows = qe.toRdd().count()
     exec_span = {
         "span": "execute",
         "duration_ms": (time.perf_counter() - t3) * 1e3,

@@ -360,6 +360,30 @@ def _minhash_sig(df: DataFrame, id_col: str, text_col: str, n: int,
     return h.groupBy("id").agg(*sigs)
 
 
+# Persisted banded tables from prior minhash_lsh_pairs calls, oldest
+# first. The result DataFrame is lazy, so the persist can't be released
+# inside the call; instead each new call evicts beyond a small window.
+# Unpersisting a table a still-unmaterialized result references is safe —
+# Spark recomputes from lineage — so the window only bounds CACHE size,
+# never correctness (ADVICE r10: the previous code never unpersisted and
+# leaked one cached table per call for the session's lifetime).
+_BANDED_KEEP = 2
+_banded_live: list = []
+
+
+def _retain_banded(banded) -> None:
+    _banded_live.append(banded)
+    while len(_banded_live) > _BANDED_KEEP:
+        _banded_live.pop(0).unpersist()
+
+
+def release_minhash_cache() -> None:
+    """Drop every persisted banded signature table (explicit cleanup for
+    long-lived sessions)."""
+    while _banded_live:
+        _banded_live.pop().unpersist()
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -434,8 +458,11 @@ def minhash_lsh_pairs(
         # loss (localCheckpoint stores non-replicated blocks and fails
         # the job instead — wrong trade at cluster scale, ADVICE r9).
         # 2 rows/doc, the same cost class as the shuffle it replaces.
+        # Registered below so later calls evict it (bounded cache, no
+        # session-lifetime leak).
         .persist()
     )
+    _retain_banded(banded)
     if bucket_cap_frac is not None:
         # OPT-IN "stop buckets" (r8): skip buckets larger than
         # max(8, frac x distinct-docs) for candidate generation. This is

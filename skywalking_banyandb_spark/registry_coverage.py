@@ -118,9 +118,12 @@ register(
 
 def _topn_conditions(spark: SparkSession, sf: str) -> DataFrame:
     """SHOW TOP with a WHERE condition on the entity tag
-    (processor_topn.go filter path). Entity tags support EQ only
-    (topn_plan_localscan.go:137) — non-EQ raises QueryAnalyzeError,
-    covered by tests/test_golden_cases.py."""
+    (topn_plan_localscan.go:87-94 parseGroupByTags): the EQ condition PINS
+    the group at scan time, BEFORE the query's top-N truncation — the
+    pinned entity's stored per-window candidates answer the query even
+    when the entity never ranks in the global top N. Entity tags support
+    EQ only (:137) — non-EQ raises QueryAnalyzeError, covered by
+    tests/test_golden_cases.py."""
     q = TopNQuery(
         groups=["g1"], name="metrics",
         time_range=TimeRange.of("2024-01-03T00:00:00", "2024-01-08T00:00:00"),
@@ -140,13 +143,13 @@ register(
             ORDER BY ts DESC, event_id DESC) = 1
         ), ranked AS (
           SELECT window_start, user_id, value FROM latest
+          WHERE user_id = 114
           QUALIFY row_number() OVER (
             PARTITION BY window_start ORDER BY value DESC, user_id) <= 3
         )
         SELECT user_id, MAX(value) AS value FROM ranked
         WHERE window_start >= TIMESTAMP '2024-01-03 00:00:00'
           AND window_start <  TIMESTAMP '2024-01-08 00:00:00'
-          AND user_id = 114
         GROUP BY user_id ORDER BY value DESC, user_id LIMIT 3""",
 )
 

@@ -763,6 +763,9 @@ timeRange:
   end: "2024-01-08T00:00:00Z"
 """
 
+# query-time conditions EQ-pin the group BEFORE the top-N truncation
+# (topn_plan_localscan.go parseGroupByTags), so {pin} sits inside the
+# ranked CTE, not after it.
 _TOPN_SQL_BASE = """
 WITH latest AS (
   SELECT date_trunc('hour', ts) AS window_start, user_id, value FROM events
@@ -770,19 +773,20 @@ WITH latest AS (
     PARTITION BY date_trunc('hour', ts), user_id
     ORDER BY ts DESC, event_id DESC) = 1
 ), ranked AS (
-  SELECT window_start, user_id, value FROM latest
+  SELECT window_start, user_id, value FROM latest{pin}
   QUALIFY row_number() OVER (
     PARTITION BY window_start ORDER BY value {rankdir}, user_id) <= {n}
 )
 """
 
 
-def _topn_oracle(n, rankdir, aggdir, agg, extra_where=""):
+def _topn_oracle(n, rankdir, aggdir, agg, pin=""):
     return (
-        _TOPN_SQL_BASE.format(rankdir=rankdir, n=n)
+        _TOPN_SQL_BASE.format(
+            rankdir=rankdir, n=n, pin=f" WHERE {pin}" if pin else "")
         + f"""SELECT user_id, {agg}(value) AS value FROM ranked
         WHERE window_start >= TIMESTAMP '2024-01-03 00:00:00'
-          AND window_start <  TIMESTAMP '2024-01-08 00:00:00'{extra_where}
+          AND window_start <  TIMESTAMP '2024-01-08 00:00:00'
         GROUP BY user_id ORDER BY value {aggdir}, user_id LIMIT {n}"""
     )
 
@@ -828,7 +832,7 @@ conditions:
     df = compile_topn(spark, cat, q)
     _run_dual(
         env, df,
-        _topn_oracle(3, "DESC", "DESC", "MAX", " AND user_id = 114"),
+        _topn_oracle(3, "DESC", "DESC", "MAX", pin="user_id = 114"),
         True,
     )
 

@@ -1321,6 +1321,10 @@ timeRange:
   end: "2024-01-08T00:00:00Z"
 """
 
+# query-time conditions EQ-pin the group BEFORE the top-N truncation
+# (topn_plan_localscan.go parseGroupByTags: the pinned group's stored
+# ranking answers the query even when it is outside the global top N),
+# so {pin} sits inside the ranked CTE, not after it.
 _TOPN_SQL_BASE = """
 WITH latest AS (
   SELECT date_trunc('hour', ts) AS window_start, user_id, value FROM events
@@ -1328,7 +1332,7 @@ WITH latest AS (
     PARTITION BY date_trunc('hour', ts), user_id
     ORDER BY ts DESC, event_id DESC) = 1
 ), ranked AS (
-  SELECT window_start, user_id, value FROM latest
+  SELECT window_start, user_id, value FROM latest{pin}
   QUALIFY row_number() OVER (
     PARTITION BY window_start ORDER BY value {rankdir}, user_id) <= {n}
 )
@@ -1337,12 +1341,13 @@ WITH latest AS (
 _SUMD = "CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)"
 
 
-def _topn_oracle2(n, rankdir, aggdir, agg_sql, extra_where=""):
+def _topn_oracle2(n, rankdir, aggdir, agg_sql, pin=""):
     return (
-        _TOPN_SQL_BASE.format(rankdir=rankdir, n=n)
+        _TOPN_SQL_BASE.format(
+            rankdir=rankdir, n=n, pin=f" WHERE {pin}" if pin else "")
         + f"""SELECT user_id, {agg_sql} AS value FROM ranked
         WHERE window_start >= TIMESTAMP '2024-01-03 00:00:00'
-          AND window_start <  TIMESTAMP '2024-01-08 00:00:00'{extra_where}
+          AND window_start <  TIMESTAMP '2024-01-08 00:00:00'
         GROUP BY user_id ORDER BY value {aggdir}, user_id LIMIT {n}"""
     )
 

@@ -461,7 +461,7 @@ conditions:
       value: 5
 """,
         _topn_oracle2(1, "DESC", "DESC", "MAX(value)",
-                      extra_where=" AND user_id = 5")),
+                      pin="user_id = 5")),
     # eq.yaml (resource eq_svc1): query-side EQ condition twin
     "eq": (
         f"""name: "metrics"\ngroups: ["g1"]\n{_TOPN_TR}topN: 2
@@ -475,7 +475,7 @@ conditions:
       value: 1
 """,
         _topn_oracle2(2, "DESC", "DESC", "MAX(value)",
-                      extra_where=" AND user_id = 1")),
+                      pin="user_id = 1")),
     # float_count_aggr_desc.yaml: agg=4 (COUNT) over a float field
     "float_count_aggr_desc": (
         f'name: "metrics"\ngroups: ["g1"]\n{_TOPN_TR}topN: 3\n'
@@ -494,7 +494,7 @@ conditions:
       value: 5
 """,
         _topn_oracle2(1, "DESC", "DESC", "MAX(value)",
-                      extra_where=" AND user_id = 5")),
+                      pin="user_id = 5")),
 }
 
 

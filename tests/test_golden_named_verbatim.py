@@ -334,60 +334,100 @@ def test_named_trace_verbatim(env, case):
 # the standard window like the other kinds)
 # ---------------------------------------------------------------------------
 
-# declaration name -> (source view, field, groupBy keys, decl criteria SQL)
+# declaration name ->
+#   (source view, field, groupBy keys, source entity, decl criteria SQL)
 _TOPN_DECLS = {
     "service_instance_cpm_minute_top_bottom_100":
-        ("v_sicm", "value", ["service_id"], None),
+        ("v_sicm", "value", ["service_id"],
+         ["service_id", "entity_id"], None),
     "endpoint_resp_time_minute_top_bottom_100":
-        ("v_ertm", "value", ["entity_id"], None),
+        ("v_ertm", "value", ["entity_id"], ["entity_id"], None),
     "service_instance_float_metric_top_bottom_3":
-        ("v_sifm", "value", ["service_id", "entity_id"], None),
+        ("v_sifm", "value", ["service_id", "entity_id"],
+         ["service_id", "entity_id"], None),
     "service_instance_endpoint_cpm_minute_top_bottom_100":
-        ("v_siecm", "total", ["http.uri"], None),
-    "topn_agg_test": ("v_simtt", "value", ["service_id"], None),
+        ("v_siecm", "total", ["http.uri"],
+         ["service_id", "entity_id"], None),
+    "topn_agg_test": ("v_simtt", "value", ["service_id"],
+                      ["service_id"], None),
     "eq_svc1": ("v_siecm", "total", ["http.uri"],
+                ["service_id", "entity_id"],
                 "\"service_id\" = 'svc_1'"),
     "ne_svc1": ("v_siecm", "total", ["http.uri"],
+                ["service_id", "entity_id"],
                 "\"service_id\" <> 'svc_1'"),
     "in_svc2_svc4": ("v_siecm", "total", ["http.uri"],
+                     ["service_id", "entity_id"],
                      "\"service_id\" IN ('svc_2', 'svc_4')"),
     "not_in_svc2_svc4": ("v_siecm", "total", ["http.uri"],
+                         ["service_id", "entity_id"],
                          "\"service_id\" NOT IN ('svc_2', 'svc_4')"),
 }
 
+# the declarations all store counters_number=1000 series per (window, group)
+# (pkg/test/measure/testdata/topn_aggregations/*.json)
+_COUNTERS = 1000
+
 
 def topn_named_oracle(q) -> str:
-    view, field, keys, decl_where = _TOPN_DECLS[q.name]
+    """Twin of the corrected TopN read path (topn.go write keying +
+    topn_plan_localscan.go pinning + processor_topn.go per-entity agg):
+    latest per (window, group, SOURCE SERIES) → series rank to
+    counters_number within (window, groupBy) → conditions pin the group →
+    re-rank to the query's N per window → aggregate per source entity —
+    output = entity tags + value (the want/*.yaml item shape)."""
+    view, field, keys, entity, decl_where = _TOPN_DECLS[q.name]
+    extra = [e for e in entity if e not in keys]
+    series = keys + extra
+    sd = ", ".join(_q(c) for c in series)
     ks = ", ".join(_q(k) for k in keys)
+    es = ", ".join(_q(e) for e in entity)
     d = "DESC" if q.sort is Sort.DESC else "ASC"
-    tie = "".join(f", {_q(k)} ASC" for k in keys)
+    tie = "".join(f", {_q(c)} ASC" for c in series)
+    etie = "".join(f", {_q(e)} ASC" for e in entity)
     w = f" WHERE {decl_where}" if decl_where else ""
-    ranked_one = f"""
-      SELECT window_start, {ks}, {_q(field)} FROM (
-        SELECT date_trunc('hour', ts) AS window_start, {ks}, {_q(field)},
+    latest = f"""
+      SELECT window_start, {sd}, {_q(field)} FROM (
+        SELECT date_trunc('hour', ts) AS window_start, {sd}, {_q(field)},
                row_number() OVER (
-                 PARTITION BY date_trunc('hour', ts), {ks}
+                 PARTITION BY date_trunc('hour', ts), {sd}
                  ORDER BY ts DESC, event_id DESC) AS lrn
-        FROM {view}{w}) WHERE lrn = 1
+        FROM {view}{w}) WHERE lrn = 1"""
+    if extra:
+        # series rank within (window, group) to the declaration width
+        latest += f"""
+      QUALIFY row_number() OVER (
+        PARTITION BY window_start, {ks}
+        ORDER BY {_q(field)} {d}{tie}) <= {_COUNTERS}"""
+    unioned = " UNION ALL ".join([f"({latest})"] * len(q.groups))
+    if len(q.groups) > 1:
+        # cross-group candidate merge keeps the best value per series
+        # (entityDedupTopN.isBetter: DESC -> max, ASC -> min)
+        best = "MAX" if q.sort is Sort.DESC else "MIN"
+        unioned = (
+            f"SELECT window_start, {sd}, {best}({_q(field)}) AS {_q(field)} "
+            f"FROM ({unioned}) GROUP BY window_start, {sd}"
+        )
+    conds = []
+    if q.conditions:
+        conds += [
+            f"{_q(c.tag)} IS NULL" if c.value is None
+            else f"{_q(c.tag)} = {_lit(c.value)}"
+            for c in q.conditions]
+    if q.time_range.begin is not None:
+        conds += [f"window_start >= TIMESTAMP '{T0S}'",
+                  f"window_start < TIMESTAMP '{T1S}'"]
+    where = f" WHERE {' AND '.join(conds)}" if conds else ""
+    reranked = f"""
+      SELECT window_start, {sd}, {_q(field)} FROM ({unioned}){where}
       QUALIFY row_number() OVER (
         PARTITION BY window_start ORDER BY {_q(field)} {d}{tie}) <= {q.top_n}
     """
-    ranked = " UNION ALL ".join([f"({ranked_one})"] * len(q.groups))
-    conds = ""
-    if q.conditions:
-        cs = " AND ".join(
-            f"{_q(c.tag)} IS NULL" if c.value is None
-            else f"{_q(c.tag)} = {_lit(c.value)}"
-            for c in q.conditions)
-        conds = f" WHERE {cs}"
-    tr = ""
-    if q.time_range.begin is not None:
-        tr = (f"{' AND' if conds else ' WHERE'} window_start >= "
-              f"TIMESTAMP '{T0S}' AND window_start < TIMESTAMP '{T1S}'")
+    assert q.agg is not None  # every reference topn conformance input aggs
     return (
-        f"SELECT {ks}, {_agg_sql(q.agg, field)} AS {_q(field)} "
-        f"FROM ({ranked}){conds}{tr} GROUP BY {ks} "
-        f"ORDER BY {_q(field)} {d}{tie} LIMIT {q.top_n}"
+        f"SELECT {es}, {_agg_sql(q.agg, field)} AS {_q(field)} "
+        f"FROM ({reranked}) GROUP BY {es} "
+        f"ORDER BY {_q(field)} {d}{etie} LIMIT {q.top_n}"
     )
 
 

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from skywalking_banyandb_spark.catalog import default_catalog
 from skywalking_banyandb_spark.model import Sort
+from skywalking_banyandb_spark.operators.topk import per_window_top_n
 from skywalking_banyandb_spark.plans.topn import materialize_topn
 from skywalking_banyandb_spark.sources.parquet import read_table
 from skywalking_banyandb_spark.streaming.stateful_topn import stateful_topn
@@ -45,10 +46,16 @@ def test_stateful_topn_single_batch_equals_batch(spark):
             (str(r.window_start), r.user_id, r.value)
             for r in spark.sql("SELECT * FROM stateful_topn_sink").collect()
         )
+        # materialize_topn returns the untruncated candidate table; the
+        # stateful heap keeps the ranked top-3 per window, so rank the
+        # batch twin the same way
         want = sorted(
             (str(r.window_start), r.user_id, r.value)
-            for r in materialize_topn(
-                spark, schema, "value", 3, "1 hour", Sort.DESC
+            for r in per_window_top_n(
+                materialize_topn(
+                    spark, schema, "value", 3, "1 hour", Sort.DESC),
+                ["window_start"], "value", 3, Sort.DESC,
+                tiebreak=list(schema.entity),
             ).collect()
         )
         assert got == want and len(got) > 0
@@ -165,8 +172,11 @@ def test_stateful_topn_far_late_redelivery_dropped(spark):
         end = t4 + dt.timedelta(hours=6)
         want = {
             (str(r.window_start), r.user_id, r.value)
-            for r in materialize_topn(
-                spark, schema, "value", 3, "1 hour", Sort.DESC
+            for r in per_window_top_n(
+                materialize_topn(
+                    spark, schema, "value", 3, "1 hour", Sort.DESC),
+                ["window_start"], "value", 3, Sort.DESC,
+                tiebreak=list(schema.entity),
             ).where(
                 (F.col("window_start") >= F.lit(t3))
                 & (F.col("window_start") < F.lit(end))

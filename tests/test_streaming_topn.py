@@ -56,9 +56,19 @@ def test_streaming_topn_matches_batch(spark):
             (str(r.window_start), r.user_id, r.value)
             for r in spark.read.parquet(out_dir).collect()
         )
+        # materialize_topn now returns the untruncated per-series candidate
+        # table (the _top_n_result content); the streaming job stores the
+        # ranked top-3 per window, so rank the batch twin the same way
+        from skywalking_banyandb_spark.operators.topk import per_window_top_n
+
+        batch = per_window_top_n(
+            materialize_topn(spark, schema, "value", 3, "1 hour", Sort.DESC),
+            ["window_start"], "value", 3, Sort.DESC,
+            tiebreak=list(schema.entity),
+        )
         want = sorted(
             (str(r.window_start), r.user_id, r.value)
-            for r in materialize_topn(spark, schema, "value", 3, "1 hour", Sort.DESC).collect()
+            for r in batch.collect()
         )
         assert got == want and len(got) > 0
     finally:
