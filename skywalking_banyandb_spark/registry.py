@@ -464,11 +464,86 @@ _R10_TOUCHED = (
     "dedup_resolution_keep_best", "quality_charlm_typicality",
 )
 
+# Entries the round-10 driver sweep recorded (CORRECTNESS_r10.json):
+# 50/50 green, zero errors — the second consecutive all-green window
+# (24 r6-stale + 1 new + 25 touched; after r10 no entry's newest driver
+# row is older than r7).
+_R10_DRIVER_SEEN = frozenset({
+    "bpe_pair_counts", "bydbql_measure_group_agg", "bydbql_property_match",
+    "bydbql_select_top", "bydbql_show_top", "bydbql_stream_having",
+    "bydbql_stream_select_top", "bydbql_trace_orderby_duration",
+    "dedup_minhash_lsh", "dedup_minhash_lsh_3gram", "dedup_minhash_lsh_k32",
+    "dedup_near_dup_clusters", "dedup_resolution_keep_best",
+    "dedup_substring_winnow", "measure_groupby_sum",
+    "measure_multigroup_schema_merge", "measure_multigroup_union",
+    "measure_ohlc_window", "measure_top_desc", "measure_write_roundtrip",
+    "part_never_ordered_antijoin", "property_filter_sort",
+    "property_match_or", "quality_bigram_coverage",
+    "quality_charlm_typicality", "quality_rare_token_ratio",
+    "request_yaml_measure", "request_yaml_property", "request_yaml_stream",
+    "request_yaml_topn", "request_yaml_trace", "rollup_events_daily",
+    "slo_burn_rate_multiwindow", "stream_criteria_or_tree",
+    "stream_multigroup_schema_merge", "stream_scan_paged",
+    "streaming_counter_increase_materialized", "topn_entity_conditions",
+    "topn_multigroup_postagg_max", "topn_per_window", "topn_postagg_mean",
+    "topn_stateful_heap", "topn_streaming_materialized",
+    "tpch_q10_returned_items", "tpch_q14_promo_effect",
+    "tpch_q17_small_quantity", "tpch_q18_large_volume",
+    "tpch_q21_sole_delayed", "tpch_q3_shipping_priority",
+    "trace_multigroup_schema_merge",
+})
+
+# Round-11 window front (VERDICT r10 Next #1): after r10 the oldest
+# cohort is the 37 entries whose newest driver row is r7 — seed them
+# FIRST so after r11 no entry's newest driver row is older than r8.
+_R7_STALE_FIRST = (
+    "bydbql_trace_stats", "continuous_rollup_materialized",
+    "corpus_clean_pipeline", "criteria_having_array",
+    "criteria_not_having_array", "decontamination_overlap", "dedup_exact",
+    "dedup_ngram_jaccard", "documents_weighted_sample",
+    "domain_mixture_resample", "embedding_covariance",
+    "embedding_int8_quantization", "embedding_pca_project",
+    "events_asof_join", "events_cube_type_day", "events_funnel_conversion",
+    "events_funnel_transitions", "events_pivot_type_counts",
+    "events_range_join_bucketed", "events_session_window",
+    "latency_heatmap", "measure_gap_fill_interpolate",
+    "measure_hopping_window", "measure_index_mode_scan",
+    "measure_latency_percentiles", "measure_moving_avg",
+    "measure_orderby_field_desc", "multimodal_features",
+    "multimodal_frame_sample", "quality_tfidf_top_terms",
+    "tpch_q1_pricing_summary", "tpch_q4_order_priority",
+    "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "trace_spans_payload",
+)
+
+# Entries whose compile paths round 11 changed (re-verify ahead of the
+# merely-stale rest):
+# - topn family + bydbql_show_top + request_yaml_topn: the TopN
+#   materialization now ranks SOURCE-MEASURE SERIES within each
+#   (window, groupBy) group at counters_number width and carries the
+#   full source entity (topn.go heap-by-seriesID parity); query
+#   conditions EQ-pin every groupBy tag BEFORE the query's top-N
+#   truncation (topn_plan_localscan.go parseGroupByTags) — the
+#   topn_entity_conditions oracle changed with the semantics;
+# - dedup_minhash_lsh{,_3gram,_k32} + dedup_near_dup_clusters: the
+#   persisted banded table is now evicted through a bounded window
+#   (ADVICE r10 #3), and the two unigram twins' DuckDB oracles share
+#   the per-doc distinct-shingle CTE (VERDICT r10 Next #2).
+_R11_TOUCHED = (
+    "topn_per_window", "topn_postagg_mean", "topn_multigroup_postagg_max",
+    "topn_entity_conditions", "request_yaml_topn", "bydbql_show_top",
+    "dedup_minhash_lsh", "dedup_minhash_lsh_3gram", "dedup_minhash_lsh_k32",
+    "dedup_near_dup_clusters",
+)
+
 _SWEEP_CAP = 50
 
 
 def _newest_driver_round(k: str) -> int:
     """Most recent round whose sweep recorded this entry (0 = never)."""
+    if k in _R10_DRIVER_SEEN:
+        return 10
     if k in _R9_DRIVER_SEEN:
         return 9
     if k in _R8_DRIVER_SEEN:
@@ -492,15 +567,15 @@ def _newest_driver_round(k: str) -> int:
 
 def _sweep_order(d: Dict[str, "object"]) -> list:
     """Driver sweeps record the FIRST 50 entries only, so order by need:
-    the r6-stale twenty-four (oldest driver rows anywhere — VERDICT r9
-    #6), then never-driver-seen entries (new this round), then entries
-    whose code changed this round (_R10_TOUCHED), then everything else
+    the r7-stale thirty-seven (oldest driver rows anywhere — VERDICT r10
+    #1), then never-driver-seen entries (new this round), then entries
+    whose code changed this round (_R11_TOUCHED), then everything else
     oldest-driver-row first so no entry's newest row goes stale
     silently. Warn when the priority prefix itself overflows the cap
     (ADVICE r3)."""
-    stale = [k for k in _R6_STALE_FIRST if k in d]
+    stale = [k for k in _R7_STALE_FIRST if k in d]
     fresh = [k for k in d if _newest_driver_round(k) == 0 and k not in stale]
-    touched = [k for k in _R10_TOUCHED
+    touched = [k for k in _R11_TOUCHED
                if k in d and k not in fresh and k not in stale]
     front = stale + fresh + touched
     if len(front) > _SWEEP_CAP:
