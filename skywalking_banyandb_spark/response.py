@@ -78,14 +78,25 @@ def _field_value(spec_type: str, v: Any) -> Dict[str, Any]:
 
 
 def _tag_families(
-    tags: Sequence[TagSpec], row: Dict[str, Any]
+    tags: Sequence[TagSpec], row: Dict[str, Any],
+    tag_order: Optional[Sequence[str]] = None,
 ) -> List[Dict[str, Any]]:
-    """Group present tag columns into the schema's declared families,
-    preserving family and tag declaration order
-    (``model/v1/query.proto:37-40``; family grouping ``schema.proto:41-50``)."""
+    """Group present tag columns into the schema's declared families.
+
+    Tags within a family follow the REQUEST's projection order when given
+    (the reference echoes TagProjection order in responses — conformance
+    ``want/entity.yaml`` returns ``service_id, layer, name, short_name``
+    for exactly that projection order, not the schema's declaration
+    order); tags outside ``tag_order`` (and the no-projection case) keep
+    declaration order (``model/v1/query.proto:37-40``; family grouping
+    ``schema.proto:41-50``)."""
+    ordered = list(tags)
+    if tag_order:
+        pos = {n: i for i, n in enumerate(tag_order)}
+        ordered.sort(key=lambda t: pos.get(t.name, len(pos)))
     families: Dict[str, List[Dict[str, Any]]] = {}
     order: List[str] = []
-    for t in tags:
+    for t in ordered:
         if t.name not in row:
             continue  # not in the projection
         if t.family not in families:
@@ -97,11 +108,15 @@ def _tag_families(
     return [{"name": fam, "tags": families[fam]} for fam in order]
 
 
-def measure_response(df: DataFrame, schema: MeasureSchema) -> Dict[str, Any]:
+def measure_response(
+    df: DataFrame, schema: MeasureSchema,
+    tag_order: Optional[Sequence[str]] = None,
+) -> Dict[str, Any]:
     """Shape a measure result (``measure/v1/query.proto`` QueryResponse).
 
     Aggregated results carry field values only for the projected columns;
-    raw results include version when present.
+    raw results include version when present. ``tag_order`` is the
+    request's tag projection — tags echo in that order per family.
     """
     points = []
     for r in df.collect():
@@ -109,7 +124,7 @@ def measure_response(df: DataFrame, schema: MeasureSchema) -> Dict[str, Any]:
         dp: Dict[str, Any] = {}
         if schema.ts_column in row:
             dp["timestamp"] = _ts_rfc3339(row[schema.ts_column])
-        dp["tagFamilies"] = _tag_families(schema.tags, row)
+        dp["tagFamilies"] = _tag_families(schema.tags, row, tag_order)
         fields = []
         for f in schema.fields:
             if f.name in row:
@@ -123,7 +138,10 @@ def measure_response(df: DataFrame, schema: MeasureSchema) -> Dict[str, Any]:
     return {"dataPoints": points}
 
 
-def stream_response(df: DataFrame, schema: StreamSchema) -> Dict[str, Any]:
+def stream_response(
+    df: DataFrame, schema: StreamSchema,
+    tag_order: Optional[Sequence[str]] = None,
+) -> Dict[str, Any]:
     """Shape a stream result (``stream/v1/query.proto`` QueryResponse)."""
     elements = []
     for r in df.collect():
@@ -133,16 +151,24 @@ def stream_response(df: DataFrame, schema: StreamSchema) -> Dict[str, Any]:
             el["elementId"] = str(row[schema.element_id_column])
         if schema.ts_column in row:
             el["timestamp"] = _ts_rfc3339(row[schema.ts_column])
-        el["tagFamilies"] = _tag_families(schema.tags, row)
+        el["tagFamilies"] = _tag_families(schema.tags, row, tag_order)
         elements.append(el)
     return {"elements": elements}
 
 
-def trace_response(df: DataFrame, schema: TraceSchema) -> Dict[str, Any]:
+def trace_response(
+    df: DataFrame, schema: TraceSchema,
+    tag_order: Optional[Sequence[str]] = None,
+) -> Dict[str, Any]:
     """Shape a trace result: spans grouped per trace id
     (``trace/v1/query.proto:51-62`` Trace message). Accepts either the
-    regrouped form (one row per trace with a spans array) or flat span rows.
-    """
+    regrouped form (one row per trace with a spans array) or flat span
+    rows. ``tag_order`` is the request's tag projection: span tags carry
+    ONLY the projected tags, in projection order — the reference's
+    no-projection spans have no tags at all (conformance
+    ``trace/data/want/all.yml`` spans hold spanId + span payload only),
+    and ``having_query_tag`` echoes its projection order. None keeps the
+    legacy emit-everything behavior for callers without a request."""
     traces: Dict[str, List[Dict[str, Any]]] = {}
     order: List[str] = []
     # the regrouped plan aliases the id column to the proto's field name
@@ -156,20 +182,27 @@ def trace_response(df: DataFrame, schema: TraceSchema) -> Dict[str, Any]:
         if "spans" in row:  # regrouped: collect_list of span structs
             for s in row["spans"] or []:
                 sd = s.asDict() if hasattr(s, "asDict") else dict(s)
-                traces[tid].append(_span(sd, schema))
+                traces[tid].append(_span(sd, schema, tag_order))
         else:
-            traces[tid].append(_span(row, schema))
+            traces[tid].append(_span(row, schema, tag_order))
     return {
         "traces": [{"traceId": tid, "spans": traces[tid]} for tid in order]
     }
 
 
-def _span(row: Dict[str, Any], schema: TraceSchema) -> Dict[str, Any]:
+def _span(
+    row: Dict[str, Any], schema: TraceSchema,
+    tag_order: Optional[Sequence[str]] = None,
+) -> Dict[str, Any]:
     span: Dict[str, Any] = {}
     if schema.span_id_column in row:
         span["spanId"] = str(row[schema.span_id_column])
+    specs = list(schema.tags)
+    if tag_order is not None:
+        by_name = {t.name: t for t in specs}
+        specs = [by_name[n] for n in tag_order if n in by_name]
     tags = []
-    for t in schema.tags:
+    for t in specs:
         if t.name in row:
             tags.append({"key": t.name, "value": _tag_value(t.type, row[t.name])})
     span["tags"] = tags
@@ -191,6 +224,10 @@ def property_response(df: DataFrame, schema: PropertySchema) -> Dict[str, Any]:
             p["id"] = str(row[schema.id_column])
         tags = []
         for t in schema.tags:
+            # the Property id is its own proto field, never repeated in
+            # tags (property/v1/rpc.proto; conformance want/all.yaml)
+            if t.name == schema.id_column:
+                continue
             if t.name in row:
                 tags.append(
                     {"key": t.name, "value": _tag_value(t.type, row[t.name])}
@@ -198,6 +235,50 @@ def property_response(df: DataFrame, schema: PropertySchema) -> Dict[str, Any]:
         p["tags"] = tags
         props.append(p)
     return {"properties": props}
+
+
+def topn_response(
+    df: DataFrame, schema: MeasureSchema, field: str
+) -> Dict[str, Any]:
+    """Shape a TopN result (``measure/v1/query.proto`` TopNResponse:
+    lists[TopNList{items[Item{entity, value}]}]).
+
+    Mirrors the reference's two shapes: the aggregated path emits ONE
+    list of per-entity items (``processor_topn.go:267-282``
+    toTopNResponse / ``topn_post_processor.go:320-345``
+    valWithoutAggregation collapses to per-timeline lists); when the
+    result still carries ``window_start`` (the engine's per-window
+    no-agg shape) each window becomes its own TopNList with the window
+    timestamp, the ``valWithoutAggregation`` timeline shape. Entity =
+    the SOURCE measure's entity tags carried by the ranked rows
+    (``topn.go:884-896`` stores entityValues; conformance want items
+    carry service_id + entity_id)."""
+    fspec = schema.field(field)
+    ftype = fspec.type if fspec is not None else "FLOAT"
+    ent_specs = [t for e in schema.entity
+                 for t in (schema.tag(e),) if t is not None]
+    lists: Dict[Any, List[Dict[str, Any]]] = {}
+    order: List[Any] = []
+    for r in df.collect():
+        row = r.asDict()
+        win = row.get("window_start")
+        if win not in lists:
+            lists[win] = []
+            order.append(win)
+        lists[win].append({
+            "entity": [
+                {"key": t.name, "value": _tag_value(t.type, row[t.name])}
+                for t in ent_specs if t.name in row
+            ],
+            "value": _field_value(ftype, row.get(field)),
+        })
+    out = []
+    for win in order:
+        lst: Dict[str, Any] = {"items": lists[win]}
+        if win is not None:
+            lst["timestamp"] = _ts_rfc3339(win)
+        out.append(lst)
+    return {"lists": out}
 
 
 def gated_statuses(catalog, expected) -> Dict[str, str]:

@@ -265,9 +265,15 @@ UIMENU_TAGS = [
 ]
 
 
-def tagspecs(specs, family="default"):
+def tagspecs(specs, family="default", families=None):
+    """``families`` overrides the family per tag name — the reference
+    splits some schemas across families (streams/sw.json puts
+    ``data_binary`` in family ``data``; measures/service_latency_minute
+    puts ``entity_id`` in ``storage_only``) and responses nest tags by
+    family, so the twins must mirror the split."""
+    families = families or {}
     return tuple(
-        TagSpec(n, t, family=family, analyzer=a, expr=spark)
+        TagSpec(n, t, family=families.get(n, family), analyzer=a, expr=spark)
         for (n, t, a, spark, _) in specs
     )
 
@@ -294,28 +300,32 @@ def twin_catalog(sf_dir: str) -> Catalog:
     cat.register(StreamSchema(
         group="default", name="sw", paths=(ev,), ts_column="ts",
         element_id_column="event_id",
-        tags=tagspecs(STREAM_TAGS, family="searchable"),
+        tags=tagspecs(STREAM_TAGS, family="searchable",
+                      families={"data_binary": "data"}),
         entity=("service_id", "service_instance_id", "state"),
     ))
     cat.register(StreamSchema(
         group="updated", name="sw", paths=(ev,), ts_column="ts",
         element_id_column="event_id",
-        tags=tagspecs(STREAM_UPDATED_TAGS, family="searchable"),
+        tags=tagspecs(STREAM_UPDATED_TAGS, family="searchable",
+                      families={"data_binary": "data"}),
         entity=("service_id", "service_instance_id", "state"),
     ))
     for nm in ("duplicated", "deduplication_test"):
         cat.register(StreamSchema(
             group="default", name=nm, paths=(ev,), ts_column="ts",
             element_id_column="event_id",
-            tags=tagspecs(DUP_STREAM_TAGS, family="searchable"),
+            tags=tagspecs(DUP_STREAM_TAGS, family="searchable",
+                      families={"data_binary": "data"}),
             entity=("service_id", "service_instance_id", "state"),
         ))
 
     # ---- measures ----------------------------------------------------
-    def m(group, name, tags, fields, entity, **kw):
+    def m(group, name, tags, fields, entity, families=None, **kw):
         cat.register(MeasureSchema(
             group=group, name=name, paths=(ev,), ts_column="ts",
-            tags=tagspecs(tags), fields=fields, entity=entity,
+            tags=tagspecs(tags, families=families), fields=fields,
+            entity=entity,
             version_column=kw.pop("version_column", "event_id"),
             **kw,
         ))
@@ -328,7 +338,7 @@ def twin_catalog(sf_dir: str) -> Catalog:
                  expr="concat('f', CAST(user_id % 3 AS STRING))")),
       ("entity_id",))
     m("sw_metric", "service_latency_minute", SLM_TAGS, _F_TOTAL_VALUE,
-      ("entity_id",))
+      ("entity_id",), families={"entity_id": "storage_only"})
     m("sw_metric", "service_instance_latency_minute", SILM_TAGS,
       (FieldSpec("value", "FLOAT"),), ("entity_id",))
     m("sw_metric", "instance_clr_cpu_minute", CLR_TAGS,
