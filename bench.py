@@ -86,6 +86,12 @@ EXTENDED = [
     "embedding_kmeans_clusters",
     "trace_finalize_sampling",
     "dedup_minhash_lsh_3gram",
+    # round-11 addition (VERDICT r10 #3): the K=32 high-recall MinHash
+    # config, trackable here since its driver entry now returns the
+    # per-bucket checksum aggregate (~47 rows) instead of the ~4.4M-pair
+    # table that kept the K=8 sibling out of the bench — its cost now
+    # sits beside its pytest-gated recall floor every round
+    "dedup_minhash_lsh_k32",
 ]
 
 

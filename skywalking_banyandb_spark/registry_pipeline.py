@@ -323,16 +323,43 @@ def _dedup_minhash_k32(spark: SparkSession, sf: str) -> DataFrame:
     a candidate set a few times the answer size — the knob a user turns
     when recall is worth more than wall-clock. (On the 3-gram SELECTIVE
     shape this corpus's true pairs all sit at jaccard >= 0.9, where even
-    K=8 recall is ~1 — no high-recall sibling needed there.)"""
-    return dd.minhash_lsh_pairs(_docs(spark, sf), "doc_id", "text", n=1,
-                                threshold=0.5, k=32, bands=16)
+    K=8 recall is ~1 — no high-recall sibling needed there.)
+
+    Driver-visible result = a per-jaccard-bucket CHECKSUM AGGREGATE over
+    the verified pairs, not the pair table itself: the high-recall
+    config on the ambient-similar corpus yields ~8.9M pairs at sf0.1,
+    and shipping them through two collect+canonicalize passes measured
+    ~10x the compute wall (VERDICT r10 Next #2 — the sibling
+    ``dedup_minhash_lsh`` keeps the full pair-level compare, so pair
+    fidelity stays oracle-gated there). Every pair still flows into the
+    buckets — any divergence in membership or jaccard moves a count or
+    an id-sum, so the aggregate is a full-coverage gate. Buckets use
+    ``floor(jaccard*100)`` (exact on IEEE doubles in both engines) —
+    never a second decimal ROUND, whose tie behavior differs across
+    engines."""
+    pairs = dd.minhash_lsh_pairs(_docs(spark, sf), "doc_id", "text", n=1,
+                                 threshold=0.5, k=32, bands=16)
+    return (
+        pairs.groupBy(
+            F.floor(F.col("jaccard") * 100).cast("long").alias("jbucket"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.sum("a").cast("long").alias("sum_a"),
+             F.sum("b").cast("long").alias("sum_b"),
+             F.sum(F.col("a") * F.col("b")).cast("long").alias("sum_ab"))
+        .orderBy("jbucket")
+    )
 
 
 register(
     "dedup_minhash_lsh_k32",
     _dedup_minhash_k32,
-    dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", n=1,
-                             threshold=0.5, k=32, bands=16),
+    "SELECT CAST(floor(jaccard * 100) AS BIGINT) AS jbucket, "
+    "COUNT(*) AS n_pairs, CAST(SUM(a) AS BIGINT) AS sum_a, "
+    "CAST(SUM(b) AS BIGINT) AS sum_b, "
+    "CAST(SUM(a * b) AS BIGINT) AS sum_ab FROM ("
+    + dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", n=1,
+                               threshold=0.5, k=32, bands=16)
+    + ") GROUP BY jbucket ORDER BY jbucket",
 )
 
 
