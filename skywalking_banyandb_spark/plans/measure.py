@@ -196,11 +196,38 @@ def compile_measure(spark: SparkSession, catalog: Catalog, q: MeasureQuery) -> D
         fspec = ref.field(q.agg.field_name) if q.agg else None
         if q.agg and fspec is None:
             raise QueryAnalyzeError(f"aggregation over unknown field {q.agg.field_name!r}")
+        # Projected tags BEYOND the group keys ride along with the
+        # group's FIRST data point's values: the reference's aggregate
+        # result copies TagFamilies from the first point it feeds
+        # (measure_plan_aggregation.go:286-288 `resultDp =
+        # &DataPoint{TagFamilies: dp.TagFamilies}`; likewise
+        # aggAllIterator and the vectorized NewBatchGroupByFirst) — the
+        # conformance wants bottom_entity_svc / float_agg_min /
+        # gen_feat_*_group_* carry service_id / entity_id beside the agg.
+        # "First" = earliest (ts[, version]) in the time-ordered scan,
+        # expressed as a partial-aggregatable min_by. Version joins the
+        # key only when the column survived the scan — the version-dedup
+        # stage consumes it, after which (entity, ts) rows are unique.
+        first_key = F.struct(
+            F.col(ref.ts_column),
+            *([F.col(ref.version_column)]
+              if ref.version_column and ref.version_column in df.columns
+              else []),
+        )
+        extras = [
+            F.min_by(F.col(t), first_key).alias(t)
+            for t in q.tag_projection if t not in q.group_by
+        ]
         if q.group_by:
             if q.agg:
                 df = df.groupBy(*[F.col(g) for g in q.group_by]).agg(
+                    *extras,
                     agg_expr(q.agg.function, q.agg.field_name, fspec.type).alias(q.agg.field_name)
                 )
+            elif extras:
+                # group-by without agg, extra projected tags: first point
+                # per group (NewBatchGroupByFirst keeps the head row)
+                df = df.groupBy(*[F.col(g) for g in q.group_by]).agg(*extras)
             else:
                 # group-by without agg -> distinct group rows
                 # (vectorized/measure/groupby.go NewBatchGroupByFirst)
@@ -208,6 +235,7 @@ def compile_measure(spark: SparkSession, catalog: Catalog, q: MeasureQuery) -> D
         else:
             # global aggregate (measure_plan_aggregation.go aggAllIterator)
             df = df.agg(
+                *extras,
                 agg_expr(q.agg.function, q.agg.field_name, fspec.type).alias(q.agg.field_name)
             )
         if q.top is not None:

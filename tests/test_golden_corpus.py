@@ -91,10 +91,19 @@ def measure_oracle(q) -> tuple[str, bool]:
     page = f" LIMIT {limit} OFFSET {q.offset}"
     if q.agg is not None or q.group_by:
         gb = list(q.group_by)
+        # projected tags beyond the group keys carry the group's FIRST
+        # point's values (measure_plan_aggregation.go:286-288; wants
+        # bottom_entity_svc / float_agg_min) — unique ts makes arg_min
+        # by ts the deterministic twin of the engine's min_by(ts, version)
+        extras = [f"arg_min({t}, ts) AS {t}"
+                  for t in q.tag_projection if t not in q.group_by]
         if q.agg is not None:
-            parts = gb + [f"{AGG_SQL[q.agg.function]} AS value"]
+            parts = gb + extras + [f"{AGG_SQL[q.agg.function]} AS value"]
             inner = (f"SELECT {', '.join(parts)} FROM {_dd(q)}{where}"
                      + (f" GROUP BY {', '.join(gb)}" if gb else ""))
+        elif extras:
+            inner = (f"SELECT {', '.join(gb + extras)} FROM {_dd(q)}{where} "
+                     f"GROUP BY {', '.join(gb)}")
         else:
             inner = f"SELECT DISTINCT {', '.join(gb)} FROM {_dd(q)}{where}"
         if q.top is not None:

@@ -233,10 +233,20 @@ def measure_twin_oracle(q) -> tuple:
     page = f" LIMIT {limit} OFFSET {q.offset}"
     if q.agg is not None or q.group_by:
         gb = [_q(g) for g in q.group_by]
+        # projected tags beyond the group keys carry the group's FIRST
+        # point's values (measure_plan_aggregation.go:286-288; the
+        # gen_feat_*_group_* wants project entity_id beside groupBy id) —
+        # unique ts makes arg_min by ts the deterministic twin of the
+        # engine's min_by(ts, version)
+        extras = [f"arg_min({_q(t)}, ts) AS {_q(t)}"
+                  for t in q.tag_projection if t not in q.group_by]
         if q.agg is not None:
-            parts = gb + [f'{_AGG_SQL[q.agg.function]} AS "value"']
+            parts = gb + extras + [f'{_AGG_SQL[q.agg.function]} AS "value"']
             inner = (f"SELECT {', '.join(parts)} FROM {src}"
                      + (f" GROUP BY {', '.join(gb)}" if gb else ""))
+        elif extras:
+            inner = (f"SELECT {', '.join(gb + extras)} FROM {src} "
+                     f"GROUP BY {', '.join(gb)}")
         else:
             inner = f"SELECT DISTINCT {', '.join(gb)} FROM {src}"
         if q.top is not None:

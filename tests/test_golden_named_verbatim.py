@@ -174,11 +174,21 @@ def measure_named_oracle(con, q) -> tuple:
     if q.agg is not None or q.group_by:
         src = f"(SELECT * FROM {views[0]} WHERE {_TIME}{_where(q, analyzers)})"
         gb = [_q(g) for g in q.group_by]
+        # projected tags beyond the group keys carry the group's FIRST
+        # point's values (measure_plan_aggregation.go:286-288; wants
+        # bottom_entity_svc / float_agg_min) — unique ts makes arg_min
+        # by ts the deterministic twin of the engine's min_by(ts, version)
+        extras = [f"arg_min({_q(t)}, ts) AS {_q(t)}"
+                  for t in q.tag_projection if t not in q.group_by]
         field = q.agg.field_name if q.agg else None
         if q.agg is not None:
-            parts = gb + [f"{_agg_sql(q.agg.function, field)} AS {_q(field)}"]
+            parts = gb + extras + [
+                f"{_agg_sql(q.agg.function, field)} AS {_q(field)}"]
             inner = (f"SELECT {', '.join(parts)} FROM {src}"
                      + (f" GROUP BY {', '.join(gb)}" if gb else ""))
+        elif extras:
+            inner = (f"SELECT {', '.join(gb + extras)} FROM {src} "
+                     f"GROUP BY {', '.join(gb)}")
         else:
             inner = f"SELECT DISTINCT {', '.join(gb)} FROM {src}"
         if q.top is not None:

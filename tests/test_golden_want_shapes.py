@@ -99,6 +99,10 @@ MEASURE_SHAPE_CASES = [
     "no_field",
     "order_tag_asc",
     "top_with_filter",
+    # agg results carry projected tags BEYOND the group keys (first
+    # point's values — measure_plan_aggregation.go:286-288)
+    "bottom_entity_svc",
+    "float_agg_min",
 ]
 
 
