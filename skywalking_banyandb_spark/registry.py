@@ -528,8 +528,10 @@ _R7_STALE_FIRST = (
 #   topn_entity_conditions oracle changed with the semantics;
 # - dedup_minhash_lsh{,_3gram,_k32} + dedup_near_dup_clusters: the
 #   persisted banded table is now evicted through a bounded window
-#   (ADVICE r10 #3), and the two unigram twins' DuckDB oracles share
-#   the per-doc distinct-shingle CTE (VERDICT r10 Next #2).
+#   (ADVICE r10 #3); the unigram twins' DuckDB oracles compute digests
+#   per DISTINCT shingle and intersect integer-coded lists, and the k32
+#   entry's driver result became a per-bucket checksum aggregate
+#   (VERDICT r10 Next #2 — judge's two-entry sf0.1 sweep 45 -> 13.6 min).
 _R11_TOUCHED = (
     "topn_per_window", "topn_postagg_mean", "topn_multigroup_postagg_max",
     "topn_entity_conditions", "request_yaml_topn", "bydbql_show_top",

@@ -179,6 +179,36 @@ def test_execute_show_top(spark):
     assert vals == sorted(vals, reverse=True)
 
 
+def test_show_top_declaration_in_later_group(spark):
+    """A multi-group SHOW TOP whose TopNAggregation declaration is
+    registered under a LATER group must still resolve the declaration
+    (ADVICE r10: the transformer checked stmt.groups[0] only and
+    silently fell back to the measure shorthand, family-stripping
+    against the wrong schema)."""
+    from skywalking_banyandb_spark.catalog import TopNAggregationSchema
+
+    cat = default_catalog(SF_SMALL)
+    cat.register(TopNAggregationSchema(
+        group="g2", name="metrics_rank", source_measure=("g2", "metrics"),
+        field_name="value", group_by_tags=("user_id",),
+    ))
+    # g1 has no declaration and no measure named metrics_rank; resolution
+    # must come from g2 — before the fix this raised SchemaError
+    df = execute(
+        spark, cat,
+        "SHOW TOP 3 FROM MEASURE metrics_rank IN g1, g2 "
+        "TIME BETWEEN '2024-01-03T00:00:00Z' AND '2024-01-08T00:00:00Z' "
+        "AGGREGATE BY MAX ORDER BY DESC",
+        NOW,
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    vals = [r.value for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    # the declaration's groupBy tag (and the source entity) shape the row
+    assert "user_id" in df.columns
+
+
 def test_execute_stream_order_and_offset(spark):
     cat = default_catalog(SF_SMALL)
     df = execute(
