@@ -288,25 +288,13 @@ def to_query(
     )
 
     if stmt.resource == "MEASURE":
-        schema: MeasureSchema = catalog.get(stmt.groups[0], "measure", stmt.name)
-        if len(stmt.groups) > 1:
-            # merged logical schema across groups, first declaration wins
-            # (measure_plan_merge.go) — projection items only one group
-            # declares must resolve (multi_group_new_tag_field)
-            import dataclasses
+        # merged logical schema across groups, first declaration wins
+        # (measure_plan_merge.go) — projection items only one group
+        # declares must resolve (multi_group_new_tag_field)
+        from ..catalog import merged_schema
 
-            tags = list(schema.tags)
-            fields = list(schema.fields)
-            seen_t = {t.name for t in tags}
-            seen_f = {f.name for f in fields}
-            for g in stmt.groups[1:]:
-                s = catalog.get(g, "measure", stmt.name)
-                tags += [t for t in s.tags if t.name not in seen_t]
-                fields += [f for f in s.fields if f.name not in seen_f]
-                seen_t |= {t.name for t in s.tags}
-                seen_f |= {f.name for f in s.fields}
-            schema = dataclasses.replace(
-                schema, tags=tuple(tags), fields=tuple(fields))
+        schema: MeasureSchema = merged_schema(
+            catalog, stmt.groups, "measure", stmt.name)
         stmt = _strip_families(stmt, schema)
         order = (
             OrderBy(tag=stmt.order_by.key, sort=stmt.order_by.sort)

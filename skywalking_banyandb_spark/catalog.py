@@ -527,6 +527,38 @@ class Catalog:
         return [self.get(g, kind, name) for g in groups]
 
 
+def merged_schema(catalog: Catalog, groups, kind: str, name: str):
+    """Merged logical schema across groups — FIRST declaration wins; tags
+    (and fields, for measures) present in only some groups join the
+    merged declaration and NULL-fill in the others
+    (``measure_plan_merge.go:39-176`` / ``logical/measure/schema.go``
+    mergeSchema; the stream/trace merge planners behave alike). This is
+    the schema multi-group RESPONSES shape against: a tag only a later
+    group declares (``multi_group_new_tag``) must still appear in the
+    envelope's tag families."""
+    import dataclasses
+
+    schemas = catalog.get_many(groups, kind, name)
+    base = schemas[0]
+    if len(schemas) == 1:
+        return base
+    tags = list(base.tags)
+    seen_t = {t.name for t in tags}
+    kw = {}
+    for s in schemas[1:]:
+        tags += [t for t in s.tags if t.name not in seen_t]
+        seen_t |= {t.name for t in s.tags}
+    kw["tags"] = tuple(tags)
+    if hasattr(base, "fields"):
+        fields = list(base.fields)
+        seen_f = {f.name for f in fields}
+        for s in schemas[1:]:
+            fields += [f for f in s.fields if f.name not in seen_f]
+            seen_f |= {f.name for f in s.fields}
+        kw["fields"] = tuple(fields)
+    return dataclasses.replace(base, **kw)
+
+
 def default_catalog(sf_dir: str) -> Catalog:
     """Map the driver's synthetic tables onto BanyanDB's resource taxonomy.
 

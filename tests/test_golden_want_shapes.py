@@ -32,6 +32,7 @@ from __future__ import annotations
 import pytest
 import yaml
 
+from skywalking_banyandb_spark.catalog import merged_schema
 from skywalking_banyandb_spark.plans.measure import compile_measure
 from skywalking_banyandb_spark.plans.property import compile_property
 from skywalking_banyandb_spark.plans.stream import compile_stream
@@ -117,7 +118,7 @@ def test_measure_want_shape(env, case):
     q = load_measure_request(_inject_time(_load_case("measure", case, "yaml")))
     df = compile_measure(spark, cat, q)
     got = measure_response(
-        df.limit(3), cat.get(q.groups[0], "measure", q.name),
+        df.limit(3), merged_schema(cat, q.groups, "measure", q.name),
         q.tag_projection)
     want = _want("measure", case, "yaml")
     assert got["dataPoints"], "engine produced no rows to shape"
@@ -136,6 +137,9 @@ STREAM_SHAPE_CASES = [
     "duplicated_all",
     "filter_tag",
     "filter_no_indexed_or",
+    # a tag only the SECOND group declares still appears in the envelope
+    # (merged schema, NULL-filled for first-group rows)
+    "multi_group_new_tag",
 ]
 
 
@@ -149,7 +153,8 @@ def test_stream_want_shape(env, case):
     q = load_stream_request(_inject_time(_load_case("stream", case, "yaml")))
     df = compile_stream(spark, cat, q)
     got = stream_response(
-        df.limit(3), cat.get(q.groups[0], "stream", q.name), q.projection)
+        df.limit(3), merged_schema(cat, q.groups, "stream", q.name),
+        q.projection)
     want = _want("stream", case, "yaml")
     assert got["elements"], "engine produced no rows to shape"
     assert _stream_sig(got["elements"][0]) == _stream_sig(want["elements"][0])
@@ -166,6 +171,8 @@ TRACE_SHAPE_CASES = [
     "order_duration_desc",
     "multi_group_unchanged",
     "eq_service_order_timestamp_desc",
+    # error_message exists only in the second group's declaration
+    "multi_group_new_tag",
 ]
 
 
@@ -181,7 +188,8 @@ def test_trace_want_shape(env, case):
     q = load_trace_request(_inject_time(_load_case("trace", case, "yml")))
     df = compile_trace(spark, cat, q)
     got = trace_response(
-        df.limit(3), cat.get(q.groups[0], "trace", q.name), q.projection)
+        df.limit(3), merged_schema(cat, q.groups, "trace", q.name),
+        q.projection)
     want = _want("trace", case, "yml")
     assert got["traces"] and got["traces"][0]["spans"]
     assert _trace_sig(got["traces"][0]) == _trace_sig(want["traces"][0])
