@@ -117,6 +117,43 @@ def test_property_shape(spark, cat):
     assert {t["key"] for t in p["tags"]} == {"lang", "source"}
 
 
+def test_topn_response_shapes(spark, cat):
+    """TopNResponse shaping, both reference shapes: the aggregated path
+    collapses to ONE list of per-entity items (toTopNResponse,
+    processor_topn.go:267-282); a result still carrying window_start
+    (the engine's per-window no-agg shape) emits one TopNList per
+    window with its timestamp (topn_post_processor.go
+    valWithoutAggregation timelines). Items = entity tags + value."""
+    from skywalking_banyandb_spark.model import AggFunc, Sort, TopNQuery
+    from skywalking_banyandb_spark.plans.topn import compile_topn
+    from skywalking_banyandb_spark.response import topn_response
+
+    tr = TimeRange.of("2024-01-03T00:00:00", "2024-01-05T00:00:00")
+    schema = cat.get("g1", "measure", "metrics")
+
+    agged = compile_topn(spark, cat, TopNQuery(
+        groups=["g1"], name="metrics", time_range=tr,
+        top_n=3, sort=Sort.DESC, agg=AggFunc.MAX))
+    resp = topn_response(agged, schema, "value")
+    assert len(resp["lists"]) == 1 and "timestamp" not in resp["lists"][0]
+    items = resp["lists"][0]["items"]
+    assert 0 < len(items) <= 3
+    assert [t["key"] for t in items[0]["entity"]] == ["user_id"]
+    assert "float" in items[0]["value"]
+
+    per_window = compile_topn(spark, cat, TopNQuery(
+        groups=["g1"], name="metrics", time_range=tr,
+        top_n=2, sort=Sort.DESC))
+    resp = topn_response(per_window, schema, "value")
+    assert len(resp["lists"]) > 1          # one TopNList per window...
+    for lst in resp["lists"]:
+        assert lst["timestamp"]            # ...stamped with the window
+        assert 0 < len(lst["items"]) <= 2  # ranked to the query's N
+    # timeline lists arrive in window order (valWithoutAggregation sorts)
+    stamps = [lst["timestamp"] for lst in resp["lists"]]
+    assert stamps == sorted(stamps)
+
+
 def test_schema_gate_statuses_and_short_circuit(spark):
     """Replay of the reference's schema gate tables
     (test/cases/schema/query_gate.go + write_gate.go) at the engine
