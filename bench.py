@@ -92,6 +92,12 @@ EXTENDED = [
     # table that kept the K=8 sibling out of the bench — its cost now
     # sits beside its pytest-gated recall floor every round
     "dedup_minhash_lsh_k32",
+    # round-12 addition (VERDICT r11 Next #5): the DEFAULT K=8 unigram
+    # config, benchable via the same ~48-row checksum-aggregate shape —
+    # the cheap estimator a user would actually run at scale finally has
+    # a cost row beside its 3-gram and k32 siblings (the pair-level
+    # dedup_minhash_lsh entry keeps the pair-exact oracle)
+    "dedup_minhash_lsh_agg",
 ]
 
 

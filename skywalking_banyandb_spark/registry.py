@@ -539,11 +539,94 @@ _R11_TOUCHED = (
     "dedup_near_dup_clusters",
 )
 
+# 50/50 green, zero errors — the third consecutive all-green window
+# (CORRECTNESS_r11.json keys).
+_R11_DRIVER_SEEN = frozenset({
+    "ann_cosine_topk", "ann_ivf_incremental_topk", "ann_ivf_topk",
+    "bydbql_show_top", "bydbql_trace_stats",
+    "continuous_rollup_materialized", "corpus_clean_pipeline",
+    "criteria_having_array", "criteria_not_having_array",
+    "decontamination_overlap", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_minhash_lsh_3gram", "dedup_minhash_lsh_k32",
+    "dedup_near_dup_clusters", "dedup_ngram_jaccard",
+    "documents_weighted_sample", "domain_mixture_resample",
+    "embedding_covariance", "embedding_int8_quantization",
+    "embedding_pca_project", "events_asof_join", "events_cube_type_day",
+    "events_funnel_conversion", "events_funnel_transitions",
+    "events_pivot_type_counts", "events_range_join_bucketed",
+    "events_session_window", "latency_heatmap",
+    "measure_gap_fill_interpolate", "measure_hopping_window",
+    "measure_index_mode_scan", "measure_latency_percentiles",
+    "measure_moving_avg", "measure_orderby_field_desc",
+    "multimodal_features", "multimodal_frame_sample",
+    "quality_tfidf_top_terms", "request_yaml_topn",
+    "topn_entity_conditions", "topn_multigroup_postagg_max",
+    "topn_per_window", "topn_postagg_mean", "tpch_q1_pricing_summary",
+    "tpch_q4_order_priority", "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "trace_spans_payload",
+})
+
+# Round-12 window front (VERDICT r11 Next #2): after r11 the staleness
+# histogram is r8:39 / r9:37 / r10:40 / r11:50 — the oldest cohort is
+# the 39 entries whose newest driver row is r8; seed them FIRST so after
+# r12 no entry's newest driver row is older than r9.
+#
+# OVERFLOW RULE (defined ahead of the first round where stale + fresh +
+# touched can exceed the 50-entry driver cap): the front order is
+# stale-first, then never-seen, then touched — when that front exceeds
+# _SWEEP_CAP, the tail past position 50 (in exactly this order) gets NO
+# driver row this round and becomes the MANDATORY PREFIX of the next
+# round's stale seed (ahead of the then-oldest cohort), so nothing
+# silently waits two extra rounds. The _sweep_order warning names the
+# spilled entries; copy them verbatim into _R{N+1}_STALE_FIRST's head.
+_R8_STALE_FIRST = (
+    "ann_ivfpq_incremental_topk", "ann_ivfpq_residual_topk",
+    "ann_ivfpq_topk", "ann_lsh_topk", "ann_pq_topk",
+    "bydbql_family_qualified_agg", "dedup_embedding_cosine",
+    "dedup_embedding_lsh", "documents_stratified_sample",
+    "documents_train_split", "embedding_centroid_confusion",
+    "embedding_l2_norms", "events_cohort_retention", "json_extract_agg",
+    "measure_groupby_mean_salted", "measure_histogram_quantile",
+    "measure_rate_delta", "measure_rate_extrapolated_promql",
+    "measure_zscore_anomalies", "property_crud_roundtrip",
+    "quality_repetition", "sequence_packing", "sketch_bloom_membership",
+    "sketch_hll_users", "stream_having_derived_tag",
+    "stream_write_roundtrip", "streaming_extrapolated_rate_materialized",
+    "streaming_hll_distinct_materialized", "tpch_q11_important_stock",
+    "tpch_q12_priority_shipclass", "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_relationship",
+    "tpch_q19_discounted_revenue", "tpch_q20_part_promotion",
+    "tpch_q22_sales_opportunity", "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit", "write_mixed_roundtrip",
+)
+
+# Entries whose compile paths round 12 changed (re-verify ahead of the
+# merely-stale rest):
+# - dedup_minhash_lsh{,_3gram,_k32} + dedup_near_dup_clusters: the
+#   persisted banded table's eviction window is now keyed by
+#   canonicalized plan (VERDICT r11 #1 — the FIFO's handle-keyed
+#   unpersist dropped the shared cache entry on repeat-config calls);
+# - topn family + bydbql_show_top + request_yaml_topn: materialization
+#   width is capped at the declaration's counters_number (ADVICE r11 —
+#   a query N beyond counters_number can no longer surface series the
+#   reference's bounded candidate store could never return).
+# Window arithmetic: 39 stale + 1 fresh (dedup_minhash_lsh_agg) + 10
+# touched = 50 — exactly the cap, no spill this round.
+_R12_TOUCHED = (
+    "dedup_minhash_lsh", "dedup_minhash_lsh_3gram", "dedup_minhash_lsh_k32",
+    "dedup_near_dup_clusters",
+    "topn_per_window", "topn_postagg_mean", "topn_multigroup_postagg_max",
+    "topn_entity_conditions", "request_yaml_topn", "bydbql_show_top",
+)
+
 _SWEEP_CAP = 50
 
 
 def _newest_driver_round(k: str) -> int:
     """Most recent round whose sweep recorded this entry (0 = never)."""
+    if k in _R11_DRIVER_SEEN:
+        return 11
     if k in _R10_DRIVER_SEEN:
         return 10
     if k in _R9_DRIVER_SEEN:
@@ -569,15 +652,16 @@ def _newest_driver_round(k: str) -> int:
 
 def _sweep_order(d: Dict[str, "object"]) -> list:
     """Driver sweeps record the FIRST 50 entries only, so order by need:
-    the r7-stale thirty-seven (oldest driver rows anywhere — VERDICT r10
-    #1), then never-driver-seen entries (new this round), then entries
-    whose code changed this round (_R11_TOUCHED), then everything else
+    the r8-stale thirty-nine (oldest driver rows anywhere — VERDICT r11
+    #2), then never-driver-seen entries (new this round), then entries
+    whose code changed this round (_R12_TOUCHED), then everything else
     oldest-driver-row first so no entry's newest row goes stale
     silently. Warn when the priority prefix itself overflows the cap
-    (ADVICE r3)."""
-    stale = [k for k in _R7_STALE_FIRST if k in d]
+    (ADVICE r3) — the spilled tail becomes the mandatory prefix of next
+    round's stale seed (overflow rule above _R8_STALE_FIRST)."""
+    stale = [k for k in _R8_STALE_FIRST if k in d]
     fresh = [k for k in d if _newest_driver_round(k) == 0 and k not in stale]
-    touched = [k for k in _R11_TOUCHED
+    touched = [k for k in _R12_TOUCHED
                if k in d and k not in fresh and k not in stale]
     front = stale + fresh + touched
     if len(front) > _SWEEP_CAP:

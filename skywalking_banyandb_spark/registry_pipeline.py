@@ -350,6 +350,46 @@ def _dedup_minhash_k32(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _dedup_minhash_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Checksum-aggregate sibling of the DEFAULT K=8 unigram config
+    (VERDICT r11 Next #5): same pipeline as ``dedup_minhash_lsh``, but
+    the driver-visible result is the per-jaccard-bucket aggregate the
+    k32 entry established — count + id-sums + product-sum per
+    ``floor(jaccard*100)`` bucket. The pair-level sibling keeps its
+    full pair-exact oracle (pair fidelity stays gated there); THIS
+    entry exists so the cheap estimator everyone would actually run at
+    scale has a bench cost row — its sf0.1 answer is ~4.9M pairs, and
+    a ~48-row result is collectable per bench pass where the pair
+    table's 80 s of row serialization kept the default config out of
+    the bench entirely (SCALE.md r8). Every pair still flows into a
+    bucket, so any membership or jaccard divergence moves a count or a
+    sum."""
+    pairs = dd.minhash_lsh_pairs(_docs(spark, sf), "doc_id", "text", n=1,
+                                 threshold=0.5)
+    return (
+        pairs.groupBy(
+            F.floor(F.col("jaccard") * 100).cast("long").alias("jbucket"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.sum("a").cast("long").alias("sum_a"),
+             F.sum("b").cast("long").alias("sum_b"),
+             F.sum(F.col("a") * F.col("b")).cast("long").alias("sum_ab"))
+        .orderBy("jbucket")
+    )
+
+
+register(
+    "dedup_minhash_lsh_agg",
+    _dedup_minhash_agg,
+    "SELECT CAST(floor(jaccard * 100) AS BIGINT) AS jbucket, "
+    "COUNT(*) AS n_pairs, CAST(SUM(a) AS BIGINT) AS sum_a, "
+    "CAST(SUM(b) AS BIGINT) AS sum_b, "
+    "CAST(SUM(a * b) AS BIGINT) AS sum_ab FROM ("
+    + dd.minhash_lsh_pairs_sql("documents", "doc_id", "text", n=1,
+                               threshold=0.5)
+    + ") GROUP BY jbucket ORDER BY jbucket",
+)
+
+
 register(
     "dedup_minhash_lsh_k32",
     _dedup_minhash_k32,
