@@ -56,7 +56,8 @@ def materialize_topn(
     """Build the ``_top_n_result`` content from the source measure (batch).
 
     Output: (window_start, group_tags..., entity extras..., field) — per
-    (window, group) the top ``max(n, counters_number)`` SOURCE-MEASURE
+    (window, group) the top ``counters_number`` (the declaration's exact
+    heap bound; the query's ``n`` when no declaration) SOURCE-MEASURE
     SERIES by their latest-written value, each row carrying the series'
     full entity (``topn.go`` keys the heap by seriesID and stores
     entityValues; conformance ``want/condition_aggr_desc.yaml`` items carry
@@ -115,7 +116,16 @@ def materialize_topn(
         # holds exactly one series, so the counters_number rank is the
         # identity — skip the window function entirely.
         return latest.select("window_start", *[qcol(c) for c in series], field)
-    width = max(n, counters_number or 0)
+    # The declaration's counters_number is the reference heap's EXACT
+    # bound (pkg/flow/streaming/topn.go sizes the per-(window, GroupName)
+    # heap at counters_number): a query whose N exceeds it can only rank
+    # the stored candidates, never widen them — so when a declaration
+    # provides the bound, it CAPS the materialization width (ADVICE r11:
+    # max(n, counters_number) let an over-wide query surface series the
+    # reference's bounded store could never return). The shorthand path
+    # (no declaration) has no stored view to bound, so the query's N
+    # sizes the recompute.
+    width = counters_number if counters_number else n
     ranked = per_window_top_n(
         latest, ["window_start", *keys], field, width, sort, tiebreak=series
     )

@@ -147,8 +147,11 @@ def start_topn_materialization(
 
     ``counters_number`` (``schema.proto:147-150``
     TopNAggregation.counters_number) sizes the MATERIALIZED ranking width —
-    the stored candidate list a later ``SHOW TOP n`` query ranks from, so
-    it must be >= the largest n queried. Defaults to ``n``.
+    the reference heap's EXACT bound (``pkg/flow/streaming/topn.go``), so
+    when provided it overrides ``n`` in BOTH directions: the stored
+    candidate list a later ``SHOW TOP n`` query ranks from is exactly
+    counters_number wide, and a query whose n exceeds it only ranks the
+    stored candidates. Defaults to ``n``.
 
     ``sharding_keys`` (TopNAggregation.group_by_tag_names used as the flow
     sharding key, ``pkg/flow/streaming/topn.go``): the reference routes
@@ -163,7 +166,7 @@ def start_topn_materialization(
         if schema.tag(k) is None and k not in schema.entity:
             raise ValueError(f"sharding key {k!r} is not a tag of {schema.name!r}")
     if counters_number is not None:
-        n = max(n, counters_number)
+        n = counters_number
     if criteria is not None:
         # TopNAggregation.criteria — the flow's Filter stage
         # (banyand/measure/topn.go:562-583): declaration-time pre-filter,

@@ -300,3 +300,30 @@ def test_trace_orderby_duration_matches_duckdb(spark):
             ORDER BY MAX(value) DESC, trace_id LIMIT 20 OFFSET 5"""
     ).fetchall()
     assert got == [tuple(w) for w in want]
+
+
+def test_topn_counters_number_caps_materialization_width(spark):
+    """counters_number is the reference heap's EXACT bound
+    (pkg/flow/streaming/topn.go sizes the per-(window, GroupName) heap at
+    counters_number; schema.proto:147-150): a query whose N exceeds it can
+    only rank the stored candidates, never widen them — so the
+    materialization width is capped at counters_number (ADVICE r11; the
+    old max(n, counters_number) surfaced series the reference's bounded
+    store could never return). Without a declaration bound, the query's N
+    sizes the recompute."""
+    from skywalking_banyandb_spark.plans.topn import materialize_topn
+
+    schema = _cat().get("g1", "measure", "metrics")
+    capped = materialize_topn(
+        spark, schema, "value", n=10, window="1 hour",
+        group_tags=["event_type"], counters_number=2,
+    )
+    per_group = (
+        capped.groupBy("window_start", "event_type").count().collect())
+    assert per_group and all(r["count"] <= 2 for r in per_group)
+    unbounded = materialize_topn(
+        spark, schema, "value", n=10, window="1 hour",
+        group_tags=["event_type"],
+    )
+    wide = unbounded.groupBy("window_start", "event_type").count().collect()
+    assert max(r["count"] for r in wide) > 2  # N sizes the shorthand path
