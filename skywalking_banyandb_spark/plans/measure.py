@@ -214,9 +214,18 @@ def compile_measure(spark: SparkSession, catalog: Catalog, q: MeasureQuery) -> D
               if ref.version_column and ref.version_column in df.columns
               else []),
         )
+        # Field names pass projection validation (they live in tagmap so
+        # criteria can reference them), but they are NOT tags: a
+        # tag_projection entry naming the aggregated field must not
+        # generate a min_by extra aliased identically to the agg output —
+        # a duplicate/ambiguous column (ADVICE r11). The reference's
+        # aggregate result shape is entity tags + the aggregated value;
+        # field values beyond the agg only exist pre-aggregation.
+        field_names = {f.name for s in schemas for f in s.fields}
         extras = [
             F.min_by(F.col(t), first_key).alias(t)
-            for t in q.tag_projection if t not in q.group_by
+            for t in q.tag_projection
+            if t not in q.group_by and t not in field_names
         ]
         if q.group_by:
             if q.agg:

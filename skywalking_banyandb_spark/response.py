@@ -83,29 +83,45 @@ def _tag_families(
 ) -> List[Dict[str, Any]]:
     """Group present tag columns into the schema's declared families.
 
-    Tags within a family follow the REQUEST's projection order when given
+    Tags WITHIN a family follow the REQUEST's projection order when given
     (the reference echoes TagProjection order in responses — conformance
     ``want/entity.yaml`` returns ``service_id, layer, name, short_name``
     for exactly that projection order, not the schema's declaration
     order); tags outside ``tag_order`` (and the no-projection case) keep
     declaration order (``model/v1/query.proto:37-40``; family grouping
-    ``schema.proto:41-50``)."""
-    ordered = list(tags)
-    if tag_order:
-        pos = {n: i for i, n in enumerate(tag_order)}
-        ordered.sort(key=lambda t: pos.get(t.name, len(pos)))
-    families: Dict[str, List[Dict[str, Any]]] = {}
+    ``schema.proto:41-50``). FAMILY emission order follows each family's
+    FIRST occurrence in the projection (the proto TagProjection is
+    per-family, so the reference echoes families in request order — the
+    stream conformance wants emit ``searchable`` before ``data`` for
+    exactly that projection order); a projection that interleaves tags
+    from different families therefore reorders tags only within each
+    family, never splits or re-weaves the families themselves, and
+    families outside the projection keep declaration order (ADVICE
+    r11)."""
+    families: Dict[str, List[TagSpec]] = {}
     order: List[str] = []
-    for t in ordered:
+    for t in tags:  # declaration order is the base FAMILY sequence
         if t.name not in row:
             continue  # not in the projection
         if t.family not in families:
             families[t.family] = []
             order.append(t.family)
-        families[t.family].append(
+        families[t.family].append(t)
+    if tag_order:
+        pos = {n: i for i, n in enumerate(tag_order)}
+        for fam in families.values():
+            fam.sort(key=lambda t: pos.get(t.name, len(pos)))
+        # stable: families entirely absent from the projection tie at
+        # len(pos) and keep their declaration order
+        order.sort(key=lambda f: min(pos.get(t.name, len(pos))
+                                     for t in families[f]))
+    return [
+        {"name": fam, "tags": [
             {"key": t.name, "value": _tag_value(t.type, row[t.name])}
-        )
-    return [{"name": fam, "tags": families[fam]} for fam in order]
+            for t in families[fam]
+        ]}
+        for fam in order
+    ]
 
 
 def measure_response(

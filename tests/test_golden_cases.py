@@ -327,3 +327,22 @@ def test_topn_counters_number_caps_materialization_width(spark):
     )
     wide = unbounded.groupBy("window_start", "event_type").count().collect()
     assert max(r["count"] for r in wide) > 2  # N sizes the shorthand path
+
+
+def test_agg_tag_projection_naming_field_is_not_duplicated(spark):
+    """A tag_projection entry naming the aggregated FIELD passes
+    analyze-time validation (fields live in tagmap so criteria can
+    reference them) but must not generate a first-point extra aliased
+    identically to the aggregate output — previously a duplicate,
+    ambiguous column (ADVICE r11). The aggregate result shape stays
+    entity tags + value (measure_plan_aggregation.go)."""
+    q = MeasureQuery(
+        groups=["g1"], name="metrics", time_range=TR,
+        group_by=["event_type"],
+        agg=AggregationSpec(AggFunc.SUM, "value"),
+        tag_projection=["event_type", "value"], limit=100,
+    )
+    df = compile_measure(spark, _cat(), q)
+    assert df.columns.count("value") == 1
+    assert df.columns == ["event_type", "value"]
+    df.collect()  # and the plan actually resolves (no ambiguity error)

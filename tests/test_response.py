@@ -265,3 +265,37 @@ def test_query_trace_response_shape(spark):
     for s in tree:
         for t in s["tags"]:
             assert isinstance(t["key"], str) and isinstance(t["value"], str)
+
+
+def test_interleaved_projection_never_reweaves_families():
+    """The proto TagProjection is PER-FAMILY: families emit in the order
+    of their FIRST occurrence in the projection (the reference echoes
+    request family order — stream wants emit `searchable` before `data`),
+    and an interleaving projection reorders tags only WITHIN each family,
+    never splits a family or weaves two together (ADVICE r11; family
+    grouping schema.proto:41-50)."""
+    from skywalking_banyandb_spark.catalog import TagSpec
+    from skywalking_banyandb_spark.response import _tag_families
+
+    tags = [
+        TagSpec("a1", "STRING", family="fam_a"),
+        TagSpec("a2", "STRING", family="fam_a"),
+        TagSpec("b1", "STRING", family="fam_b"),
+        TagSpec("b2", "STRING", family="fam_b"),
+    ]
+    row = {"a1": "x", "a2": "y", "b1": "p", "b2": "q"}
+    # interleaved projection leading with a fam_b tag: fam_b first (its
+    # first occurrence precedes fam_a's), each family contiguous, tags
+    # within each family in projection order
+    fams = _tag_families(tags, row, tag_order=["b2", "a2", "b1", "a1"])
+    assert [f["name"] for f in fams] == ["fam_b", "fam_a"]
+    assert [t["key"] for t in fams[0]["tags"]] == ["b2", "b1"]
+    assert [t["key"] for t in fams[1]["tags"]] == ["a2", "a1"]
+    # family entirely outside the projection: declaration order at the end
+    fams = _tag_families(tags, row, tag_order=["b1", "b2"])
+    assert [f["name"] for f in fams] == ["fam_b", "fam_a"]
+    assert [t["key"] for t in fams[1]["tags"]] == ["a1", "a2"]
+    # no projection: declaration order throughout
+    fams = _tag_families(tags, row)
+    assert [f["name"] for f in fams] == ["fam_a", "fam_b"]
+    assert [t["key"] for t in fams[0]["tags"]] == ["a1", "a2"]
