@@ -254,3 +254,147 @@ def test_topn_want_shape(env, case):
     want = _want("topn", case, "yaml")
     assert got["lists"] and got["lists"][0]["items"]
     assert _topn_sig(got["lists"][0]) == _topn_sig(want["lists"][0])
+
+
+# ---------------------------------------------------------------------------
+# Ordering (VERDICT r11 Next #6) — rank/order is a reference-recorded axis
+# (the want/*.yaml ITEM SEQUENCE) that transfers across datasets whenever
+# the order is value-determined: the shaped response's items must be
+# sorted by the requested key, and for topn the want's own recorded items
+# must satisfy the same monotonicity (congruence with the reference axis).
+# ---------------------------------------------------------------------------
+
+from skywalking_banyandb_spark.model import Sort  # noqa: E402
+
+
+def _scalar(v):
+    """Dig the proto oneof: {'int': {'value': '12'}} -> 12 (protojson
+    string-encodes int64), {'float': ...} -> float, {'str': ...} -> str."""
+    if v is None or "null" in v:
+        return None
+    if "int" in v:
+        return int(v["int"]["value"])
+    if "float" in v:
+        return float(v["float"]["value"])
+    if "str" in v:
+        return v["str"]["value"]
+    raise AssertionError(f"unhandled value flavor {v!r}")
+
+
+def _tagval(item, key):
+    for fam in item.get("tagFamilies") or []:
+        for t in fam.get("tags") or []:
+            if t["key"] == key:
+                return _scalar(t["value"])
+    raise AssertionError(f"ordered tag {key!r} absent from shaped item")
+
+
+def _assert_monotonic(vals, sort, label):
+    vals = [v for v in vals if v is not None]
+    assert len(vals) >= 2, f"{label}: <2 comparable items, ordering untested"
+    ok = all(a >= b for a, b in zip(vals, vals[1:])) if sort is Sort.DESC \
+        else all(a <= b for a, b in zip(vals, vals[1:]))
+    assert ok, f"{label}: items not {sort.name}-sorted: {vals[:10]}"
+
+
+# measure: order by tag (id) and by timestamp, both directions
+MEASURE_ORDER_CASES = [
+    "order_tag_asc", "order_tag_desc", "order_asc", "order_desc",
+]
+
+
+@pytest.mark.parametrize("case", MEASURE_ORDER_CASES)
+def test_measure_want_order(env, case):
+    spark, cat, _ = env
+    q = load_measure_request(_inject_time(_load_case("measure", case, "yaml")))
+    df = compile_measure(spark, cat, q)
+    got = measure_response(
+        df, merged_schema(cat, q.groups, "measure", q.name),
+        q.tag_projection)
+    items = got["dataPoints"]
+    if q.order_by is not None and q.order_by.tag is not None:
+        vals = [_tagval(it, q.order_by.tag) for it in items]
+    else:  # order by time: RFC3339 strings compare lexicographically
+        vals = [it["timestamp"] for it in items]
+    sort = q.order_by.sort if q.order_by is not None else Sort.ASC
+    _assert_monotonic(vals, sort, f"measure/{case}")
+
+
+# stream: order by timestamp both directions (+ a filtered limit-2 case
+# and the multi-group duration sidx sort)
+STREAM_ORDER_CASES = [
+    "order_asc", "order_desc", "filter_order_desc",
+    "multi_group_sort_duration",
+]
+
+
+@pytest.mark.parametrize("case", STREAM_ORDER_CASES)
+def test_stream_want_order(env, case):
+    spark, cat, _ = env
+    q = load_stream_request(_inject_time(_load_case("stream", case, "yaml")))
+    df = compile_stream(spark, cat, q)
+    got = stream_response(
+        df, merged_schema(cat, q.groups, "stream", q.name), q.projection)
+    items = got["elements"]
+    if q.order_by is not None and q.order_by.tag is not None:
+        vals = [_tagval(it, q.order_by.tag) for it in items]
+    else:
+        vals = [it["timestamp"] for it in items]
+    sort = q.order_by.sort if q.order_by is not None else Sort.ASC
+    _assert_monotonic(vals, sort, f"stream/{case}")
+
+
+# trace: spans scan sorted by the duration sidx key then regroup by
+# trace id (first-occurrence order), so the TRACE sequence is ordered by
+# each trace's best in-result span — max for DESC, min for ASC. These
+# cases project `duration`, so the key is extractable from span tags.
+TRACE_ORDER_CASES = [
+    ("gen_feat_order_duration_asc_limit5_proj_explicit_6", Sort.ASC),
+    ("gen_feat_order_duration_desc_proj_explicit_3", Sort.DESC),
+    ("gen_feat_order_duration_asc_limit2_offset1_proj_explicit_1", Sort.ASC),
+]
+
+
+@pytest.mark.parametrize("case,sort", TRACE_ORDER_CASES)
+def test_trace_want_order(env, case, sort):
+    spark, cat, _ = env
+    q = load_trace_request(_inject_time(_load_case("trace", case, "yml")))
+    assert q.order_by is not None and q.order_by.sort is sort
+    df = compile_trace(spark, cat, q)
+    got = trace_response(
+        df, merged_schema(cat, q.groups, "trace", q.name), q.projection)
+    best = max if sort is Sort.DESC else min
+    vals = []
+    for tr in got["traces"]:
+        durs = [d for sp in tr["spans"]
+                for d in (_span_tag(sp, "duration"),) if d is not None]
+        assert durs, f"trace/{case}: span without projected duration"
+        vals.append(best(durs))
+    _assert_monotonic(vals, sort, f"trace/{case}")
+
+
+def _span_tag(span, key):
+    for t in span.get("tags") or []:
+        if t["key"] == key:
+            return _scalar(t["value"])
+    return None
+
+
+# topn: per-list item values monotonic per the query's sort — asserted on
+# the GOT response AND on the reference's recorded want items (the axis
+# itself transfers for rank-determined cases)
+@pytest.mark.parametrize("case", TOPN_SHAPE_CASES)
+def test_topn_want_order(env, case):
+    spark, cat, _ = env
+    q = load_topn_request(_inject_time(_load_case("topn", case, "yaml")))
+    df = compile_topn(spark, cat, q)
+    decl = cat.get(q.groups[0], "topn", q.name)
+    src = cat.get(decl.source_measure[0], "measure", decl.source_measure[1])
+    got = topn_response(df, src, decl.field_name)
+    want = _want("topn", case, "yaml")
+    for side, resp in (("got", got), ("want", want)):
+        assert resp["lists"], f"topn/{case}/{side}: no lists"
+        for i, lst in enumerate(resp["lists"]):
+            vals = [_scalar(it["value"]) for it in lst["items"]]
+            if len(vals) >= 2:
+                _assert_monotonic(vals, q.sort, f"topn/{case}/{side}[{i}]")
