@@ -98,6 +98,11 @@ EXTENDED = [
     # a cost row beside its 3-gram and k32 siblings (the pair-level
     # dedup_minhash_lsh entry keeps the pair-exact oracle)
     "dedup_minhash_lsh_agg",
+    # round-12 addition: incremental cross-corpus near-dup — probe of a
+    # write-time banded index (sources/minhash_index.py), the O(batch)
+    # arrival-loop shape. Its steady-state prices the probe; the one-time
+    # index build disk-caches into the cold pass like the ann_* entries.
+    "dedup_minhash_incremental",
 ]
 
 

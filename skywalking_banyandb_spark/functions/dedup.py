@@ -318,6 +318,47 @@ WHERE round(common / CAST(sza + szb - common AS DOUBLE), 6) >= {threshold}
 """
 
 
+def _text_classes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Byte-identical-text equivalence classes: (_cls md5, _rep min-id,
+    _members, _n). The duplicate collapse both the self-join pipeline and
+    the write-time index (sources/minhash_index.py) run on — identical
+    texts share every shingle, so running one representative per class
+    keeps skewed corpora from concentrating d²·shingles join rows on a
+    handful of keys (the r8 skew-proof finding)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("_cls"))
+        .agg(F.min(F.col(id_col)).alias("_rep"),
+             F.collect_list(F.col(id_col)).alias("_members"),
+             F.count(F.lit(1)).alias("_n"))
+    )
+
+
+def _band_hashes(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """(id, band, bh) band hashes of a signature relation. ONE pass
+    computes every band hash per signature row — an 8-way union of
+    per-band selects re-evaluated the 128-min signature aggregate once
+    PER BRANCH, 8x the dominant cost (found by the r8 skew-proof harness
+    as a 20-minute 8-task stage). Shared by the self-join pipeline and
+    the write-time index, which must band IDENTICALLY for an index probe
+    to reproduce the full pipeline's candidate set."""
+    rows = k // bands
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[
+                F.col(f"sig{b * rows + r}").cast("string")
+                for r in range(rows)
+            ])).alias("bh"),
+        )
+        for b in range(bands)
+    ])
+    return (
+        sig.select("id", F.explode(band_structs).alias("_bb"))
+        .select("id", F.col("_bb.band").alias("band"),
+                F.col("_bb.bh").alias("bh"))
+    )
+
+
 def _minhash_sig(df: DataFrame, id_col: str, text_col: str, n: int,
                  k: int = MINHASH_K) -> DataFrame:
     """Per-doc MinHash signature: sig_i = min over shingles of the i-th
@@ -383,7 +424,16 @@ def _minhash_sig(df: DataFrame, id_col: str, text_col: str, n: int,
 # additionally keyed by SparkSession (ADVICE r11: sessions have disjoint
 # CacheManagers; never compare or evict across them), and the list is
 # lock-guarded for concurrent callers.
-_BANDED_KEEP = 2
+# Window size = the live WORKING SET, not a token pair: the bench's two
+# steady-state passes interleave THREE distinct configurations (3-gram
+# K=8, unigram K=8, unigram K=32) plus the incremental probe's candidate
+# table — with a 2-slot window every pass evicted the config it was
+# about to need again (measured r12: 3-gram steady-state 5.0 s vs 2.1 s
+# with the set resident). Each entry is bands×reps rows of three narrow
+# columns — a few MB per 100k docs — so four slots cost little even at
+# corpus scale, where the table is MEMORY_AND_DISK and proportional to
+# the one shuffle it replaces.
+_BANDED_KEEP = 4
 _banded_lock = threading.Lock()
 _banded_live: list = []  # [(session, semanticHash, df)], MRU last
 
@@ -456,36 +506,14 @@ def minhash_lsh_pairs(
     materialize each result before issuing the next; repeat calls with
     the SAME configuration share one cached table and never pay this.
     """
-    rows = k // bands
-    classes = (
-        df.groupBy(F.md5(F.col(text_col)).alias("_cls"))
-        .agg(F.min(F.col(id_col)).alias("_rep"),
-             F.collect_list(F.col(id_col)).alias("_members"),
-             F.count(F.lit(1)).alias("_n"))
-    )
+    classes = _text_classes(df, id_col, text_col)
     # rep cardinality is corpus-sized on a dup-free corpus — no forced
     # broadcast, AQE picks the strategy
     rep_ids = classes.select(F.col("_rep").alias(id_col))
     df = df.join(rep_ids, id_col, "left_semi")
     sig = _minhash_sig(df, id_col, text_col, n, k=k)
-    # ONE pass computes every band hash per signature row (an 8-way
-    # union of per-band selects re-evaluated the 128-min signature
-    # aggregate once PER BRANCH — 8x the dominant cost; found by the
-    # r8 skew-proof harness as a 20-minute 8-task stage)
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws(",", *[
-                F.col(f"sig{b * rows + r}").cast("string")
-                for r in range(rows)
-            ])).alias("bh"),
-        )
-        for b in range(bands)
-    ])
     banded = (
-        sig.select("id", F.explode(band_structs).alias("_bb"))
-        .select("id", F.col("_bb.band").alias("band"),
-                F.col("_bb.bh").alias("bh"))
+        _band_hashes(sig, k, bands)
         # materialize ONCE (lazy): the candidate self-join's two branches
         # and the optional cap filter would otherwise each recompute the
         # whole shingle->signature subtree — the broadcast side of the

@@ -611,8 +611,12 @@ _R8_STALE_FIRST = (
 #   width is capped at the declaration's counters_number (ADVICE r11 —
 #   a query N beyond counters_number can no longer surface series the
 #   reference's bounded candidate store could never return).
-# Window arithmetic: 39 stale + 1 fresh (dedup_minhash_lsh_agg) + 10
-# touched = 50 — exactly the cap, no spill this round.
+# Window arithmetic: 39 stale + 2 fresh (dedup_minhash_lsh_agg,
+# dedup_minhash_incremental) + 10 touched = 51 — ONE over the cap, the
+# first exercise of the overflow rule above: the spilled tail is
+# ``bydbql_show_top`` (last in this tuple; its newest driver row stays
+# the fresh r11 one), which therefore becomes the MANDATORY PREFIX of
+# _R13_STALE_FIRST. ``_sweep_order`` warns with exactly that name.
 _R12_TOUCHED = (
     "dedup_minhash_lsh", "dedup_minhash_lsh_3gram", "dedup_minhash_lsh_k32",
     "dedup_near_dup_clusters",

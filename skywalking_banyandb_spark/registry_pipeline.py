@@ -390,6 +390,58 @@ register(
 )
 
 
+def _dedup_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-corpus near-dup against a WRITE-TIME banded index
+    (sources/minhash_index.py) — the 100 TB loop: the base corpus's band
+    hashes/shingles/classes are indexed once, each arriving shard probes
+    in O(batch + candidates) and the corpus is never re-signatured. The
+    entry splits one table deterministically (universe = doc_id % 3 = 0
+    to bound the DuckDB twin's pair volume at sf0.1: pairs scale with
+    corpus density squared, so a third of the docs is ~11% of the full
+    oracle wall; base = even doc_id, batch = odd). Result is the
+    established per-jaccard-bucket checksum aggregate — every probed
+    pair flows into a bucket, so membership or jaccard divergence moves
+    a count or an id-sum. The invariant probe ≡ full-pipeline-restricted
+    -to-cross-pairs is pinned pair-exactly in tests/test_minhash_index.py;
+    the oracle here IS the full pipeline cross-filtered, so the driver
+    re-checks the same equality."""
+    from .sources import minhash_index as mh
+    path = mh.build_minhash_index(
+        spark, sf, base_pred="doc_id % 3 = 0 AND doc_id % 2 = 0")
+    batch = _docs(spark, sf).where("doc_id % 3 = 0 AND doc_id % 2 = 1")
+    pairs = mh.minhash_probe_pairs(spark, path, batch, "doc_id", "text",
+                                   threshold=0.5)
+    return (
+        pairs.groupBy(
+            F.floor(F.col("jaccard") * 100).cast("long").alias("jbucket"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.sum("a").cast("long").alias("sum_base"),
+             F.sum("b").cast("long").alias("sum_new"),
+             F.sum(F.col("a") * F.col("b")).cast("long").alias("sum_xx"))
+        .orderBy("jbucket")
+    )
+
+
+register(
+    "dedup_minhash_incremental",
+    _dedup_minhash_incremental,
+    # oracle = the full self-join pipeline over the universe, filtered to
+    # pairs with exactly one even side, oriented base-first — the engine
+    # side never computes base-base or batch-batch pairs at all
+    "SELECT CAST(floor(jaccard * 100) AS BIGINT) AS jbucket, "
+    "COUNT(*) AS n_pairs, CAST(SUM(base_id) AS BIGINT) AS sum_base, "
+    "CAST(SUM(new_id) AS BIGINT) AS sum_new, "
+    "CAST(SUM(base_id * new_id) AS BIGINT) AS sum_xx FROM ("
+    "SELECT CASE WHEN a % 2 = 0 THEN a ELSE b END AS base_id, "
+    "CASE WHEN a % 2 = 0 THEN b ELSE a END AS new_id, jaccard FROM ("
+    + dd.minhash_lsh_pairs_sql(
+        "(SELECT * FROM documents WHERE doc_id % 3 = 0) u",
+        "doc_id", "text", n=1, threshold=0.5)
+    + ") WHERE (a % 2 = 0) <> (b % 2 = 0)"
+    ") GROUP BY jbucket ORDER BY jbucket",
+)
+
+
 register(
     "dedup_minhash_lsh_k32",
     _dedup_minhash_k32,

@@ -1,0 +1,212 @@
+"""Write-time MinHash banded index + incremental cross-corpus near-dup.
+
+A 100 TB near-dup loop never re-signatures the whole corpus per arriving
+shard: the corpus's band hashes, shingle sets, and duplicate classes are
+written ONCE as a partitioned parquet index, and each new shard is
+signatured (O(batch)), probed against the index for candidates, verified
+with exact Jaccard, and then APPENDED so the next shard sees it — the
+same frozen-artifact maintenance shape as the incremental IVF family
+(:mod:`~skywalking_banyandb_spark.sources.ann_index`: append is O(batch),
+never O(corpus)).
+
+Reference parity: the reference has no cross-corpus dedup — this is a
+Spark extension (like the ANN index family). The signature scheme,
+banding, and duplicate collapse are EXACTLY
+:func:`~skywalking_banyandb_spark.functions.dedup.minhash_lsh_pairs`'s
+(shared helpers, same md5-chunk hashes), so a probe is bit-equal to the
+full self-join pipeline restricted to (index-side, batch-side) pairs —
+the invariant ``tests/test_minhash_index.py`` pins against the pipeline
+itself and the DuckDB oracle.
+
+Index layout (one directory per (sf, params, base_pred), atomic publish):
+
+  ``bands/``     (id, bh) parquet partitioned by ``band`` — the LSH
+                 candidate side, 1 row per (rep doc, band);
+  ``shingles/``  (id, sh) exploded distinct shingles of each rep doc —
+                 what exact-Jaccard verification reads;
+  ``classes/``   (rep, members) duplicate classes — probe results expand
+                 representative pairs back to member pairs;
+  ``_meta.json`` {n, k, bands, base_pred} — probe/append re-derive the
+                 EXACT build-time configuration from the artifact, never
+                 from caller arguments.
+
+ID contract: index and batch id spaces must be disjoint (or share ids
+only for byte-identical docs) — probe unions both sides' shingle
+relations keyed by id, so a colliding id with DIFFERENT text would merge
+two docs' shingle sets. The registry entry splits one table by a
+deterministic predicate, which satisfies this by construction.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dedup import (
+    BANDS,
+    MINHASH_K,
+    _band_hashes,
+    _minhash_sig,
+    _retain_banded,
+    _shingles,
+    _text_classes,
+    _verify_pairs_exact,
+)
+from .ann_index import _base_pred_token, _index_dir, _publish
+from .parquet import read_table
+
+
+def minhash_index_path(sf_dir: str, n: int = 1, k: int = MINHASH_K,
+                       bands: int = BANDS, base_pred: str = "true") -> str:
+    return _index_dir(
+        sf_dir, "mhidx", f"n{n}_k{k}_b{bands}_p{_base_pred_token(base_pred)}")
+
+
+def _write_side(df: DataFrame, id_col: str, text_col: str, n: int, k: int,
+                bands: int, out: str, mode: str) -> None:
+    """Write one corpus side's (classes, bands, shingles) under ``out``.
+
+    The three relations share the classes->reps subtree; each is an
+    independent parquet write (three jobs). ``bands/`` is partitioned by
+    ``band`` so a probe joining on (band, bh) scans co-sorted band files;
+    partition count equals the banding width, never data volume.
+    """
+    classes = _text_classes(df, id_col, text_col)
+    reps = df.join(classes.select(F.col("_rep").alias(id_col)),
+                   id_col, "left_semi")
+    (classes.select(F.col("_rep").alias("rep"),
+                    F.col("_members").alias("members"))
+     .write.mode(mode).parquet(os.path.join(out, "classes")))
+    sig = _minhash_sig(reps, id_col, text_col, n, k=k)
+    (_band_hashes(sig, k, bands)
+     .write.mode(mode).partitionBy("band")
+     .parquet(os.path.join(out, "bands")))
+    (reps.select(F.col(id_col).alias("id"),
+                 F.explode(_shingles(F.col(text_col), n)).alias("sh"))
+     .write.mode(mode).parquet(os.path.join(out, "shingles")))
+
+
+def build_minhash_index(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+    k: int = MINHASH_K,
+    bands: int = BANDS,
+    base_pred: str = "true",
+) -> str:
+    """T0 build over the ``base_pred`` subset of ``{sf_dir}/{table}``.
+
+    Idempotent per (sf, params, base_pred) directory; atomic publish via
+    tmp-dir rename (losing the race to an identical deterministic build
+    is harmless). Returns the index path.
+    """
+    final = minhash_index_path(sf_dir, n, k, bands, base_pred)
+    if os.path.isdir(final):
+        return final
+    df = read_table(spark, f"{sf_dir}/{table}.parquet").where(F.expr(base_pred))
+    tmp = final + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    _write_side(df, id_col, text_col, n, k, bands, tmp, "overwrite")
+    with open(os.path.join(tmp, "_meta.json"), "w") as f:
+        json.dump({"n": n, "k": k, "bands": bands,
+                   "base_pred": base_pred}, f)
+    _publish(tmp, final)
+    return final
+
+
+def _meta(path: str) -> dict:
+    with open(os.path.join(path, "_meta.json")) as f:
+        return json.load(f)
+
+
+def minhash_index_append(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> None:
+    """Absorb a probed batch into the index — O(batch), never O(corpus).
+
+    The batch's classes/bands/shingles rows are parquet-APPENDED (bands
+    into their existing band partitions). A batch text byte-identical to
+    an indexed one creates a SECOND class with the same signatures; probe
+    results are unchanged (both reps band-collide identically, each
+    expands its own members — the member pair set is exactly the merged
+    class's), so append never rewrites existing classes. Single writer
+    assumed, as with segment appends in ``sources/writer``: the three
+    appends are not one atomic commit.
+    """
+    m = _meta(path)
+    _write_side(batch, id_col, text_col, m["n"], m["k"], m["bands"],
+                path, "append")
+
+
+def minhash_probe_pairs(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs between the index corpus and ``batch``: rows
+    ``(a, b, jaccard)`` with ``a`` an INDEX doc id, ``b`` a BATCH doc id,
+    some band's signatures colliding, and exact n-gram Jaccard >=
+    ``threshold`` (round 6, the pipeline's filter).
+
+    Cost tracks O(batch + candidates): the batch side is signatured
+    fresh; the index side is three pruned parquet scans (bands for the
+    candidate join, shingles for verification, classes for member
+    expansion) — the corpus is never re-tokenized or re-hashed. The
+    candidate relation persists through the shared plan-keyed window
+    (``functions/dedup._retain_banded``): verification references it
+    from two branches, and without the persist each branch would re-run
+    the bands-side join.
+    """
+    m = _meta(path)
+    n, k, bands = m["n"], m["k"], m["bands"]
+    bcls = _text_classes(batch, id_col, text_col)
+    reps = batch.join(bcls.select(F.col("_rep").alias(id_col)),
+                      id_col, "left_semi")
+    bband = _band_hashes(_minhash_sig(reps, id_col, text_col, n, k=k),
+                         k, bands)
+    iband = spark.read.parquet(os.path.join(path, "bands"))
+    cand = (
+        iband.alias("x").join(bband.alias("y"), on=["band", "bh"])
+        .where(F.col("x.id") != F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+        .persist()
+    )
+    _retain_banded(cand)
+    # restrict EACH side to ITS candidate ids BEFORE the union —
+    # _verify_pairs_exact's internal semi-join sits above the union and
+    # Catalyst does not push joins through a union, so without this the
+    # index shingle table scans unfiltered; with it the index side prunes
+    # to a-ids and the batch side re-tokenizes only b-id reps (cand is
+    # persisted, so these extra references read cached rows)
+    ish = (spark.read.parquet(os.path.join(path, "shingles"))
+           .join(cand.select(F.col("a").alias("id")).distinct(),
+                 "id", "left_semi"))
+    bsh = (reps.join(cand.select(F.col("b").alias(id_col)).distinct(),
+                     id_col, "left_semi")
+           .select(F.col(id_col).alias("id"),
+                   F.explode(_shingles(F.col(text_col), n)).alias("sh")))
+    verified = _verify_pairs_exact(cand, ish.unionByName(bsh), threshold)
+    icls = spark.read.parquet(os.path.join(path, "classes"))
+    ma = icls.select(F.col("rep").alias("a"), F.col("members").alias("_ma"))
+    mb = bcls.select(F.col("_rep").alias("b"), F.col("_members").alias("_mb"))
+    return (
+        verified.join(ma, "a").join(mb, "b")
+        .select(F.explode("_ma").alias("x"), F.col("_mb"), "jaccard")
+        .select("x", F.explode("_mb").alias("y"), "jaccard")
+        .select(F.col("x").alias("a"), F.col("y").alias("b"), "jaccard")
+    )

@@ -60,27 +60,34 @@ def test_third_same_config_call_hits_inmemoryrelation(docs):
     assert len(set(hashes)) == 2
 
 
+def _fill_configs(docs, count: int, start_n: int = 4):
+    """Issue ``count`` DISTINCT-config calls (varying shingle width)."""
+    for i in range(count):
+        dd.minhash_lsh_pairs(docs, "doc_id", "text", n=start_n + i,
+                             threshold=0.4).count()
+
+
 def test_same_config_refreshes_lru_slot(docs):
-    """A repeat of the OLDEST config must survive a subsequent new plan:
-    A(cfg1), B(cfg2), A'(cfg1) moves cfg1 to MRU, so C(cfg3) evicts cfg2
-    — and cfg1 stays cached."""
+    """A repeat of the OLDEST config must survive subsequent new plans:
+    after cfg1's slot is refreshed to MRU, filling the rest of the window
+    with fresh configs evicts the others first — cfg1 stays cached."""
     a = dd.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.4)
     a.count()
-    dd.minhash_lsh_pairs(docs, "doc_id", "text", n=1, threshold=0.5).count()
+    _fill_configs(docs, dd._BANDED_KEEP - 1)     # window now full
     dd.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.4).count()
+    # one more fresh config evicts the oldest NON-refreshed slot
     dd.minhash_lsh_pairs(docs, "doc_id", "text", n=2, threshold=0.4).count()
     again = dd.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.4)
     assert _cached(again)
 
 
 def test_eviction_still_bounds_window_and_recomputes_correctly(docs):
-    """Three DISTINCT configs overflow the 2-slot window: the oldest is
+    """_BANDED_KEEP+1 DISTINCT configs overflow the window: the oldest is
     unpersisted (recompute cliff documented in the docstring) but its
     result stays CORRECT via lineage recompute."""
     a = dd.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.4)
     n_a = a.count()
-    dd.minhash_lsh_pairs(docs, "doc_id", "text", n=1, threshold=0.5).count()
-    dd.minhash_lsh_pairs(docs, "doc_id", "text", n=2, threshold=0.4).count()
-    assert len(dd._banded_live) == 2
+    _fill_configs(docs, dd._BANDED_KEEP)
+    assert len(dd._banded_live) == dd._BANDED_KEEP
     assert not _cached(a)          # evicted: plan no longer substituted
     assert a.count() == n_a        # lineage recompute, same answer

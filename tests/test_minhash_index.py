@@ -1,0 +1,125 @@
+"""Write-time MinHash index: probe ≡ full pipeline restricted to cross
+pairs; append ≡ one-shot rebuild; idempotent atomic build.
+
+The index stores the SAME band hashes, shingle sets, and duplicate
+classes the self-join pipeline computes transiently (shared helpers in
+functions/dedup.py), so an index-vs-batch probe must reproduce
+``minhash_lsh_pairs`` over the union corpus filtered to (index-side,
+batch-side) pairs — bit-equal jaccards included. That is the whole
+correctness story: any drift in shingling, hashing, banding, collapse,
+or verification breaks the equality on the first differing pair.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from skywalking_banyandb_spark.functions import dedup as dd
+from skywalking_banyandb_spark.sources import minhash_index as mh
+from skywalking_banyandb_spark.sources.parquet import read_table
+
+from conftest import SF_SMALL
+
+
+@pytest.fixture(autouse=True)
+def _index_dir(monkeypatch, tmp_path):
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    dd.release_minhash_cache()
+    yield
+    dd.release_minhash_cache()
+
+
+@pytest.fixture()
+def docs(spark):
+    return read_table(spark, f"{SF_SMALL}/documents.parquet")
+
+
+def _probe_rows(spark, docs, base_pred: str, batch_pred: str,
+                **params) -> list:
+    path = mh.build_minhash_index(spark, SF_SMALL, base_pred=base_pred,
+                                  **params)
+    batch = docs.where(batch_pred)
+    pairs = mh.minhash_probe_pairs(spark, path, batch, "doc_id", "text",
+                                   threshold=0.5)
+    return sorted((r.a, r.b, r.jaccard) for r in pairs.collect())
+
+
+def _full_cross_rows(docs, base_pred: str, **kw) -> list:
+    """Full self-join pipeline over the whole corpus, filtered to pairs
+    with exactly one side satisfying ``base_pred``, oriented base-first."""
+    full = dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5, **kw)
+    a_base = F.expr(base_pred.replace("doc_id", "a"))
+    b_base = F.expr(base_pred.replace("doc_id", "b"))
+    cross = full.where(a_base != b_base).select(
+        F.when(a_base, F.col("a")).otherwise(F.col("b")).alias("a"),
+        F.when(a_base, F.col("b")).otherwise(F.col("a")).alias("b"),
+        "jaccard",
+    )
+    return sorted((r.a, r.b, r.jaccard) for r in cross.collect())
+
+
+def test_probe_matches_full_pipeline_cross_pairs(spark, docs):
+    base = "doc_id % 2 = 0"
+    got = _probe_rows(spark, docs, base, "doc_id % 2 = 1")
+    want = _full_cross_rows(docs, base)
+    assert got == want and len(got) > 0
+
+
+def test_probe_matches_full_pipeline_3gram(spark, docs):
+    base = "doc_id % 2 = 0"
+    got = _probe_rows(spark, docs, base, "doc_id % 2 = 1", n=3)
+    want = _full_cross_rows(docs, base, n=3)
+    assert got == want
+
+
+def test_append_then_probe_equals_oneshot_rebuild(spark, docs):
+    """index(A) ⊕ append(B1), probed with B2, equals a one-shot index
+    over A ∪ B1 probed with B2 — arrival order cannot change results."""
+    path = mh.build_minhash_index(spark, SF_SMALL,
+                                  base_pred="doc_id % 3 = 0")
+    b1 = docs.where("doc_id % 3 = 1")
+    mh.minhash_index_append(spark, path, b1, "doc_id", "text")
+    b2 = docs.where("doc_id % 3 = 2")
+    got = sorted(
+        (r.a, r.b, r.jaccard)
+        for r in mh.minhash_probe_pairs(
+            spark, path, b2, "doc_id", "text").collect())
+    oneshot = mh.build_minhash_index(spark, SF_SMALL,
+                                     base_pred="doc_id % 3 <> 2")
+    want = sorted(
+        (r.a, r.b, r.jaccard)
+        for r in mh.minhash_probe_pairs(
+            spark, oneshot, b2, "doc_id", "text").collect())
+    assert got == want and len(got) > 0
+
+
+def test_identical_text_across_corpora_pairs_at_one(spark, docs):
+    """A batch doc byte-identical to an indexed doc must always pair at
+    jaccard 1.0 (identical shingle sets → identical signatures → every
+    band collides) — the duplicate-collapse carries across corpora."""
+    path = mh.build_minhash_index(spark, SF_SMALL,
+                                  base_pred="doc_id % 2 = 0")
+    twin = (docs.where("doc_id % 2 = 0").limit(1)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    src = int(twin.select(F.col("doc_id") - 1000000).first()[0])
+    pairs = mh.minhash_probe_pairs(spark, path, twin, "doc_id", "text")
+    hit = pairs.where(F.col("a") == src).collect()
+    assert len(hit) == 1 and hit[0].jaccard == 1.0
+    assert hit[0].b == src + 1000000
+
+
+def test_build_is_idempotent_and_atomic(spark):
+    p1 = mh.build_minhash_index(spark, SF_SMALL, base_pred="doc_id % 2 = 0")
+    stamp = os.path.getmtime(os.path.join(p1, "_meta.json"))
+    p2 = mh.build_minhash_index(spark, SF_SMALL, base_pred="doc_id % 2 = 0")
+    assert p1 == p2
+    assert os.path.getmtime(os.path.join(p1, "_meta.json")) == stamp
+    assert not os.path.isdir(p1 + ".tmp")
+    # distinct base predicates get distinct artifacts (ADVICE r7 on the
+    # IVF family: a shared path across base subsets silently trains on
+    # the wrong base)
+    p3 = mh.build_minhash_index(spark, SF_SMALL, base_pred="doc_id % 2 = 1")
+    assert p3 != p1
