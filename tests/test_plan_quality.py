@@ -374,3 +374,33 @@ def test_tpch_q13_left_join_preserves_zero_bucket(spark):
     p = _plan(_tpch_q13(spark, SF_SMALL))
     assert "LeftOuter" in p, p
     assert "EqualTo(o_orderpriority,1-URGENT)" in p, p
+
+
+def test_minhash_probe_no_nested_loop_and_pruned_index_scans(spark, monkeypatch, tmp_path):
+    """The incremental probe must stay equi-join end-to-end (band/bh
+    candidates, pair-keyed verify, rep-keyed expansion — a nested loop
+    anywhere is the all-pairs scale-killer), and the index-side parquet
+    scans must prune to the columns each stage reads: bands (id, bh +
+    band partition key), shingles (id, sh), classes (rep, members)."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    from skywalking_banyandb_spark.functions import dedup as dd
+    from skywalking_banyandb_spark.sources import minhash_index as mh
+    from skywalking_banyandb_spark.sources.parquet import read_table
+
+    dd.release_minhash_cache()
+    path = mh.build_minhash_index(spark, SF_SMALL,
+                                  base_pred="doc_id % 2 = 0")
+    batch = (read_table(spark, f"{SF_SMALL}/documents.parquet")
+             .where("doc_id % 2 = 1"))
+    pairs = mh.minhash_probe_pairs(spark, path, batch, "doc_id", "text")
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # every index scan is column-pruned (ReadSchema never includes a
+    # column the stage doesn't read; 'sh' must not leak into bands)
+    import re
+    schemas = {m for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan)}
+    band_scans = [s for s in schemas if "bh" in s]
+    assert band_scans and all("sh:" not in s and "members" not in s
+                              for s in band_scans), schemas
+    dd.release_minhash_cache()
