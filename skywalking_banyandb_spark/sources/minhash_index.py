@@ -147,6 +147,18 @@ def minhash_index_append(
     m = _meta(path)
     _write_side(batch, id_col, text_col, m["n"], m["k"], m["bands"],
                 path, "append")
+    # Freshness contract, made explicit: a parquet scan canonicalizes by
+    # PATH (InMemoryFileIndex equality is rootPaths-based), so a cached
+    # candidate table from a pre-append probe of the same batch is
+    # same-semantics with the post-append plan — it must never be
+    # substituted with its frozen file list. Spark's insert command
+    # already recaches plans under the written path (measured: the
+    # repeat probe sees appended docs even without this), but that is an
+    # internal behavior of the write path, not of this module's API —
+    # refresh explicitly so the invariant survives engine-version drift
+    # (pinned by test_probe_same_batch_after_append_sees_new_docs).
+    for sub in ("bands", "shingles", "classes"):
+        spark.catalog.refreshByPath(os.path.join(path, sub))
 
 
 def minhash_probe_pairs(

@@ -123,3 +123,35 @@ def test_build_is_idempotent_and_atomic(spark):
     # the wrong base)
     p3 = mh.build_minhash_index(spark, SF_SMALL, base_pred="doc_id % 2 = 1")
     assert p3 != p1
+
+
+def test_probe_same_batch_after_append_sees_new_docs(spark, docs):
+    """Repeat probe of the SAME batch after an append must see the
+    appended docs. A parquet scan canonicalizes by PATH, so the repeat
+    probe's candidate plan is same-semantics with the persisted
+    pre-append one — nothing may substitute that cache's frozen file
+    list (today Spark's insert command recaches the written path and
+    append refreshes explicitly on top; this pins the invariant rather
+    than either mechanism)."""
+    path = mh.build_minhash_index(spark, SF_SMALL,
+                                  base_pred="doc_id % 3 = 0")
+    b2 = docs.where("doc_id % 3 = 2")
+
+    def probe():
+        return sorted(
+            (r.a, r.b, r.jaccard)
+            for r in mh.minhash_probe_pairs(
+                spark, path, b2, "doc_id", "text").collect())
+
+    pre = probe()
+    mh.minhash_index_append(spark, path, docs.where("doc_id % 3 = 1"),
+                            "doc_id", "text")
+    post = probe()
+    oneshot = mh.build_minhash_index(spark, SF_SMALL,
+                                     base_pred="doc_id % 3 <> 2")
+    want = sorted(
+        (r.a, r.b, r.jaccard)
+        for r in mh.minhash_probe_pairs(
+            spark, oneshot, b2, "doc_id", "text").collect())
+    assert post == want
+    assert set(pre) < set(post)   # strictly more pairs once B1 is in
