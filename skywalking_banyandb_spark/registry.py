@@ -611,12 +611,14 @@ _R8_STALE_FIRST = (
 #   width is capped at the declaration's counters_number (ADVICE r11 —
 #   a query N beyond counters_number can no longer surface series the
 #   reference's bounded candidate store could never return).
-# Window arithmetic: 39 stale + 2 fresh (dedup_minhash_lsh_agg,
-# dedup_minhash_incremental) + 10 touched = 51 — ONE over the cap, the
-# first exercise of the overflow rule above: the spilled tail is
-# ``bydbql_show_top`` (last in this tuple; its newest driver row stays
-# the fresh r11 one), which therefore becomes the MANDATORY PREFIX of
-# _R13_STALE_FIRST. ``_sweep_order`` warns with exactly that name.
+# Window arithmetic: 39 stale + 3 fresh (dedup_minhash_lsh_agg,
+# dedup_minhash_incremental, streaming_incremental_dedup_materialized)
+# + 10 touched = 52 — TWO over the cap, the first exercise of the
+# overflow rule above: the spilled tail is (``request_yaml_topn``,
+# ``bydbql_show_top``) — the last two in this tuple, both with fresh
+# r11 driver rows — which therefore becomes the MANDATORY PREFIX of
+# _R13_STALE_FIRST, in that order. ``_sweep_order`` warns with exactly
+# those names (pinned by tests/test_sweep_rotation.py).
 _R12_TOUCHED = (
     "dedup_minhash_lsh", "dedup_minhash_lsh_3gram", "dedup_minhash_lsh_k32",
     "dedup_near_dup_clusters",

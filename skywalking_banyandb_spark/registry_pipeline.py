@@ -442,6 +442,74 @@ register(
 )
 
 
+def _streaming_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming twin of ``dedup_minhash_incremental``: two micro-batches
+    (arrival groups b1 = doc_id%9=3 and b2 = doc_id%9=6 over the same
+    bounded universe) ride a file-source stream through the
+    probe→emit→absorb ``foreachBatch`` loop — b1 pairs against the base
+    index (doc_id%9=0), b2 pairs against base AND the absorbed b1.
+    Output is the union of both epochs' cross-corpus pairs, so the batch
+    oracle is the full self-join pipeline filtered to cross-GROUP pairs
+    oriented earlier-group-first. The index lives in the entry's wiped
+    scratch (NOT the shared root — the absorb loop mutates it per run).
+    Result is the per-jaccard-bucket checksum aggregate."""
+    import time
+
+    from .registry_coverage import _scratch_dir
+    from .sources import minhash_index as mh
+    from .streaming.incremental_dedup import start_incremental_dedup
+
+    work = _scratch_dir("incdedup_stream_entry")
+    path = mh.build_minhash_index(spark, sf, base_pred="doc_id % 9 = 0",
+                                  root=f"{work}/idx")
+    docs = _docs(spark, sf).where("doc_id % 3 = 0")
+    docs.where("doc_id % 9 = 3").coalesce(1).write.parquet(f"{work}/src/b1")
+    time.sleep(1.1)  # file-source ordering is by modification time
+    docs.where("doc_id % 9 = 6").coalesce(1).write.parquet(f"{work}/src/b2")
+    stream = (
+        spark.readStream
+        .schema(spark.read.parquet(f"{work}/src/b1").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/src/*")
+    )
+    q = start_incremental_dedup(
+        spark, stream, path, "doc_id", "text",
+        output_path=f"{work}/out", checkpoint_path=f"{work}/ckpt")
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise RuntimeError("streaming incremental dedup timed out after 300s")
+    pairs = spark.read.parquet(f"{work}/out")
+    return (
+        pairs.groupBy(
+            F.floor(F.col("jaccard") * 100).cast("long").alias("jbucket"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.sum("a").cast("long").alias("sum_base"),
+             F.sum("b").cast("long").alias("sum_new"),
+             F.sum(F.col("a") * F.col("b")).cast("long").alias("sum_xx"))
+        .orderBy("jbucket")
+    )
+
+
+register(
+    "streaming_incremental_dedup_materialized",
+    _streaming_incremental_dedup,
+    # batch oracle: cross-ARRIVAL-GROUP pairs of the full pipeline over
+    # the universe, oriented earlier-group-first (group = (id%9)//3)
+    "SELECT CAST(floor(jaccard * 100) AS BIGINT) AS jbucket, "
+    "COUNT(*) AS n_pairs, CAST(SUM(e) AS BIGINT) AS sum_base, "
+    "CAST(SUM(l) AS BIGINT) AS sum_new, "
+    "CAST(SUM(e * l) AS BIGINT) AS sum_xx FROM ("
+    "SELECT CASE WHEN (a % 9) // 3 < (b % 9) // 3 THEN a ELSE b END AS e, "
+    "CASE WHEN (a % 9) // 3 < (b % 9) // 3 THEN b ELSE a END AS l, jaccard "
+    "FROM ("
+    + dd.minhash_lsh_pairs_sql(
+        "(SELECT * FROM documents WHERE doc_id % 3 = 0) u",
+        "doc_id", "text", n=1, threshold=0.5)
+    + ") WHERE (a % 9) // 3 <> (b % 9) // 3"
+    ") GROUP BY jbucket ORDER BY jbucket",
+)
+
+
 register(
     "dedup_minhash_lsh_k32",
     _dedup_minhash_k32,

@@ -60,9 +60,17 @@ from .parquet import read_table
 
 
 def minhash_index_path(sf_dir: str, n: int = 1, k: int = MINHASH_K,
-                       bands: int = BANDS, base_pred: str = "true") -> str:
-    return _index_dir(
-        sf_dir, "mhidx", f"n{n}_k{k}_b{bands}_p{_base_pred_token(base_pred)}")
+                       bands: int = BANDS, base_pred: str = "true",
+                       root: str | None = None) -> str:
+    """``root`` overrides the shared ``$SPARK_GRAFT_INDEX_DIR`` tree —
+    callers that MUTATE their index per run (the streaming absorb loop)
+    must build in private scratch, or a rerun would probe an index that
+    already absorbed the previous run's batches."""
+    params = f"n{n}_k{k}_b{bands}_p{_base_pred_token(base_pred)}"
+    if root is not None:
+        key = os.path.basename(os.path.normpath(sf_dir))
+        return os.path.join(root, key, f"mhidx_{params}")
+    return _index_dir(sf_dir, "mhidx", params)
 
 
 def _write_side(df: DataFrame, id_col: str, text_col: str, n: int, k: int,
@@ -99,6 +107,7 @@ def build_minhash_index(
     k: int = MINHASH_K,
     bands: int = BANDS,
     base_pred: str = "true",
+    root: str | None = None,
 ) -> str:
     """T0 build over the ``base_pred`` subset of ``{sf_dir}/{table}``.
 
@@ -106,7 +115,7 @@ def build_minhash_index(
     tmp-dir rename (losing the race to an identical deterministic build
     is harmless). Returns the index path.
     """
-    final = minhash_index_path(sf_dir, n, k, bands, base_pred)
+    final = minhash_index_path(sf_dir, n, k, bands, base_pred, root=root)
     if os.path.isdir(final):
         return final
     df = read_table(spark, f"{sf_dir}/{table}.parquet").where(F.expr(base_pred))
@@ -161,6 +170,43 @@ def minhash_index_append(
         spark.catalog.refreshByPath(os.path.join(path, sub))
 
 
+def absorbed_batches(path: str) -> set:
+    """Keys of batches already absorbed via :func:`minhash_index_absorb`."""
+    p = os.path.join(path, "_batches.json")
+    if not os.path.exists(p):
+        return set()
+    with open(p) as f:
+        return set(json.load(f))
+
+
+def minhash_index_absorb(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    batch_key: str,
+) -> bool:
+    """Ledgered, IDEMPOTENT append: absorb ``batch`` under ``batch_key``,
+    or no-op (returning False) if that key was already absorbed — the
+    exactly-once hook for at-least-once runtimes (Structured Streaming's
+    ``foreachBatch`` re-delivers a batch after a failure). The ledger
+    write is atomic (tmp + rename) and LAST, so a crash mid-append
+    re-absorbs on retry; duplicate index rows from such a torn append
+    are probe-harmless (bands: candidates are distinct; shingles:
+    verification collects sets; classes: the probe dedups reps)."""
+    done = absorbed_batches(path)
+    if batch_key in done:
+        return False
+    minhash_index_append(spark, path, batch, id_col, text_col)
+    p = os.path.join(path, "_batches.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(done | {batch_key}), f)
+    os.replace(tmp, p)
+    return True
+
+
 def minhash_probe_pairs(
     spark: SparkSession,
     path: str,
@@ -213,7 +259,12 @@ def minhash_probe_pairs(
            .select(F.col(id_col).alias("id"),
                    F.explode(_shingles(F.col(text_col), n)).alias("sh")))
     verified = _verify_pairs_exact(cand, ish.unionByName(bsh), threshold)
-    icls = spark.read.parquet(os.path.join(path, "classes"))
+    # dropDuplicates on rep: a torn append (crash between parquet write
+    # and ledger commit, then retry) can leave byte-identical class rows
+    # twice; reps are unique across corpora by the id contract, so
+    # rep-keyed dedup restores exactly-once expansion
+    icls = (spark.read.parquet(os.path.join(path, "classes"))
+            .dropDuplicates(["rep"]))
     ma = icls.select(F.col("rep").alias("a"), F.col("members").alias("_ma"))
     mb = bcls.select(F.col("_rep").alias("b"), F.col("_members").alias("_mb"))
     return (

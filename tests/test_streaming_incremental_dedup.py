@@ -1,0 +1,96 @@
+"""Streaming incremental dedup: the probe→emit→absorb loop over
+micro-batches must equal the BATCH pipeline's cross-group pairs, and
+re-delivered epochs must be no-ops (ledgered absorb + per-epoch dynamic
+partition overwrite)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from skywalking_banyandb_spark.functions import dedup as dd
+from skywalking_banyandb_spark.sources import minhash_index as mh
+from skywalking_banyandb_spark.sources.parquet import read_table
+from skywalking_banyandb_spark.streaming.incremental_dedup import (
+    start_incremental_dedup,
+)
+
+from conftest import SF_SMALL
+
+
+@pytest.fixture(autouse=True)
+def _clean():
+    dd.release_minhash_cache()
+    yield
+    dd.release_minhash_cache()
+
+
+def _group(col):
+    # arrival groups over the doc_id % 3 = 0 universe: base 0, b1, b2
+    return (col % 9) / 3
+
+
+def test_stream_equals_batch_cross_group_pairs(spark, tmp_path):
+    """Two micro-batches (b1 then b2) probed and absorbed in order must
+    emit exactly the batch pipeline's cross-GROUP pairs over the whole
+    universe, oriented earlier-group-first: b1 pairs against base only;
+    b2 pairs against base AND the absorbed b1."""
+    docs = read_table(spark, f"{SF_SMALL}/documents.parquet") \
+        .where("doc_id % 3 = 0")
+    path = mh.build_minhash_index(spark, SF_SMALL,
+                                  base_pred="doc_id % 9 = 0",
+                                  root=str(tmp_path / "idx"))
+    src = str(tmp_path / "src")
+    docs.where("doc_id % 9 = 3").coalesce(1).write.parquet(f"{src}/b1")
+    time.sleep(1.1)  # file-source ordering is by modification time
+    docs.where("doc_id % 9 = 6").coalesce(1).write.parquet(f"{src}/b2")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{src}/b1").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = start_incremental_dedup(
+        spark, stream, path, "doc_id", "text",
+        output_path=str(tmp_path / "out"),
+        checkpoint_path=str(tmp_path / "ckpt"))
+    assert q.awaitTermination(timeout=300)
+
+    got = sorted(
+        (r.a, r.b, r.jaccard)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect())
+
+    full = dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    ga, gb = _group(F.col("a")), _group(F.col("b"))
+    want = sorted(
+        (r.a, r.b, r.jaccard)
+        for r in full.where(ga != gb).select(
+            F.when(ga < gb, F.col("a")).otherwise(F.col("b")).alias("a"),
+            F.when(ga < gb, F.col("b")).otherwise(F.col("a")).alias("b"),
+            "jaccard").collect())
+    assert got == want and len(got) > 0
+    # both epochs emitted, and b2's epoch contains pairs against b1 docs
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.select("epoch").distinct().count() == 2
+    assert out.where("a % 9 = 3").count() > 0
+
+
+def test_redelivered_epoch_is_a_noop(spark, tmp_path):
+    """Replaying the foreachBatch body with an already-absorbed epoch id
+    (at-least-once redelivery) must change neither the index nor the
+    output."""
+    docs = read_table(spark, f"{SF_SMALL}/documents.parquet") \
+        .where("doc_id % 3 = 0")
+    path = mh.build_minhash_index(spark, SF_SMALL,
+                                  base_pred="doc_id % 9 = 0",
+                                  root=str(tmp_path / "idx"))
+    b1 = docs.where("doc_id % 9 = 3")
+    assert mh.minhash_index_absorb(spark, path, b1, "doc_id", "text",
+                                   "epoch-0") is True
+    bands_files = sorted(os.listdir(os.path.join(path, "bands")))
+    assert mh.minhash_index_absorb(spark, path, b1, "doc_id", "text",
+                                   "epoch-0") is False
+    assert sorted(os.listdir(os.path.join(path, "bands"))) == bands_files
+    assert mh.absorbed_batches(path) == {"epoch-0"}

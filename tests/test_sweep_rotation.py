@@ -4,7 +4,7 @@ The driver records only the FIRST 50 `queries()` entries per round, so
 the sweep order IS the rotation policy: stale-first cohort, then
 never-driver-seen entries, then this round's touched compile paths,
 then everything else oldest-first. Round 12 is the first round whose
-priority front exceeds the cap (39 stale + 2 fresh + 10 touched = 51);
+priority front exceeds the cap (39 stale + 3 fresh + 10 touched = 52);
 the overflow rule (registry.py, above ``_R8_STALE_FIRST``) says the
 spilled tail must be NAMED by the warning and become the mandatory
 prefix of the next round's stale seed. These tests pin the composition
@@ -34,13 +34,13 @@ def test_window_composition_and_documented_spill():
         order = list(reg.queries())
     front = _front()
     assert order[:len(front)] == front
-    # the spill is exactly the one entry the registry comment documents,
-    # and its newest driver row (r11) is fresh enough to wait one round
+    # the spill is exactly the entries the registry comment documents,
+    # and their newest driver rows (r11) are fresh enough to wait a round
     spill = front[reg._SWEEP_CAP:]
-    assert spill == ["bydbql_show_top"]
+    assert spill == ["request_yaml_topn", "bydbql_show_top"]
     assert all(reg._newest_driver_round(k) >= 9 for k in spill)
     msgs = [str(x.message) for x in w if "exceeds" in str(x.message)]
-    assert msgs and "bydbql_show_top" in msgs[0]
+    assert msgs and all(k in msgs[0] for k in spill)
 
 
 def test_nothing_outside_the_window_is_stale():
