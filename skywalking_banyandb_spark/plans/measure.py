@@ -220,12 +220,22 @@ def compile_measure(spark: SparkSession, catalog: Catalog, q: MeasureQuery) -> D
         # generate a min_by extra aliased identically to the agg output —
         # a duplicate/ambiguous column (ADVICE r11). The reference's
         # aggregate result shape is entity tags + the aggregated value;
-        # field values beyond the agg only exist pre-aggregation.
-        field_names = {f.name for s in schemas for f in s.fields}
+        # field values beyond the agg only exist pre-aggregation. The
+        # exclusion is FIELD-ONLY names: a name some merged group
+        # declares as a tag stays projectable even if another group
+        # reuses it as a field name (multi-group merge keeps the tag).
+        tag_names = {t.name for s in schemas for t in s.tags}
+        field_only = {f.name for s in schemas
+                      for f in s.fields} - tag_names
+        # ... and the aggregated field's name is excluded UNCONDITIONALLY
+        # (even if a merged group also declares it as a tag): the agg
+        # output owns that alias in the grouped result.
+        agg_name = q.agg.field_name if q.agg else None
         extras = [
             F.min_by(F.col(t), first_key).alias(t)
             for t in q.tag_projection
-            if t not in q.group_by and t not in field_names
+            if t not in q.group_by and t not in field_only
+            and t != agg_name
         ]
         if q.group_by:
             if q.agg:

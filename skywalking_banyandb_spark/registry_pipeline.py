@@ -29,6 +29,27 @@ def _emb(spark: SparkSession, sf: str) -> DataFrame:
 
 # -- text analysis ----------------------------------------------------------
 
+def _jbucket_agg(pairs: DataFrame, a_alias: str = "sum_a",
+                 b_alias: str = "sum_b", ab_alias: str = "sum_ab") -> DataFrame:
+    """Per-jaccard-bucket checksum aggregate over a pair table — the
+    driver-visible shape for pair sets too large to ship row-by-row:
+    every pair flows into a ``floor(jaccard*100)`` bucket (exact on IEEE
+    doubles in both engines — never a second decimal ROUND, whose tie
+    behavior differs across engines), so any membership or jaccard
+    divergence moves a count or an id-sum. One definition for all four
+    MinHash entries; a change to the bucketing applies everywhere or the
+    oracles catch it."""
+    return (
+        pairs.groupBy(
+            F.floor(F.col("jaccard") * 100).cast("long").alias("jbucket"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.sum("a").cast("long").alias(a_alias),
+             F.sum("b").cast("long").alias(b_alias),
+             F.sum(F.col("a") * F.col("b")).cast("long").alias(ab_alias))
+        .orderBy("jbucket")
+    )
+
+
 def _text_stats(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
     t = F.col("text")
@@ -339,15 +360,7 @@ def _dedup_minhash_k32(spark: SparkSession, sf: str) -> DataFrame:
     engines."""
     pairs = dd.minhash_lsh_pairs(_docs(spark, sf), "doc_id", "text", n=1,
                                  threshold=0.5, k=32, bands=16)
-    return (
-        pairs.groupBy(
-            F.floor(F.col("jaccard") * 100).cast("long").alias("jbucket"))
-        .agg(F.count(F.lit(1)).alias("n_pairs"),
-             F.sum("a").cast("long").alias("sum_a"),
-             F.sum("b").cast("long").alias("sum_b"),
-             F.sum(F.col("a") * F.col("b")).cast("long").alias("sum_ab"))
-        .orderBy("jbucket")
-    )
+    return _jbucket_agg(pairs)
 
 
 def _dedup_minhash_agg(spark: SparkSession, sf: str) -> DataFrame:
@@ -366,15 +379,7 @@ def _dedup_minhash_agg(spark: SparkSession, sf: str) -> DataFrame:
     sum."""
     pairs = dd.minhash_lsh_pairs(_docs(spark, sf), "doc_id", "text", n=1,
                                  threshold=0.5)
-    return (
-        pairs.groupBy(
-            F.floor(F.col("jaccard") * 100).cast("long").alias("jbucket"))
-        .agg(F.count(F.lit(1)).alias("n_pairs"),
-             F.sum("a").cast("long").alias("sum_a"),
-             F.sum("b").cast("long").alias("sum_b"),
-             F.sum(F.col("a") * F.col("b")).cast("long").alias("sum_ab"))
-        .orderBy("jbucket")
-    )
+    return _jbucket_agg(pairs)
 
 
 register(
@@ -411,15 +416,7 @@ def _dedup_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
     batch = _docs(spark, sf).where("doc_id % 3 = 0 AND doc_id % 2 = 1")
     pairs = mh.minhash_probe_pairs(spark, path, batch, "doc_id", "text",
                                    threshold=0.5)
-    return (
-        pairs.groupBy(
-            F.floor(F.col("jaccard") * 100).cast("long").alias("jbucket"))
-        .agg(F.count(F.lit(1)).alias("n_pairs"),
-             F.sum("a").cast("long").alias("sum_base"),
-             F.sum("b").cast("long").alias("sum_new"),
-             F.sum(F.col("a") * F.col("b")).cast("long").alias("sum_xx"))
-        .orderBy("jbucket")
-    )
+    return _jbucket_agg(pairs, "sum_base", "sum_new", "sum_xx")
 
 
 register(
@@ -479,15 +476,7 @@ def _streaming_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
         q.stop()
         raise RuntimeError("streaming incremental dedup timed out after 300s")
     pairs = spark.read.parquet(f"{work}/out")
-    return (
-        pairs.groupBy(
-            F.floor(F.col("jaccard") * 100).cast("long").alias("jbucket"))
-        .agg(F.count(F.lit(1)).alias("n_pairs"),
-             F.sum("a").cast("long").alias("sum_base"),
-             F.sum("b").cast("long").alias("sum_new"),
-             F.sum(F.col("a") * F.col("b")).cast("long").alias("sum_xx"))
-        .orderBy("jbucket")
-    )
+    return _jbucket_agg(pairs, "sum_base", "sum_new", "sum_xx")
 
 
 register(

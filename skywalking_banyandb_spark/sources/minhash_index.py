@@ -66,11 +66,15 @@ def minhash_index_path(sf_dir: str, n: int = 1, k: int = MINHASH_K,
     callers that MUTATE their index per run (the streaming absorb loop)
     must build in private scratch, or a rerun would probe an index that
     already absorbed the previous run's batches."""
+    # kind string versions the ARTIFACT FORMAT (the ann_index convention):
+    # mhidx2 = classes carry (cls md5, n_sh) for the zero-shingle twin
+    # path — a persisted mhidx(1) directory must not satisfy a reader
+    # that selects the new columns
     params = f"n{n}_k{k}_b{bands}_p{_base_pred_token(base_pred)}"
     if root is not None:
         key = os.path.basename(os.path.normpath(sf_dir))
-        return os.path.join(root, key, f"mhidx_{params}")
-    return _index_dir(sf_dir, "mhidx", params)
+        return os.path.join(root, key, f"mhidx2_{params}")
+    return _index_dir(sf_dir, "mhidx2", params)
 
 
 def _write_side(df: DataFrame, id_col: str, text_col: str, n: int, k: int,
@@ -85,8 +89,19 @@ def _write_side(df: DataFrame, id_col: str, text_col: str, n: int, k: int,
     classes = _text_classes(df, id_col, text_col)
     reps = df.join(classes.select(F.col("_rep").alias(id_col)),
                    id_col, "left_semi")
-    (classes.select(F.col("_rep").alias("rep"),
+    # classes carry the text md5 (cls) and the rep's shingle count
+    # (n_sh): zero-shingle docs (empty/punctuation-only text) produce no
+    # signature rows and can never band-collide, so probes pair their
+    # byte-identical cross-corpus twins through cls equality instead —
+    # the full pipeline emits those pairs through its within-class path
+    # and the probe must reproduce them (review r12)
+    rep_nsh = reps.select(
+        F.col(id_col).alias("rep"),
+        F.size(_shingles(F.col(text_col), n)).alias("n_sh"))
+    (classes.select(F.col("_cls").alias("cls"),
+                    F.col("_rep").alias("rep"),
                     F.col("_members").alias("members"))
+     .join(rep_nsh, "rep")
      .write.mode(mode).parquet(os.path.join(out, "classes")))
     sig = _minhash_sig(reps, id_col, text_col, n, k=k)
     (_band_hashes(sig, k, bands)
@@ -228,6 +243,14 @@ def minhash_probe_pairs(
     (``functions/dedup._retain_banded``): verification references it
     from two branches, and without the persist each branch would re-run
     the bands-side join.
+
+    The probe sees the index AS IF the batch were not in it: index rows
+    carrying the batch's own ids are anti-joined out of the candidate
+    side. This makes the probe idempotent under absorb — probing a batch
+    AFTER absorbing it (an at-least-once retry whose prior attempt tore
+    between parquet append and ledger commit, or a caller replaying an
+    absorbed shard) returns exactly the pre-absorb pairs, never
+    intra-batch self-pairs the cross-corpus contract excludes.
     """
     m = _meta(path)
     n, k, bands = m["n"], m["k"], m["bands"]
@@ -236,7 +259,9 @@ def minhash_probe_pairs(
                       id_col, "left_semi")
     bband = _band_hashes(_minhash_sig(reps, id_col, text_col, n, k=k),
                          k, bands)
-    iband = spark.read.parquet(os.path.join(path, "bands"))
+    bids = batch.select(F.col(id_col).alias("id")).distinct()
+    iband = (spark.read.parquet(os.path.join(path, "bands"))
+             .join(bids, "id", "left_anti"))
     cand = (
         iband.alias("x").join(bband.alias("y"), on=["band", "bh"])
         .where(F.col("x.id") != F.col("y.id"))
@@ -262,13 +287,28 @@ def minhash_probe_pairs(
     # dropDuplicates on rep: a torn append (crash between parquet write
     # and ledger commit, then retry) can leave byte-identical class rows
     # twice; reps are unique across corpora by the id contract, so
-    # rep-keyed dedup restores exactly-once expansion
+    # rep-keyed dedup restores exactly-once expansion. The batch's own
+    # ids are anti-joined out for the same reason as the bands side.
     icls = (spark.read.parquet(os.path.join(path, "classes"))
-            .dropDuplicates(["rep"]))
+            .dropDuplicates(["rep"])
+            .join(bids.withColumnRenamed("id", "rep"), "rep", "left_anti"))
+    # zero-shingle twins: a doc whose text tokenizes to NO shingles has
+    # no signature rows and can never band-collide, but its byte-identical
+    # cross-corpus twin is a jaccard-1.0 pair the full pipeline emits via
+    # its within-class path — pair those classes by text md5 instead
+    zi = icls.where(F.col("n_sh") == 0).select(
+        "cls", F.col("rep").alias("a"))
+    zb = (reps.where(F.size(_shingles(F.col(text_col), n)) == 0)
+          .select(F.md5(F.col(text_col)).alias("cls"),
+                  F.col(id_col).alias("b")))
+    zero_pairs = (zi.join(zb, "cls")
+                  .where(F.col("a") != F.col("b"))
+                  .select("a", "b", F.lit(1.0).alias("jaccard")))
+    rep_pairs = verified.unionByName(zero_pairs)
     ma = icls.select(F.col("rep").alias("a"), F.col("members").alias("_ma"))
     mb = bcls.select(F.col("_rep").alias("b"), F.col("_members").alias("_mb"))
     return (
-        verified.join(ma, "a").join(mb, "b")
+        rep_pairs.join(ma, "a").join(mb, "b")
         .select(F.explode("_ma").alias("x"), F.col("_mb"), "jaccard")
         .select("x", F.explode("_mb").alias("y"), "jaccard")
         .select(F.col("x").alias("a"), F.col("y").alias("b"), "jaccard")

@@ -17,14 +17,25 @@ same epoch re-delivers. Three pieces make the loop idempotent:
 * pair OUTPUT is partitioned by epoch id and written with dynamic
   partition overwrite — a retried epoch replaces its own partition,
   never duplicates it;
-* index ABSORB goes through :func:`minhash_index_absorb`'s ledger — a
-  retried epoch that already absorbed is a no-op, so the index never
-  double-counts a batch;
-* ordering — probe BEFORE absorb — means a retry that crashed between
-  output and absorb re-probes against the identical (pre-absorb) index
-  state and overwrites the identical output.
+* index ABSORB goes through :func:`minhash_index_absorb`'s ledger,
+  keyed by (checkpoint identity, epoch) — a retried epoch that already
+  absorbed is a no-op, and a RESTART against a fresh checkpoint (epoch
+  ids reset to 0) re-keys rather than silently skipping real batches;
+* the probe anti-joins the batch's own ids out of the index, so a retry
+  whose prior attempt tore mid-absorb (index rows appended, ledger not
+  yet committed) re-probes to the identical pre-absorb answer — never
+  intra-batch self-pairs — and overwrites the identical output.
+
+A fresh-checkpoint restart over already-absorbed files re-probes and
+re-absorbs them: the output partitions rewrite with identical pairs
+(the anti-join hides the batch's own absorbed rows) and the duplicate
+index rows are probe-harmless (distinct candidates, set-collected
+shingles, rep-deduped classes).
 """
 from __future__ import annotations
+
+import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,21 +63,41 @@ def start_incremental_dedup(
     ``(a, b, jaccard)`` partitioned by ``epoch`` — ``a`` a doc already
     in the index (base corpus or an earlier batch), ``b`` a doc of the
     emitting batch. Runs with ``availableNow`` so a bounded source
-    drains in source-option-sized micro-batches and terminates."""
+    drains in source-option-sized micro-batches and terminates.
+
+    ``output_path`` is created by the first NON-empty epoch (dynamic
+    partition overwrite writes nothing for an empty pair set) — readers
+    of an all-empty run should treat a missing directory as zero pairs.
+    """
+
+    # ledger keys are scoped to the CHECKPOINT identity: foreachBatch
+    # epoch ids restart from 0 with a fresh checkpoint dir, and a bare
+    # "epoch-0" key from a previous run would make the first real batch
+    # of the new run a silent no-op (review r12)
+    run_token = hashlib.md5(
+        os.path.abspath(checkpoint_path).encode("utf-8")).hexdigest()[:8]
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
-        key = f"epoch-{epoch_id}"
+        key = f"{run_token}-epoch-{epoch_id}"
         if key in absorbed_batches(index_path):
             return  # fully processed by a prior attempt
         sess = batch.sparkSession
-        pairs = minhash_probe_pairs(sess, index_path, batch, id_col,
-                                    text_col, threshold)
-        (pairs.withColumn("epoch", F.lit(epoch_id))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("epoch")
-         .parquet(output_path))
-        minhash_index_absorb(sess, index_path, batch, id_col, text_col, key)
+        # the probe + absorb issue several jobs over the micro-batch
+        # (signature, shingle, class passes); persist so the source is
+        # scanned once per epoch, not once per job
+        batch = batch.persist()
+        try:
+            pairs = minhash_probe_pairs(sess, index_path, batch, id_col,
+                                        text_col, threshold)
+            (pairs.withColumn("epoch", F.lit(epoch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("epoch")
+             .parquet(output_path))
+            minhash_index_absorb(sess, index_path, batch, id_col,
+                                 text_col, key)
+        finally:
+            batch.unpersist()
 
     return (
         stream.writeStream

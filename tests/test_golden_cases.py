@@ -346,3 +346,60 @@ def test_agg_tag_projection_naming_field_is_not_duplicated(spark):
     assert df.columns.count("value") == 1
     assert df.columns == ["event_type", "value"]
     df.collect()  # and the plan actually resolves (no ambiguity error)
+
+
+def test_agg_extras_keep_tag_that_collides_with_another_groups_field(
+        spark, tmp_path):
+    """The field-name exclusion on aggregate extras is FIELD-ONLY: when a
+    multi-group query merges group A declaring tag 'score' with group B
+    declaring field 'score', the projected tag must still ride the
+    first-point min_by extra (the reviewer scenario for the r12 extras
+    fix: a blanket all-fields exclusion silently dropped a projected tag
+    the reference returns)."""
+    import dataclasses
+    import datetime as dt
+
+    from skywalking_banyandb_spark.catalog import (
+        Catalog, FieldSpec, MeasureSchema, TagSpec,
+    )
+    from skywalking_banyandb_spark.plans.measure import compile_measure
+    from skywalking_banyandb_spark.sources.writer import write_measure
+
+    # score types are numeric on BOTH sides so the test isolates the
+    # extras exclusion from the (documented) first-group-type merge
+    df_a = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 10, 8), "e1", 7, 1.5),
+         (2, dt.datetime(2024, 1, 10, 9), "e1", 3, 2.5)],
+        "version long, ts timestamp, eid string, score long, value double",
+    )
+    sa = MeasureSchema(
+        group="ga", name="mm", paths=(str(tmp_path / "a"),), ts_column="ts",
+        tags=(TagSpec("eid", "STRING"), TagSpec("score", "INT")),
+        fields=(FieldSpec("value", "FLOAT"),),
+        entity=("eid",), version_column="version",
+    )
+    write_measure(df_a, sa, sa.paths[0])
+    df_b = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 10, 8), "e2", 9.0, 3.5)],
+        "version long, ts timestamp, eid string, score double, value double",
+    )
+    sb = MeasureSchema(
+        group="gb", name="mm", paths=(str(tmp_path / "b"),), ts_column="ts",
+        tags=(TagSpec("eid", "STRING"),),
+        fields=(FieldSpec("value", "FLOAT"), FieldSpec("score", "FLOAT")),
+        entity=("eid",), version_column="version",
+    )
+    write_measure(df_b, sb, sb.paths[0])
+    cat = Catalog()
+    cat.register(sa)
+    cat.register(sb)
+    q = MeasureQuery(
+        groups=["ga", "gb"], name="mm",
+        time_range=TimeRange.of("2024-01-01T00:00:00", "2024-02-01T00:00:00"),
+        group_by=["eid"], agg=AggregationSpec(AggFunc.SUM, "value"),
+        tag_projection=["eid", "score"], limit=10,
+    )
+    rows = {r.eid: r for r in compile_measure(spark, cat, q).collect()}
+    assert "score" in rows["e1"].asDict()
+    assert rows["e1"].score == 7              # first point's tag value
+    assert rows["e1"].value == 4.0

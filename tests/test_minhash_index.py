@@ -155,3 +155,55 @@ def test_probe_same_batch_after_append_sees_new_docs(spark, docs):
             spark, oneshot, b2, "doc_id", "text").collect())
     assert post == want
     assert set(pre) < set(post)   # strictly more pairs once B1 is in
+
+
+def test_probe_after_absorb_is_idempotent(spark, docs):
+    """Probing a batch AFTER absorbing it returns exactly the pre-absorb
+    pairs: the probe anti-joins the batch's own ids out of the index, so
+    an at-least-once retry whose prior attempt tore mid-absorb (index
+    rows appended, ledger not committed) never emits intra-batch
+    self-pairs."""
+    path = mh.build_minhash_index(spark, SF_SMALL,
+                                  base_pred="doc_id % 3 = 0")
+    b1 = docs.where("doc_id % 3 = 1")
+
+    def probe():
+        return sorted(
+            (r.a, r.b, r.jaccard)
+            for r in mh.minhash_probe_pairs(
+                spark, path, b1, "doc_id", "text").collect())
+
+    pre = probe()
+    mh.minhash_index_append(spark, path, b1, "doc_id", "text")  # torn:
+    # rows are in the index, no ledger entry — the retry path
+    assert probe() == pre
+
+
+def test_zero_shingle_identical_twins_pair_across_corpora(spark, tmp_path):
+    """Byte-identical docs whose text tokenizes to NO shingles (empty /
+    punctuation-only) can never band-collide — no signature rows — but
+    the full pipeline pairs them at jaccard 1.0 through its within-class
+    path, so the probe must too (cls-equality path on zero-shingle
+    classes). Probe ≡ full-pipeline-cross holds on a corpus containing
+    such docs."""
+    rows = [
+        (0, ""), (1, ""),                       # identical zero-shingle twins
+        (2, "??!!"), (3, "!!??"),               # zero-shingle, NOT identical
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "the quick brown fox jumps over the lazy dog"),
+        (6, "a completely different document about spark"),
+        (7, "another unrelated text body entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    path = mh.build_minhash_index(spark, str(tmp_path),
+                                  base_pred="doc_id % 2 = 0")
+    got = sorted(
+        (r.a, r.b, r.jaccard)
+        for r in mh.minhash_probe_pairs(
+            spark, path, docs.where("doc_id % 2 = 1"),
+            "doc_id", "text").collect())
+    want = _full_cross_rows(docs, "doc_id % 2 = 0")
+    assert got == want
+    assert (0, 1, 1.0) in got                   # the zero-shingle twins
+    assert not any({a, b} == {2, 3} for a, b, _ in got)  # not identical
