@@ -30,11 +30,15 @@ Index layout (one directory per (sf, params, base_pred), atomic publish):
                  EXACT build-time configuration from the artifact, never
                  from caller arguments.
 
-ID contract: index and batch id spaces must be disjoint (or share ids
-only for byte-identical docs) — probe unions both sides' shingle
-relations keyed by id, so a colliding id with DIFFERENT text would merge
-two docs' shingle sets. The registry entry splits one table by a
-deterministic predicate, which satisfies this by construction.
+ID contract: a doc id identifies ONE document — an id appearing in both
+the index and a probed batch must denote the same doc (probe unions both
+sides' shingle relations keyed by id, so a colliding id with DIFFERENT
+text would merge two docs' shingle sets). Probe semantics under overlap
+are defined as ``(index ∖ batch-ids) × batch``: index rows carrying the
+batch's own ids are treated as that batch's earlier (possibly torn)
+absorption and excluded, so a re-delivered doc pairs as a batch member,
+never against itself. The registry entry splits one table by a
+deterministic predicate, which keeps the spaces fully disjoint.
 """
 from __future__ import annotations
 
@@ -86,30 +90,45 @@ def _write_side(df: DataFrame, id_col: str, text_col: str, n: int, k: int,
     ``band`` so a probe joining on (band, bh) scans co-sorted band files;
     partition count equals the banding width, never data volume.
     """
-    classes = _text_classes(df, id_col, text_col)
+    # persist the shared subtree for the three writes: each write job's
+    # plan otherwise re-runs the full corpus scan + class groupBy + rep
+    # semi-join (the persist-for-branch-sharing pattern of
+    # minhash_lsh_pairs' banded table); writes are actions, so the
+    # unpersist after them is safe
+    classes = _text_classes(df, id_col, text_col).persist()
     reps = df.join(classes.select(F.col("_rep").alias(id_col)),
-                   id_col, "left_semi")
-    # classes carry the text md5 (cls) and the rep's shingle count
-    # (n_sh): zero-shingle docs (empty/punctuation-only text) produce no
-    # signature rows and can never band-collide, so probes pair their
-    # byte-identical cross-corpus twins through cls equality instead —
-    # the full pipeline emits those pairs through its within-class path
-    # and the probe must reproduce them (review r12)
-    rep_nsh = reps.select(
-        F.col(id_col).alias("rep"),
-        F.size(_shingles(F.col(text_col), n)).alias("n_sh"))
-    (classes.select(F.col("_cls").alias("cls"),
-                    F.col("_rep").alias("rep"),
-                    F.col("_members").alias("members"))
-     .join(rep_nsh, "rep")
-     .write.mode(mode).parquet(os.path.join(out, "classes")))
-    sig = _minhash_sig(reps, id_col, text_col, n, k=k)
-    (_band_hashes(sig, k, bands)
-     .write.mode(mode).partitionBy("band")
-     .parquet(os.path.join(out, "bands")))
-    (reps.select(F.col(id_col).alias("id"),
-                 F.explode(_shingles(F.col(text_col), n)).alias("sh"))
-     .write.mode(mode).parquet(os.path.join(out, "shingles")))
+                   id_col, "left_semi").persist()
+    try:
+        # classes carry the text md5 (cls) and the rep's shingle count
+        # (n_sh): zero-shingle docs (empty/punctuation-only/NULL text)
+        # produce no signature rows and can never band-collide, so
+        # probes pair their byte-identical cross-corpus twins through
+        # cls equality instead — the full pipeline emits those pairs
+        # through its within-class path and the probe must reproduce
+        # them (review r12). NULL-safe: n_sh coalesces to 0 and cls to
+        # the empty-string sentinel (md5 of real text is never ''), so
+        # NULL-text classes group and join like the pipeline's GROUP BY
+        # md5(text) does.
+        rep_nsh = reps.select(
+            F.col(id_col).alias("rep"),
+            F.coalesce(F.size(_shingles(F.col(text_col), n)),
+                       F.lit(0)).alias("n_sh"))
+        (classes.select(
+            F.coalesce(F.col("_cls"), F.lit("")).alias("cls"),
+            F.col("_rep").alias("rep"),
+            F.col("_members").alias("members"))
+         .join(rep_nsh, "rep")
+         .write.mode(mode).parquet(os.path.join(out, "classes")))
+        sig = _minhash_sig(reps, id_col, text_col, n, k=k)
+        (_band_hashes(sig, k, bands)
+         .write.mode(mode).partitionBy("band")
+         .parquet(os.path.join(out, "bands")))
+        (reps.select(F.col(id_col).alias("id"),
+                     F.explode(_shingles(F.col(text_col), n)).alias("sh"))
+         .write.mode(mode).parquet(os.path.join(out, "shingles")))
+    finally:
+        reps.unpersist()
+        classes.unpersist()
 
 
 def build_minhash_index(
@@ -134,7 +153,11 @@ def build_minhash_index(
     if os.path.isdir(final):
         return final
     df = read_table(spark, f"{sf_dir}/{table}.parquet").where(F.expr(base_pred))
-    tmp = final + ".tmp"
+    # per-builder tmp dir: a SHARED tmp would let two concurrent builders
+    # interleave their subdir writes and publish a torn mix — the
+    # "losing the race is harmless" guarantee of _publish only holds
+    # when each racer assembles its own complete artifact
+    tmp = f"{final}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(os.path.dirname(final), exist_ok=True)
     _write_side(df, id_col, text_col, n, k, bands, tmp, "overwrite")
@@ -296,10 +319,14 @@ def minhash_probe_pairs(
     # no signature rows and can never band-collide, but its byte-identical
     # cross-corpus twin is a jaccard-1.0 pair the full pipeline emits via
     # its within-class path — pair those classes by text md5 instead
+    # coalesce mirrors the build side's NULL handling: a NULL text has
+    # NULL size/md5, and the pipeline's GROUP BY md5(text) still classes
+    # such docs together — sentinel '' keeps the equi-join matching them
     zi = icls.where(F.col("n_sh") == 0).select(
         "cls", F.col("rep").alias("a"))
-    zb = (reps.where(F.size(_shingles(F.col(text_col), n)) == 0)
-          .select(F.md5(F.col(text_col)).alias("cls"),
+    zb = (reps.where(F.coalesce(
+              F.size(_shingles(F.col(text_col), n)), F.lit(0)) == 0)
+          .select(F.coalesce(F.md5(F.col(text_col)), F.lit("")).alias("cls"),
                   F.col(id_col).alias("b")))
     zero_pairs = (zi.join(zb, "cls")
                   .where(F.col("a") != F.col("b"))

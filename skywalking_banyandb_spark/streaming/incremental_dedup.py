@@ -18,23 +18,29 @@ same epoch re-delivers. Three pieces make the loop idempotent:
   partition overwrite — a retried epoch replaces its own partition,
   never duplicates it;
 * index ABSORB goes through :func:`minhash_index_absorb`'s ledger,
-  keyed by (checkpoint identity, epoch) — a retried epoch that already
-  absorbed is a no-op, and a RESTART against a fresh checkpoint (epoch
-  ids reset to 0) re-keys rather than silently skipping real batches;
+  keyed by (checkpoint LINEAGE, epoch) — the lineage identity is the
+  query id Spark persists inside the checkpoint, so a retried epoch is
+  a no-op while a fresh checkpoint (even recreated at the same path,
+  epoch ids reset to 0) re-keys rather than silently skipping batches;
 * the probe anti-joins the batch's own ids out of the index, so a retry
   whose prior attempt tore mid-absorb (index rows appended, ledger not
   yet committed) re-probes to the identical pre-absorb answer — never
   intra-batch self-pairs — and overwrites the identical output.
 
-A fresh-checkpoint restart over already-absorbed files re-probes and
-re-absorbs them: the output partitions rewrite with identical pairs
-(the anti-join hides the batch's own absorbed rows) and the duplicate
-index rows are probe-harmless (distinct candidates, set-collected
-shingles, rep-deduped classes).
+Output partitions are keyed by the RUN-SCOPED epoch (lineage token +
+epoch id): within a lineage, retries rewrite their own partition
+idempotently; a fresh-checkpoint rerun writes its own partitions and
+can never overwrite or interleave a prior run's. Re-running the SAME
+source files under a fresh checkpoint re-absorbs them safely (duplicate
+index rows are probe-harmless: distinct candidates, set-collected
+shingles, rep-deduped classes), but a reader of a multi-run directory
+sees both runs' pairs — point a reprocessing run at a fresh
+``output_path``, the same ownership contract as Spark's file sink.
 """
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,15 +76,31 @@ def start_incremental_dedup(
     of an all-empty run should treat a missing directory as zero pairs.
     """
 
-    # ledger keys are scoped to the CHECKPOINT identity: foreachBatch
-    # epoch ids restart from 0 with a fresh checkpoint dir, and a bare
+    # ledger keys are scoped to the CHECKPOINT LINEAGE: foreachBatch
+    # epoch ids restart from 0 with a fresh checkpoint, and a bare
     # "epoch-0" key from a previous run would make the first real batch
-    # of the new run a silent no-op (review r12)
-    run_token = hashlib.md5(
-        os.path.abspath(checkpoint_path).encode("utf-8")).hexdigest()[:8]
+    # of the new run a silent no-op (review r12). The lineage identity
+    # is the streaming query id Spark PERSISTS INSIDE the checkpoint
+    # (checkpoint metadata file) — regenerated when the directory is
+    # deleted and recreated at the same path, stable across resumes —
+    # read lazily at first epoch (the metadata exists once the query
+    # starts). Fallback for checkpoints the driver cannot read as local
+    # files (URI schemes): the RAW path string — never os.path.abspath,
+    # which is cwd-dependent and mangles hdfs://-style URIs.
+    _token: list = []
+
+    def _run_token() -> str:
+        if not _token:
+            try:
+                with open(os.path.join(checkpoint_path, "metadata")) as f:
+                    _token.append(json.load(f)["id"][:8])
+            except (OSError, KeyError, ValueError):
+                _token.append(hashlib.md5(
+                    checkpoint_path.encode("utf-8")).hexdigest()[:8])
+        return _token[0]
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
-        key = f"{run_token}-epoch-{epoch_id}"
+        key = f"{_run_token()}-epoch-{epoch_id}"
         if key in absorbed_batches(index_path):
             return  # fully processed by a prior attempt
         sess = batch.sparkSession
@@ -89,7 +111,11 @@ def start_incremental_dedup(
         try:
             pairs = minhash_probe_pairs(sess, index_path, batch, id_col,
                                         text_col, threshold)
-            (pairs.withColumn("epoch", F.lit(epoch_id))
+            # the partition key is the RUN-SCOPED epoch: a fresh-
+            # checkpoint rerun (epoch ids reset to 0) writes its own
+            # partitions instead of overwriting partition epoch=0 while
+            # leaving a prior run's later partitions stale beside it
+            (pairs.withColumn("epoch", F.lit(key))
              .write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("epoch")

@@ -117,7 +117,8 @@ def test_build_is_idempotent_and_atomic(spark):
     p2 = mh.build_minhash_index(spark, SF_SMALL, base_pred="doc_id % 2 = 0")
     assert p1 == p2
     assert os.path.getmtime(os.path.join(p1, "_meta.json")) == stamp
-    assert not os.path.isdir(p1 + ".tmp")
+    import glob
+    assert not glob.glob(p1 + ".tmp*")   # per-builder tmp dirs cleaned up
     # distinct base predicates get distinct artifacts (ADVICE r7 on the
     # IVF family: a shared path across base subsets silently trains on
     # the wrong base)
@@ -193,6 +194,8 @@ def test_zero_shingle_identical_twins_pair_across_corpora(spark, tmp_path):
         (5, "the quick brown fox jumps over the lazy dog"),
         (6, "a completely different document about spark"),
         (7, "another unrelated text body entirely"),
+        (8, None), (9, None),                   # NULL-text twins: one class
+        # under GROUP BY md5(text) in both engines, paired at 1.0
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
@@ -206,4 +209,6 @@ def test_zero_shingle_identical_twins_pair_across_corpora(spark, tmp_path):
     want = _full_cross_rows(docs, "doc_id % 2 = 0")
     assert got == want
     assert (0, 1, 1.0) in got                   # the zero-shingle twins
+    assert (8, 9, 1.0) in got                   # the NULL-text twins
     assert not any({a, b} == {2, 3} for a, b, _ in got)  # not identical
+    assert not any({a, b} == {0, 9} for a, b, _ in got)  # '' text != NULL
