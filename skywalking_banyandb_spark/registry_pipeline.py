@@ -450,6 +450,7 @@ def _streaming_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     oriented earlier-group-first. The index lives in the entry's wiped
     scratch (NOT the shared root — the absorb loop mutates it per run).
     Result is the per-jaccard-bucket checksum aggregate."""
+    import os
     import time
 
     from .registry_coverage import _scratch_dir
@@ -461,8 +462,17 @@ def _streaming_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
                                   root=f"{work}/idx")
     docs = _docs(spark, sf).where("doc_id % 3 = 0")
     docs.where("doc_id % 9 = 3").coalesce(1).write.parquet(f"{work}/src/b1")
-    time.sleep(1.1)  # file-source ordering is by modification time
     docs.where("doc_id % 9 = 6").coalesce(1).write.parquet(f"{work}/src/b2")
+    # the file source orders files by modification time, and the
+    # intra-batch pairs the probe excludes would vanish if b1 and b2
+    # landed in one micro-batch — stamp the mtimes EXPLICITLY (b1 older
+    # by far more than any filesystem's timestamp granularity) instead
+    # of sleeping between writes and hoping the clock ticked (ADVICE r12)
+    now = time.time()
+    for sub, ts in (("b1", now - 120.0), ("b2", now - 60.0)):
+        d = f"{work}/src/{sub}"
+        for name in os.listdir(d):
+            os.utime(os.path.join(d, name), (ts, ts))
     stream = (
         spark.readStream
         .schema(spark.read.parquet(f"{work}/src/b1").schema)
@@ -475,7 +485,14 @@ def _streaming_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     if not q.awaitTermination(timeout=300):
         q.stop()
         raise RuntimeError("streaming incremental dedup timed out after 300s")
-    pairs = spark.read.parquet(f"{work}/out")
+    if not os.path.isdir(f"{work}/out"):
+        # dynamic partition overwrite writes nothing for an empty pair
+        # set, so an all-empty run never creates the directory — degrade
+        # to zero rows instead of a read error (ADVICE r12)
+        pairs = spark.createDataFrame(
+            [], "a bigint, b bigint, jaccard double")
+    else:
+        pairs = spark.read.parquet(f"{work}/out")
     return _jbucket_agg(pairs, "sum_base", "sum_new", "sum_xx")
 
 

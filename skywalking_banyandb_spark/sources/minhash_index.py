@@ -63,6 +63,14 @@ from .ann_index import _base_pred_token, _index_dir, _publish
 from .parquet import read_table
 
 
+def _n_shingles(text_col, n: int):
+    """Shingle count with NULL text counting as 0, independent of the
+    session's ANSI config: ``size(NULL)`` is NULL under ANSI (Spark 4
+    default) but -1 under ``legacy.sizeOfNull`` — coalescing the ARRAY
+    to ``array()`` before ``size`` yields 0 either way (ADVICE r12)."""
+    return F.size(F.coalesce(_shingles(text_col, n), F.array()))
+
+
 def minhash_index_path(sf_dir: str, n: int = 1, k: int = MINHASH_K,
                        bands: int = BANDS, base_pred: str = "true",
                        root: str | None = None) -> str:
@@ -111,8 +119,7 @@ def _write_side(df: DataFrame, id_col: str, text_col: str, n: int, k: int,
         # md5(text) does.
         rep_nsh = reps.select(
             F.col(id_col).alias("rep"),
-            F.coalesce(F.size(_shingles(F.col(text_col), n)),
-                       F.lit(0)).alias("n_sh"))
+            _n_shingles(F.col(text_col), n).alias("n_sh"))
         (classes.select(
             F.coalesce(F.col("_cls"), F.lit("")).alias("cls"),
             F.col("_rep").alias("rep"),
@@ -217,6 +224,42 @@ def absorbed_batches(path: str) -> set:
         return set(json.load(f))
 
 
+class ConcurrentAbsorbError(RuntimeError):
+    """A second absorber raced :func:`minhash_index_absorb` on the same
+    index. The ledger is a read-modify-write of one JSON file; two
+    interleaved writers would silently drop one key, so a lost
+    lock-acquisition fails LOUDLY instead (VERDICT r12 #2 / Next #7)."""
+
+
+class _absorb_lock:
+    """Exclusive non-blocking flock over ``{path}/_batches.lock``, held
+    across the whole read-check-append-commit sequence. Non-blocking by
+    design: the absorb contract is single-writer (one query owns the
+    index — the streaming loop's ``foreachBatch`` serializes epochs), so
+    contention is a caller bug to surface, not a queue to wait in."""
+
+    def __init__(self, path: str):
+        self._p = os.path.join(path, "_batches.lock")
+
+    def __enter__(self):
+        import fcntl
+        self._fd = os.open(self._p, os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(self._fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            os.close(self._fd)
+            raise ConcurrentAbsorbError(
+                f"another absorber holds {self._p}; the ledger is "
+                "single-writer — serialize absorbs on this index")
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+        fcntl.flock(self._fd, fcntl.LOCK_UN)
+        os.close(self._fd)
+        return False
+
+
 def minhash_index_absorb(
     spark: SparkSession,
     path: str,
@@ -232,17 +275,24 @@ def minhash_index_absorb(
     write is atomic (tmp + rename) and LAST, so a crash mid-append
     re-absorbs on retry; duplicate index rows from such a torn append
     are probe-harmless (bands: candidates are distinct; shingles:
-    verification collects sets; classes: the probe dedups reps)."""
-    done = absorbed_batches(path)
-    if batch_key in done:
-        return False
-    minhash_index_append(spark, path, batch, id_col, text_col)
-    p = os.path.join(path, "_batches.json")
-    tmp = p + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(sorted(done | {batch_key}), f)
-    os.replace(tmp, p)
-    return True
+    verification collects sets; classes: the probe dedups reps).
+
+    The whole sequence runs under an exclusive flock on
+    ``_batches.lock`` — a concurrent absorber (even with a distinct
+    ``batch_key``) raises :class:`ConcurrentAbsorbError` rather than
+    racing the ledger's read-modify-write and silently losing a key
+    (ADVICE r12 #4)."""
+    with _absorb_lock(path):
+        done = absorbed_batches(path)
+        if batch_key in done:
+            return False
+        minhash_index_append(spark, path, batch, id_col, text_col)
+        p = os.path.join(path, "_batches.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sorted(done | {batch_key}), f)
+        os.replace(tmp, p)
+        return True
 
 
 def minhash_probe_pairs(
@@ -324,8 +374,7 @@ def minhash_probe_pairs(
     # such docs together — sentinel '' keeps the equi-join matching them
     zi = icls.where(F.col("n_sh") == 0).select(
         "cls", F.col("rep").alias("a"))
-    zb = (reps.where(F.coalesce(
-              F.size(_shingles(F.col(text_col), n)), F.lit(0)) == 0)
+    zb = (reps.where(_n_shingles(F.col(text_col), n) == 0)
           .select(F.coalesce(F.md5(F.col(text_col)), F.lit("")).alias("cls"),
                   F.col(id_col).alias("b")))
     zero_pairs = (zi.join(zb, "cls")

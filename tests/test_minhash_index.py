@@ -212,3 +212,55 @@ def test_zero_shingle_identical_twins_pair_across_corpora(spark, tmp_path):
     assert (8, 9, 1.0) in got                   # the NULL-text twins
     assert not any({a, b} == {2, 3} for a, b, _ in got)  # not identical
     assert not any({a, b} == {0, 9} for a, b, _ in got)  # '' text != NULL
+
+
+def test_concurrent_absorb_raises_instead_of_losing_a_key(spark, docs):
+    """The absorb ledger is a read-modify-write of one JSON file; two
+    interleaved absorbers could silently drop a key. The flock guard
+    makes the second absorber fail LOUDLY (ADVICE r12 #4): while one
+    absorber holds the lock, a concurrent absorb — even with a distinct
+    batch key — raises ConcurrentAbsorbError and leaves the ledger
+    untouched; after release the same absorb succeeds."""
+    path = mh.build_minhash_index(spark, SF_SMALL,
+                                  base_pred="doc_id % 3 = 0")
+    b1 = docs.where("doc_id % 3 = 1")
+    holder = mh._absorb_lock(path)
+    holder.__enter__()   # a second absorber, mid-flight
+    try:
+        with pytest.raises(mh.ConcurrentAbsorbError):
+            mh.minhash_index_absorb(spark, path, b1, "doc_id", "text",
+                                    "batch-b1")
+        assert mh.absorbed_batches(path) == set()   # ledger untouched
+    finally:
+        holder.__exit__(None, None, None)
+    assert mh.minhash_index_absorb(spark, path, b1, "doc_id", "text",
+                                   "batch-b1") is True
+    assert mh.absorbed_batches(path) == {"batch-b1"}
+    # replay is still an idempotent no-op (lock released between calls)
+    assert mh.minhash_index_absorb(spark, path, b1, "doc_id", "text",
+                                   "batch-b1") is False
+
+
+def test_n_shingles_is_ansi_config_independent(spark):
+    """NULL text must count as 0 shingles regardless of the session's
+    size(NULL) semantics: ANSI-on yields NULL, legacy.sizeOfNull yields
+    -1 — either would silently drop NULL-text docs out of the
+    zero-shingle twin pairing (ADVICE r12 #3). Coalescing the ARRAY to
+    array() before size is correct under every config."""
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "??!!"), (3, "real text here")],
+        "doc_id long, text string")
+    saved = spark.conf.get("spark.sql.ansi.enabled", "true")
+    for ansi, legacy in (("true", "false"), ("false", "true"),
+                         ("false", "false")):
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+        spark.conf.set("spark.sql.legacy.sizeOfNull", legacy)
+        try:
+            got = {r.doc_id: r.n for r in df.select(
+                "doc_id",
+                mh._n_shingles(F.col("text"), 1).alias("n")).collect()}
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", saved)
+            spark.conf.unset("spark.sql.legacy.sizeOfNull")
+        assert got[0] == 0 and got[1] == 0 and got[2] == 0, (ansi, legacy, got)
+        assert got[3] > 0
