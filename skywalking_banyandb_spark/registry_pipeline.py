@@ -439,6 +439,57 @@ register(
 )
 
 
+def _dedup_minhash_compacted(spark: SparkSession, sf: str) -> DataFrame:
+    """Compaction (sources/minhash_index.minhash_index_compact — the
+    part-merge shape of the reference's measure compaction) exercised on
+    the driver path: build the base index (doc_id%9=0 of the bounded
+    universe doc_id%3=0), absorb the %9=3 shard TWICE under two lineage
+    keys (the re-delivery workload that duplicates classes and
+    band/shingle rows), COMPACT, then probe the %9=6 shard. The probe
+    must be pair-exact with the never-compacted pipeline, so the oracle
+    is the full self-join restricted to ((%9∈{0,3}) × (%9=6)) pairs —
+    any row compaction loses or invents moves a bucket checksum. The
+    index lives in wiped per-run scratch (absorb+compact mutate it).
+    Result is the established per-jaccard-bucket checksum aggregate."""
+    from .registry_coverage import _scratch_dir
+    from .sources import minhash_index as mh
+
+    work = _scratch_dir("mhidx_compact_entry")
+    path = mh.build_minhash_index(spark, sf, base_pred="doc_id % 9 = 0",
+                                  root=f"{work}/idx")
+    docs = _docs(spark, sf).where("doc_id % 3 = 0")
+    b1 = docs.where("doc_id % 9 = 3")
+    mh.minhash_index_absorb(spark, path, b1, "doc_id", "text", "lineageA-0")
+    mh.minhash_index_absorb(spark, path, b1, "doc_id", "text", "lineageB-0")
+    stats = mh.minhash_index_compact(spark, path)
+    if stats["bytes_after"] >= stats["bytes_before"]:
+        raise RuntimeError(
+            f"compaction did not shrink the re-delivered index: {stats}")
+    pairs = mh.minhash_probe_pairs(spark, path, docs.where("doc_id % 9 = 6"),
+                                   "doc_id", "text", threshold=0.5)
+    return _jbucket_agg(pairs, "sum_base", "sum_new", "sum_xx")
+
+
+register(
+    "dedup_minhash_compacted",
+    _dedup_minhash_compacted,
+    # oracle = the full self-join pipeline over the universe, filtered
+    # to pairs with exactly one side in the probe shard (%9=6), oriented
+    # index-side first — compaction must not move a single pair
+    "SELECT CAST(floor(jaccard * 100) AS BIGINT) AS jbucket, "
+    "COUNT(*) AS n_pairs, CAST(SUM(i) AS BIGINT) AS sum_base, "
+    "CAST(SUM(p) AS BIGINT) AS sum_new, "
+    "CAST(SUM(i * p) AS BIGINT) AS sum_xx FROM ("
+    "SELECT CASE WHEN a % 9 = 6 THEN b ELSE a END AS i, "
+    "CASE WHEN a % 9 = 6 THEN a ELSE b END AS p, jaccard FROM ("
+    + dd.minhash_lsh_pairs_sql(
+        "(SELECT * FROM documents WHERE doc_id % 3 = 0) u",
+        "doc_id", "text", n=1, threshold=0.5)
+    + ") WHERE (a % 9 = 6) <> (b % 9 = 6)"
+    ") GROUP BY jbucket ORDER BY jbucket",
+)
+
+
 def _streaming_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming twin of ``dedup_minhash_incremental``: two micro-batches
     (arrival groups b1 = doc_id%9=3 and b2 = doc_id%9=6 over the same

@@ -295,6 +295,94 @@ def minhash_index_absorb(
         return True
 
 
+def minhash_index_compact(spark: SparkSession, path: str) -> dict:
+    """Offline compaction of an absorbed-into index (VERDICT r12 Next
+    #2) — the part-merge shape of the reference's compaction
+    (banyand/measure's part merger rewrites many small parts into one;
+    here many appended class/band/shingle rows into their merged form).
+
+    Absorb APPENDS and never rewrites, so a long-lived index accumulates
+    (a) a duplicate class per byte-identical re-indexed text — one per
+    re-delivered lineage or per corpus carrying the same bytes — and
+    (b) byte-identical band/shingle rows from torn appends. Probes
+    tolerate both (``dropDuplicates(["rep"])``, distinct candidates, set
+    -collected shingles) but pay the scan tax forever. Compaction
+    rewrites the three relations to their minimal equivalent:
+
+    * classes: ONE row per ``cls`` (text md5) — rep = min of the merged
+      rows' reps (deterministic), members = sorted distinct union.
+      Byte-identical texts share every shingle, hence every signature
+      and band hash, so collapsing their classes to one rep loses no
+      candidate: each dropped rep's band rows were byte-identical to the
+      kept rep's, verified at the same jaccard, and its members survive
+      in the merged member list. Probe results are pair-exactly
+      unchanged (member-level batch exclusion keeps this true even for
+      re-delivered batches — see :func:`minhash_probe_pairs`).
+    * bands / shingles: restricted to surviving reps, exact-duplicate
+      rows dropped; band partitioning preserved.
+
+    Runs under the absorb lock (compaction is a writer); publishes by
+    atomic directory swap (build tmp → rename live aside → rename tmp
+    in → drop old), preserving ``_meta.json`` and the absorb ledger, so
+    a reader mid-compaction sees the old or the new index, never a mix.
+    A concurrent absorber can hit the instant between the two renames
+    and fail loudly on the missing lock path — single-writer contract,
+    same as two absorbers. Returns ``{"classes_before", "classes_after",
+    "bytes_before", "bytes_after"}``.
+    """
+
+    def _du(d: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(d):
+            total += sum(os.path.getsize(os.path.join(root, f))
+                         for f in files)
+        return total
+
+    with _absorb_lock(path):
+        bytes_before = _du(path)
+        cls_df = spark.read.parquet(os.path.join(path, "classes"))
+        classes_before = cls_df.count()
+        merged = (
+            cls_df.groupBy("cls")
+            .agg(F.min("rep").alias("rep"),
+                 F.array_sort(F.array_distinct(
+                     F.flatten(F.collect_list("members")))).alias("members"),
+                 F.min("n_sh").alias("n_sh"))
+        ).persist()
+        keep = merged.select(F.col("rep").alias("id"))
+        tmp = f"{path}.compact.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            merged.select("cls", "rep", "members", "n_sh") \
+                .write.parquet(os.path.join(tmp, "classes"))
+            (spark.read.parquet(os.path.join(path, "bands"))
+             .join(keep, "id", "left_semi")
+             .dropDuplicates(["id", "band", "bh"])
+             .write.partitionBy("band")
+             .parquet(os.path.join(tmp, "bands")))
+            (spark.read.parquet(os.path.join(path, "shingles"))
+             .join(keep, "id", "left_semi")
+             .dropDuplicates(["id", "sh"])
+             .write.parquet(os.path.join(tmp, "shingles")))
+            classes_after = merged.count()
+        finally:
+            merged.unpersist()
+        for meta in ("_meta.json", "_batches.json"):
+            src = os.path.join(path, meta)
+            if os.path.exists(src):
+                shutil.copy(src, os.path.join(tmp, meta))
+        old = f"{path}.compact.old.{os.getpid()}"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        for sub in ("bands", "shingles", "classes"):
+            spark.catalog.refreshByPath(os.path.join(path, sub))
+        return {"classes_before": classes_before,
+                "classes_after": classes_after,
+                "bytes_before": bytes_before,
+                "bytes_after": _du(path)}
+
+
 def minhash_probe_pairs(
     spark: SparkSession,
     path: str,
@@ -317,13 +405,18 @@ def minhash_probe_pairs(
     from two branches, and without the persist each branch would re-run
     the bands-side join.
 
-    The probe sees the index AS IF the batch were not in it: index rows
-    carrying the batch's own ids are anti-joined out of the candidate
-    side. This makes the probe idempotent under absorb — probing a batch
-    AFTER absorbing it (an at-least-once retry whose prior attempt tore
-    between parquet append and ledger commit, or a caller replaying an
-    absorbed shard) returns exactly the pre-absorb pairs, never
-    intra-batch self-pairs the cross-corpus contract excludes.
+    The probe sees the index AS IF the batch were not in it: the result
+    is exactly ``(index members ∖ batch-ids) × batch`` — the batch's own
+    ids are excluded at MEMBER level after class expansion (not by
+    dropping whole index classes whose rep happens to be a batch id,
+    which would be wrong for a compacted index whose merged classes mix
+    corpora — see :func:`minhash_index_compact`). This makes the probe
+    idempotent under absorb — probing a batch AFTER absorbing it (an
+    at-least-once retry whose prior attempt tore between parquet append
+    and ledger commit, or a caller replaying an absorbed shard) returns
+    exactly the pre-absorb pairs, never intra-batch self-pairs: the
+    absorbed copy's candidates survive to verification but every member
+    they expand to is a batch id and is filtered there.
     """
     m = _meta(path)
     n, k, bands = m["n"], m["k"], m["bands"]
@@ -333,8 +426,7 @@ def minhash_probe_pairs(
     bband = _band_hashes(_minhash_sig(reps, id_col, text_col, n, k=k),
                          k, bands)
     bids = batch.select(F.col(id_col).alias("id")).distinct()
-    iband = (spark.read.parquet(os.path.join(path, "bands"))
-             .join(bids, "id", "left_anti"))
+    iband = spark.read.parquet(os.path.join(path, "bands"))
     cand = (
         iband.alias("x").join(bband.alias("y"), on=["band", "bh"])
         .where(F.col("x.id") != F.col("y.id"))
@@ -360,11 +452,12 @@ def minhash_probe_pairs(
     # dropDuplicates on rep: a torn append (crash between parquet write
     # and ledger commit, then retry) can leave byte-identical class rows
     # twice; reps are unique across corpora by the id contract, so
-    # rep-keyed dedup restores exactly-once expansion. The batch's own
-    # ids are anti-joined out for the same reason as the bands side.
+    # rep-keyed dedup restores exactly-once expansion. Batch-id
+    # exclusion happens at member level after expansion (below), never
+    # here — dropping a whole class because its REP is a batch id would
+    # drop the class's other-corpus members with it.
     icls = (spark.read.parquet(os.path.join(path, "classes"))
-            .dropDuplicates(["rep"])
-            .join(bids.withColumnRenamed("id", "rep"), "rep", "left_anti"))
+            .dropDuplicates(["rep"]))
     # zero-shingle twins: a doc whose text tokenizes to NO shingles has
     # no signature rows and can never band-collide, but its byte-identical
     # cross-corpus twin is a jaccard-1.0 pair the full pipeline emits via
@@ -386,6 +479,11 @@ def minhash_probe_pairs(
     return (
         rep_pairs.join(ma, "a").join(mb, "b")
         .select(F.explode("_ma").alias("x"), F.col("_mb"), "jaccard")
+        # member-level exclusion of the batch's own ids: this is where
+        # "(index ∖ batch-ids) × batch" is enforced — exact whether the
+        # absorbed copy of a re-delivered batch lives in its own classes
+        # or inside compaction-merged ones
+        .join(bids.withColumnRenamed("id", "x"), "x", "left_anti")
         .select("x", F.explode("_mb").alias("y"), "jaccard")
         .select(F.col("x").alias("a"), F.col("y").alias("b"), "jaccard")
     )

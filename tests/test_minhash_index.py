@@ -264,3 +264,93 @@ def test_n_shingles_is_ansi_config_independent(spark):
             spark.conf.unset("spark.sql.legacy.sizeOfNull")
         assert got[0] == 0 and got[1] == 0 and got[2] == 0, (ansi, legacy, got)
         assert got[3] > 0
+
+
+def _probe(spark, path, batch):
+    return sorted(
+        (r.a, r.b, r.jaccard)
+        for r in mh.minhash_probe_pairs(
+            spark, path, batch, "doc_id", "text").collect())
+
+
+def test_compaction_probe_pair_exact_and_disk_shrinks(spark, docs):
+    """The done-criterion (VERDICT r12 Next #2): under a re-delivery
+    workload (the same batch re-appended — what a torn absorb retry or a
+    fresh-checkpoint lineage replay does), compaction must (a) leave the
+    probe pair-exactly unchanged, (b) merge the duplicate classes, and
+    (c) shrink the on-disk index."""
+    path = mh.build_minhash_index(spark, SF_SMALL,
+                                  base_pred="doc_id % 3 = 0")
+    b1 = docs.where("doc_id % 3 = 1")
+    mh.minhash_index_absorb(spark, path, b1, "doc_id", "text", "lineageA-0")
+    # re-delivery: a fresh lineage replays the same docs — absorb under a
+    # NEW key appends byte-identical class/band/shingle rows
+    mh.minhash_index_absorb(spark, path, b1, "doc_id", "text", "lineageB-0")
+    b2 = docs.where("doc_id % 3 = 2")
+    pre = _probe(spark, path, b2)
+    stats = mh.minhash_index_compact(spark, path)
+    assert _probe(spark, path, b2) == pre and len(pre) > 0
+    assert stats["classes_after"] < stats["classes_before"]
+    assert stats["bytes_after"] < stats["bytes_before"]
+    # the ledger survives the swap: replaying either lineage still no-ops
+    assert mh.minhash_index_absorb(
+        spark, path, b1, "doc_id", "text", "lineageA-0") is False
+
+
+def test_compaction_merges_cross_corpus_identical_texts(spark, tmp_path):
+    """Byte-identical texts indexed from DIFFERENT corpora (base build +
+    absorbed batch) form equal-cls classes with different reps;
+    compaction merges them into one class (union members, one rep's
+    bands/shingles) and the probe is still pair-exact — including for a
+    RE-DELIVERED batch, where the merged class mixes batch and non-batch
+    members and only member-level exclusion gives the right answer."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox jumps over the lazy dog"),   # base twin
+        (6, "spark compiles declarative plans with catalyst"),
+        (1, "the quick brown fox jumps over the lazy dog"),   # b1 twin
+        (4, "a very similar document about the quick brown fox jumping"),
+        (7, "spark compiles declarative plans with catalyst"),  # b1 twin
+        (2, "the quick brown fox jumps over the lazy dog"),   # b2 probe
+        (5, "spark compiles declarative plans with catalyst"),
+        (8, "an entirely unrelated body of text goes here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    path = mh.build_minhash_index(spark, str(tmp_path),
+                                  base_pred="doc_id % 3 = 0")
+    b1 = docs.where("doc_id % 3 = 1")
+    pre_absorb = _probe(spark, path, b1)
+    mh.minhash_index_absorb(spark, path, b1, "doc_id", "text", "e0")
+    # cross-corpus duplicate classes exist iff identical texts span the
+    # base/b1 split; assert the corpus exercises the merge at all
+    cls_rows = spark.read.parquet(f"{path}/classes")
+    dup_cls = (cls_rows.groupBy("cls").count().where("count > 1").count())
+    assert dup_cls > 0, "corpus has no cross-corpus identical texts"
+    b2 = docs.where("doc_id % 3 = 2")
+    pre = _probe(spark, path, b2)
+    mh.minhash_index_compact(spark, path)
+    merged_dup = (spark.read.parquet(f"{path}/classes")
+                  .groupBy("cls").count().where("count > 1").count())
+    assert merged_dup == 0
+    assert _probe(spark, path, b2) == pre
+    assert any({a, b} <= {0, 1, 2, 3} and j == 1.0 for a, b, j in pre)
+    # re-probe of the absorbed batch still sees the index as if the
+    # batch were not in it — exactly the pre-absorb pairs, even though
+    # batch members now live inside merged classes whose rep is a BASE
+    # doc (rep = min id 0) — only member-level exclusion survives this
+    assert _probe(spark, path, b1) == pre_absorb
+
+
+def test_compaction_equals_oneshot_rebuild(spark, docs):
+    """Compacted(A ⊕ B1) probed with B2 ≡ one-shot index over A ∪ B1
+    probed with B2 — compaction cannot drift from the canonical build."""
+    path = mh.build_minhash_index(spark, SF_SMALL,
+                                  base_pred="doc_id % 3 = 0")
+    mh.minhash_index_absorb(spark, path, docs.where("doc_id % 3 = 1"),
+                            "doc_id", "text", "e0")
+    mh.minhash_index_compact(spark, path)
+    oneshot = mh.build_minhash_index(spark, SF_SMALL,
+                                     base_pred="doc_id % 3 <> 2")
+    b2 = docs.where("doc_id % 3 = 2")
+    assert _probe(spark, path, b2) == _probe(spark, oneshot, b2)
