@@ -567,6 +567,87 @@ register(
 )
 
 
+def _streaming_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming keep-best resolution riding the incremental dedup loop
+    (VERDICT r12 Next #6): same two-micro-batch arrival shape as the
+    dedup twin (base = doc_id%9=0, b1 = %9=3, b2 = %9=6 over the bounded
+    universe doc_id%3=0), but each epoch emits per-doc DOMINANCE
+    DECISIONS under the batch ``dedup_resolution_keep_best`` policy
+    (neighbor beats on quality DESC, id ASC) evaluated over that epoch's
+    cross-corpus pairs in both directions. Folding all epochs
+    (survivor = never dominated) equals the batch keep-best over the
+    full cross-arrival-group edge set, which is what the oracle
+    computes. Result: surviving (doc_id, quality) rows."""
+    import os
+    import time
+
+    from .registry_coverage import _scratch_dir
+    from .sources import minhash_index as mh
+    from .streaming.incremental_dedup import (
+        resolution_survivors,
+        seed_resolution_qualities,
+        start_incremental_resolution,
+    )
+
+    work = _scratch_dir("incres_stream_entry")
+    path = mh.build_minhash_index(spark, sf, base_pred="doc_id % 9 = 0",
+                                  root=f"{work}/idx")
+    docs = _docs(spark, sf).where("doc_id % 3 = 0")
+    seed_resolution_qualities(docs.where("doc_id % 9 = 0"), "doc_id",
+                              "text", f"{work}/q")
+    docs.where("doc_id % 9 = 3").coalesce(1).write.parquet(f"{work}/src/b1")
+    docs.where("doc_id % 9 = 6").coalesce(1).write.parquet(f"{work}/src/b2")
+    now = time.time()
+    for sub, ts in (("b1", now - 120.0), ("b2", now - 60.0)):
+        d = f"{work}/src/{sub}"
+        for name in os.listdir(d):
+            os.utime(os.path.join(d, name), (ts, ts))
+    stream = (
+        spark.readStream
+        .schema(spark.read.parquet(f"{work}/src/b1").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{work}/src/*")
+    )
+    q = start_incremental_resolution(
+        spark, stream, path, "doc_id", "text",
+        decisions_path=f"{work}/dec", qualities_path=f"{work}/q",
+        checkpoint_path=f"{work}/ckpt")
+    if not q.awaitTermination(timeout=300):
+        q.stop()
+        raise RuntimeError("streaming resolution timed out after 300s")
+    return (resolution_survivors(spark, f"{work}/dec")
+            .select(F.col("node").alias("doc_id"),
+                    F.col("q").alias("quality"))
+            .orderBy("doc_id"))
+
+
+register(
+    "streaming_resolution_materialized",
+    _streaming_resolution,
+    # batch oracle: keep-best dominance over the cross-ARRIVAL-GROUP
+    # minhash pairs of the universe — the exact edge set the stream
+    # discovers — with the same quality policy as
+    # dedup_resolution_keep_best
+    "WITH pairs AS (SELECT a, b FROM ("
+    + dd.minhash_lsh_pairs_sql(
+        "(SELECT * FROM documents WHERE doc_id % 3 = 0) u",
+        "doc_id", "text", n=1, threshold=0.5)
+    + ") WHERE (a % 9) // 3 <> (b % 9) // 3), "
+    "q AS (SELECT doc_id AS node, "
+    + tx.quality_score_sql("text")
+    + " AS q FROM documents WHERE doc_id % 3 = 0), "
+    "edges AS (SELECT a AS node, b AS nb FROM pairs "
+    "UNION ALL SELECT b AS node, a AS nb FROM pairs), "
+    "dom AS (SELECT e.node AS node, qd.q AS q, "
+    "MAX(CASE WHEN qn.q > qd.q OR (qn.q = qd.q AND e.nb < e.node) "
+    "THEN 1 ELSE 0 END) AS dominated "
+    "FROM edges e JOIN q qd ON qd.node = e.node "
+    "JOIN q qn ON qn.node = e.nb GROUP BY e.node, qd.q) "
+    "SELECT node AS doc_id, q AS quality FROM dom "
+    "WHERE dominated = 0 ORDER BY doc_id",
+)
+
+
 register(
     "dedup_minhash_lsh_k32",
     _dedup_minhash_k32,

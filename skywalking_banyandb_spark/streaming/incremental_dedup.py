@@ -54,6 +54,34 @@ from ..sources.minhash_index import (
 )
 
 
+def _lineage_token_reader(checkpoint_path: str):
+    """Lazily read the run-scoped lineage token for ledger/partition
+    keys: foreachBatch epoch ids restart from 0 with a fresh checkpoint,
+    and a bare "epoch-0" key from a previous run would make the first
+    real batch of the new run a silent no-op (review r12). The lineage
+    identity is the streaming query id Spark PERSISTS INSIDE the
+    checkpoint (checkpoint metadata file) — regenerated when the
+    directory is deleted and recreated at the same path, stable across
+    resumes — read lazily at first epoch (the metadata exists once the
+    query starts). Fallback for checkpoints the driver cannot read as
+    local files (URI schemes): the RAW path string — never
+    os.path.abspath, which is cwd-dependent and mangles hdfs://-style
+    URIs."""
+    _token: list = []
+
+    def _run_token() -> str:
+        if not _token:
+            try:
+                with open(os.path.join(checkpoint_path, "metadata")) as f:
+                    _token.append(json.load(f)["id"][:8])
+            except (OSError, KeyError, ValueError):
+                _token.append(hashlib.md5(
+                    checkpoint_path.encode("utf-8")).hexdigest()[:8])
+        return _token[0]
+
+    return _run_token
+
+
 def start_incremental_dedup(
     spark: SparkSession,
     stream: DataFrame,
@@ -75,29 +103,7 @@ def start_incremental_dedup(
     partition overwrite writes nothing for an empty pair set) — readers
     of an all-empty run should treat a missing directory as zero pairs.
     """
-
-    # ledger keys are scoped to the CHECKPOINT LINEAGE: foreachBatch
-    # epoch ids restart from 0 with a fresh checkpoint, and a bare
-    # "epoch-0" key from a previous run would make the first real batch
-    # of the new run a silent no-op (review r12). The lineage identity
-    # is the streaming query id Spark PERSISTS INSIDE the checkpoint
-    # (checkpoint metadata file) — regenerated when the directory is
-    # deleted and recreated at the same path, stable across resumes —
-    # read lazily at first epoch (the metadata exists once the query
-    # starts). Fallback for checkpoints the driver cannot read as local
-    # files (URI schemes): the RAW path string — never os.path.abspath,
-    # which is cwd-dependent and mangles hdfs://-style URIs.
-    _token: list = []
-
-    def _run_token() -> str:
-        if not _token:
-            try:
-                with open(os.path.join(checkpoint_path, "metadata")) as f:
-                    _token.append(json.load(f)["id"][:8])
-            except (OSError, KeyError, ValueError):
-                _token.append(hashlib.md5(
-                    checkpoint_path.encode("utf-8")).hexdigest()[:8])
-        return _token[0]
+    _run_token = _lineage_token_reader(checkpoint_path)
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
         key = f"{_run_token()}-epoch-{epoch_id}"
@@ -131,4 +137,154 @@ def start_incremental_dedup(
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def seed_resolution_qualities(
+    base_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    qualities_path: str,
+    quality=None,
+) -> None:
+    """Seed the resolution loop's quality side-relation with the BASE
+    corpus (the docs the index was built over): ``(node, q)`` rows under
+    partition ``epoch=base``. Idempotent (dynamic partition overwrite of
+    its own partition). Must cover exactly the index's base_pred subset
+    — an edge endpoint with no quality row drops out of that epoch's
+    dominance inner join silently."""
+    if quality is None:
+        from ..functions.text import quality_score as quality
+    (base_docs.select(F.col(id_col).alias("node"),
+                      quality(F.col(text_col)).alias("q"))
+     .withColumn("epoch", F.lit("base"))
+     .write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("epoch")
+     .parquet(qualities_path))
+
+
+def start_incremental_resolution(
+    spark: SparkSession,
+    stream: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    decisions_path: str,
+    qualities_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.5,
+    quality=None,
+) -> StreamingQuery:
+    """Streaming keep-best RESOLUTION riding the incremental dedup loop
+    (VERDICT r12 Next #6): each micro-batch probes the index for its
+    cross-corpus near-dup pairs, then emits the epoch's DOMINANCE
+    DECISIONS — for every doc touched by an epoch edge, ``(node, q,
+    dominated)`` where ``dominated`` is the batch keep-best policy
+    (a neighbor beats it on quality DESC, id ASC;
+    registry_pipeline._dedup_keep_best) evaluated over THIS epoch's
+    edges in both directions — then absorbs the batch.
+
+    A doc's final survival is "never dominated in any epoch": every
+    cross-arrival-group edge (a, b) is evaluated exactly once, in both
+    directions, at the later side's arrival epoch, so
+
+        survivors = touched nodes with MAX(dominated) = false
+
+    over all decision partitions ≡ the batch keep-best computed over
+    the full cross-group edge set — the stream ≡ batch equality
+    ``tests/test_streaming_incremental_dedup.py`` pins.
+
+    Idempotency mirrors the pair loop: decisions AND the epoch's
+    quality rows land under run-scoped epoch partitions with dynamic
+    overwrite; earlier-doc qualities are read from ``qualities_path``
+    with the batch's own ids anti-joined out (so a torn-absorb retry
+    whose prior attempt already wrote this batch's qualities recomputes
+    the identical pre-absorb decisions); the absorb ledger commits
+    LAST. Replayed lineages leave duplicate (node, q) decision rows —
+    harmless, since q is deterministic from text and the survivor
+    aggregate is MAX(dominated) per node.
+
+    Seed ``qualities_path`` with :func:`seed_resolution_qualities`
+    BEFORE starting — base-corpus edge endpoints need quality rows.
+    """
+    if quality is None:
+        from ..functions.text import quality_score as quality
+    _run_token = _lineage_token_reader(checkpoint_path)
+
+    def _process(batch: DataFrame, epoch_id: int) -> None:
+        key = f"{_run_token()}-epoch-{epoch_id}"
+        if key in absorbed_batches(index_path):
+            return
+        sess = batch.sparkSession
+        batch = batch.persist()
+        pairs = None
+        try:
+            pairs = minhash_probe_pairs(sess, index_path, batch, id_col,
+                                        text_col, threshold).persist()
+            bq = batch.select(F.col(id_col).alias("node"),
+                              quality(F.col(text_col)).alias("q"))
+            bids = batch.select(F.col(id_col).alias("node")).distinct()
+            earlier = (sess.read.parquet(qualities_path)
+                       .select("node", "q")
+                       # multi-lineage replays duplicate rows; q is
+                       # deterministic from text, so any copy is right
+                       .dropDuplicates(["node"])
+                       .join(bids, "node", "left_anti"))
+            qrel = earlier.unionByName(bq)
+            edges = (pairs.select(F.col("a").alias("node"),
+                                  F.col("b").alias("nb"))
+                     .unionByName(pairs.select(F.col("b").alias("node"),
+                                               F.col("a").alias("nb"))))
+            qn = qrel.select(F.col("node").alias("nb"),
+                             F.col("q").alias("q_nb"))
+            dec = (
+                edges.join(qrel, "node").join(qn, "nb")
+                .groupBy("node", "q")
+                .agg(F.max(
+                    (F.col("q_nb") > F.col("q"))
+                    | ((F.col("q_nb") == F.col("q"))
+                       & (F.col("nb") < F.col("node")))).alias("dominated"))
+            )
+            (dec.withColumn("epoch", F.lit(key))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("epoch")
+             .parquet(decisions_path))
+            (bq.withColumn("epoch", F.lit(key))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("epoch")
+             .parquet(qualities_path))
+            minhash_index_absorb(sess, index_path, batch, id_col,
+                                 text_col, key)
+        finally:
+            if pairs is not None:
+                pairs.unpersist()
+            batch.unpersist()
+
+    return (
+        stream.writeStream
+        .foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def resolution_survivors(spark: SparkSession,
+                         decisions_path: str) -> DataFrame:
+    """Fold all epochs' decisions into the surviving set: ``(node, q)``
+    rows whose ``dominated`` never went true. Nodes never touched by an
+    edge have no decision row and are absent — exactly the batch
+    keep-best's output domain (nodes of the near-dup graph). Missing
+    directory (no epoch emitted a decision) degrades to zero rows."""
+    if not os.path.isdir(decisions_path):
+        return spark.createDataFrame([], "node bigint, q double")
+    return (
+        spark.read.parquet(decisions_path)
+        .groupBy("node", "q")
+        .agg(F.max("dominated").alias("_d"))
+        .where(~F.col("_d"))
+        .select("node", "q")
     )

@@ -94,3 +94,127 @@ def test_redelivered_epoch_is_a_noop(spark, tmp_path):
                                    "epoch-0") is False
     assert sorted(os.listdir(os.path.join(path, "bands"))) == bands_files
     assert mh.absorbed_batches(path) == {"epoch-0"}
+
+
+def _stamp_ordered(src: str, *subs: str) -> None:
+    """Set strictly increasing mtimes so each dir lands in its own
+    micro-batch regardless of filesystem timestamp granularity."""
+    now = time.time()
+    for i, sub in enumerate(subs):
+        d = f"{src}/{sub}"
+        ts = now - 60.0 * (len(subs) - i)
+        for name in os.listdir(d):
+            os.utime(os.path.join(d, name), (ts, ts))
+
+
+def test_streaming_resolution_equals_batch_keep_best(spark, tmp_path):
+    """The per-epoch dominance decisions, folded (survivor = never
+    dominated), must equal the BATCH keep-best policy computed over the
+    full cross-arrival-group edge set — the same quality DESC / id ASC
+    neighbor-dominance as dedup_resolution_keep_best."""
+    from skywalking_banyandb_spark.functions.text import quality_score
+    from skywalking_banyandb_spark.streaming.incremental_dedup import (
+        resolution_survivors,
+        seed_resolution_qualities,
+        start_incremental_resolution,
+    )
+
+    docs = read_table(spark, f"{SF_SMALL}/documents.parquet") \
+        .where("doc_id % 3 = 0")
+    path = mh.build_minhash_index(spark, SF_SMALL,
+                                  base_pred="doc_id % 9 = 0",
+                                  root=str(tmp_path / "idx"))
+    seed_resolution_qualities(docs.where("doc_id % 9 = 0"), "doc_id",
+                              "text", str(tmp_path / "q"))
+    src = str(tmp_path / "src")
+    docs.where("doc_id % 9 = 3").coalesce(1).write.parquet(f"{src}/b1")
+    docs.where("doc_id % 9 = 6").coalesce(1).write.parquet(f"{src}/b2")
+    _stamp_ordered(src, "b1", "b2")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{src}/b1").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = start_incremental_resolution(
+        spark, stream, path, "doc_id", "text",
+        decisions_path=str(tmp_path / "dec"),
+        qualities_path=str(tmp_path / "q"),
+        checkpoint_path=str(tmp_path / "ckpt"))
+    assert q.awaitTermination(timeout=300)
+
+    got = sorted((r.node, r.q) for r in
+                 resolution_survivors(spark, str(tmp_path / "dec")).collect())
+
+    # batch formulation: dominance over the full cross-group pair set
+    full = dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    ga, gb = _group(F.col("a")), _group(F.col("b"))
+    pairs = full.where(ga != gb)
+    qrel = docs.select(F.col("doc_id").alias("node"),
+                       quality_score(F.col("text")).alias("q"))
+    edges = (pairs.select(F.col("a").alias("node"), F.col("b").alias("nb"))
+             .unionByName(pairs.select(F.col("b").alias("node"),
+                                       F.col("a").alias("nb"))))
+    qn = qrel.select(F.col("node").alias("nb"), F.col("q").alias("q_nb"))
+    dom = (edges.join(qrel, "node").join(qn, "nb")
+           .groupBy("node", "q")
+           .agg(F.max((F.col("q_nb") > F.col("q"))
+                      | ((F.col("q_nb") == F.col("q"))
+                         & (F.col("nb") < F.col("node")))).alias("d")))
+    want = sorted((r.node, r.q)
+                  for r in dom.where(~F.col("d")).collect())
+    assert got == want and len(got) > 0
+    # a dominated doc exists (the policy actually pruned something)
+    assert dom.where(F.col("d")).count() > 0
+    # both epochs recorded decisions
+    dec = spark.read.parquet(str(tmp_path / "dec"))
+    assert dec.select("epoch").distinct().count() == 2
+
+
+def test_streaming_resolution_redelivery_is_stable(spark, tmp_path):
+    """Replaying the resolution body for an absorbed epoch (ledger hit)
+    is a no-op, and a torn-absorb retry (decisions + qualities written,
+    ledger not committed) recomputes identical decisions: the earlier-
+    quality read anti-joins the batch's own ids, so its own torn rows
+    cannot shift the dominance."""
+    from skywalking_banyandb_spark.streaming.incremental_dedup import (
+        seed_resolution_qualities,
+        start_incremental_resolution,
+    )
+
+    docs = read_table(spark, f"{SF_SMALL}/documents.parquet") \
+        .where("doc_id % 3 = 0")
+    path = mh.build_minhash_index(spark, SF_SMALL,
+                                  base_pred="doc_id % 9 = 0",
+                                  root=str(tmp_path / "idx"))
+    seed_resolution_qualities(docs.where("doc_id % 9 = 0"), "doc_id",
+                              "text", str(tmp_path / "q"))
+    src = str(tmp_path / "src")
+    docs.where("doc_id % 9 = 3").coalesce(1).write.parquet(f"{src}/b1")
+    _stamp_ordered(src, "b1")
+
+    def run(ckpt: str):
+        stream = (
+            spark.readStream.schema(spark.read.parquet(f"{src}/b1").schema)
+            .option("maxFilesPerTrigger", "1").parquet(f"{src}/*"))
+        q = start_incremental_resolution(
+            spark, stream, path, "doc_id", "text",
+            decisions_path=str(tmp_path / "dec"),
+            qualities_path=str(tmp_path / "q"),
+            checkpoint_path=ckpt)
+        assert q.awaitTermination(timeout=300)
+
+    run(str(tmp_path / "ckpt1"))
+    first = sorted(map(tuple, spark.read.parquet(str(tmp_path / "dec"))
+                       .select("node", "q", "dominated").collect()))
+    # fresh-lineage re-delivery of the same batch: index already holds
+    # b1 (member-level probe exclusion) and q/ holds its qualities
+    # (anti-joined) — the new lineage's decisions must be identical
+    run(str(tmp_path / "ckpt2"))
+    dec = spark.read.parquet(str(tmp_path / "dec"))
+    assert dec.select("epoch").distinct().count() == 2
+    per_epoch = [
+        sorted(map(tuple, dec.where(F.col("epoch") == e)
+                   .select("node", "q", "dominated").collect()))
+        for e in [r.epoch for r in dec.select("epoch").distinct().collect()]
+    ]
+    assert per_epoch[0] == per_epoch[1] == first
