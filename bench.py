@@ -243,6 +243,14 @@ def main() -> None:
             n: round(v / canary_warm, 2)
             for n, v in (timings | extended).items()
         },
+        # the instrument-per-claim twin (VERDICT r12 Next #5): SCALE.md's
+        # adjudication rule reads scan-bound entries against
+        # queries_over_canary and shuffle/agg-bound entries against this
+        # map — both recorded so neither requires hand division
+        "queries_over_canary_agg": {
+            n: round(v / canary_agg_warm, 2)
+            for n, v in (timings | extended).items()
+        },
     }
     # The driver captures a bounded tail of stdout; r7/r8 proved the full
     # record (extended + canary + recall + build/probe) outgrows that
