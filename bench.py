@@ -220,9 +220,22 @@ def main() -> None:
     # ANN recall@10 vs brute force (VERDICT r7 #6): quality next to the
     # build/probe split, so the recall/latency trade-off is visible per
     # round; tests/test_ann_recall.py asserts the floors.
-    from skywalking_banyandb_spark.sources.ann_recall import ann_recall_at_k
+    from skywalking_banyandb_spark.sources.ann_recall import (
+        ann_incremental_recall_sweep,
+        ann_recall_at_k,
+    )
 
     ann_recall = ann_recall_at_k(spark, sf_dir, k=10, n_queries=8)
+
+    # Append-fraction recall decay + retrain recovery (VERDICT r12 Next
+    # #4): the measurement behind the incremental indexes' documented
+    # rebuild trigger (REBUILD_APPEND_FRACTION). Private scratch — the
+    # sweep's retrain step mutates its indexes, so the shared tree's
+    # frozen artifacts must not be touched.
+    from skywalking_banyandb_spark.registry_coverage import _scratch_dir
+
+    ann_sweep = ann_incremental_recall_sweep(
+        spark, sf_dir, _scratch_dir("ann_recall_sweep"))
 
     total = round(sum(timings.values()), 4)
     ext_total = round(sum(extended.values()), 4)
@@ -275,6 +288,7 @@ def main() -> None:
             "ann_build_probe": ann_split,
             "scratch_build_probe": scratch_split,
             "ann_recall_at_10": ann_recall,
+            "ann_incremental_recall_sweep": ann_sweep,
             "sf": sf,
         }, fh, indent=1)
     print(json.dumps({

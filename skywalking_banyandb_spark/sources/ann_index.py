@@ -479,7 +479,15 @@ def _base_pred_token(base_pred: str) -> str:
 
 
 def ivf_incremental_index_path(sf_dir: str, k_clusters: int,
-                               base_pred: str = "true") -> str:
+                               base_pred: str = "true",
+                               root: str | None = None) -> str:
+    """``root`` overrides the shared ``$SPARK_GRAFT_INDEX_DIR`` tree —
+    callers that MUTATE the index beyond marker-idempotent appends (the
+    recall sweep's retrain step) must build in private scratch."""
+    if root is not None:
+        key = os.path.basename(os.path.normpath(sf_dir))
+        return os.path.join(
+            root, key, f"ivfinc_k{k_clusters}_p{_base_pred_token(base_pred)}")
     return _index_dir(sf_dir, "ivfinc",
                       f"k{k_clusters}_p{_base_pred_token(base_pred)}")
 
@@ -510,13 +518,15 @@ def build_ivf_incremental_base(
     vec_col: str = "embedding",
     k_clusters: int = 8,
     base_pred: str = "true",
+    root: str | None = None,
 ) -> str:
     """T0 build over the ``base_pred`` subset of the corpus: centroids =
     the ``k_clusters`` smallest-``md5(id)`` BASE vectors (deterministic
     sample, engine-portable like :func:`build_ivf_sampled_index`),
     frozen for the life of the index; assignment partitioned by
     ``cluster_id``. Idempotent per (sf, params, base_pred) directory."""
-    final = ivf_incremental_index_path(sf_dir, k_clusters, base_pred)
+    final = ivf_incremental_index_path(sf_dir, k_clusters, base_pred,
+                                       root=root)
     if os.path.isdir(final):
         return final
     df = read_table(spark, f"{sf_dir}/embeddings.parquet") \
@@ -538,6 +548,7 @@ def build_ivf_incremental_base(
         json.dump(centroids, f)
     with open(os.path.join(tmp, "_tombstones.json"), "w") as f:
         json.dump([], f)
+    _write_build_count(spark, tmp)
     _publish(tmp, final)
     return final
 
@@ -614,6 +625,56 @@ def ivf_incremental_compact(spark: SparkSession, path: str) -> None:
     os.replace(tfile + ".tmp", tfile)
 
 
+# Rebuild policy (VERDICT r12 Next #4): frozen centroids/codebooks
+# degrade as appends move the corpus distribution away from the base
+# sample. The r13 append-fraction recall sweep (SCALE.md, recorded in
+# BENCH_DETAIL as ann_incremental_recall_sweep) measures the decay and
+# this threshold encodes where retraining is mandated: once the corpus
+# has grown by 50% over the last (re)build, retrain. Test-pinned in
+# tests/test_ann_incremental.py.
+REBUILD_APPEND_FRACTION = 0.5
+
+
+def _write_build_count(spark: SparkSession, path: str) -> None:
+    """Record the row count at (re)build time — the denominator of the
+    appended-fraction rebuild trigger."""
+    n = spark.read.parquet(path).count()
+    with open(os.path.join(path, "_build_count.json"), "w") as f:
+        json.dump({"rows": int(n)}, f)
+
+
+def incremental_appended_fraction(spark: SparkSession, path: str) -> float:
+    """Corpus growth since the last (re)build: ``rows_now / rows_at_build
+    - 1`` (tombstoned rows still count until compaction — they sat in
+    the build too). Index-agnostic (ivf and ivfpq share the layout).
+    An index built before the sidecar existed backfills the CURRENT
+    count as its baseline — growth is then measured from first
+    observation, the best available anchor for a legacy artifact."""
+    cfile = os.path.join(path, "_build_count.json")
+    if not os.path.exists(cfile):
+        _write_build_count(spark, path)
+        return 0.0
+    with open(cfile) as f:
+        base = json.load(f)["rows"]
+    now = spark.read.parquet(path).count()
+    return max(0.0, now / max(base, 1) - 1.0)
+
+
+def incremental_needs_retrain(spark: SparkSession, path: str,
+                              threshold: float = REBUILD_APPEND_FRACTION,
+                              ) -> bool:
+    """The documented rebuild trigger: retrain once appends have grown
+    the corpus past ``threshold`` of its size at the last (re)build.
+    The sweep behind the default is in SCALE.md r13: recall under frozen
+    structures decays with appended fraction (worst observed family
+    drops below its from-scratch floor between 50% and 100% growth),
+    while a retrain restores the from-scratch level — so the policy
+    retrains at 50%, one step before the measured cliff, keeping probe
+    quality within the pinned floors at O(corpus) cost amortized over
+    ≥50% ingested growth."""
+    return incremental_appended_fraction(spark, path) > threshold
+
+
 def ivf_incremental_retrain(
     spark: SparkSession,
     path: str,
@@ -649,6 +710,7 @@ def ivf_incremental_retrain(
         json.dump(centroids, f)
     with open(os.path.join(tmp, "_tombstones.json"), "w") as f:
         json.dump([], f)
+    _write_build_count(spark, tmp)
     # applied-batch markers survive the swap: a retrain re-homes rows,
     # it does not forget which append batches are already in the index
     for m in os.listdir(path):
@@ -1074,10 +1136,13 @@ def ivfpq_probe_topk(
 # sidecar protocol only touches (id, cluster_id) and is layout-agnostic.
 
 def ivfpq_incremental_index_path(sf_dir: str, k_clusters: int, m_sub: int,
-                                 k_cw: int, base_pred: str = "true") -> str:
-    return _index_dir(
-        sf_dir, "ivfpqinc",
-        f"c{k_clusters}_m{m_sub}_k{k_cw}_p{_base_pred_token(base_pred)}")
+                                 k_cw: int, base_pred: str = "true",
+                                 root: str | None = None) -> str:
+    params = f"c{k_clusters}_m{m_sub}_k{k_cw}_p{_base_pred_token(base_pred)}"
+    if root is not None:
+        key = os.path.basename(os.path.normpath(sf_dir))
+        return os.path.join(root, key, f"ivfpqinc_{params}")
+    return _index_dir(sf_dir, "ivfpqinc", params)
 
 
 def _ivfpq_encode_frozen(df, id_col: str, vec_col: str, centroids,
@@ -1136,6 +1201,7 @@ def build_ivfpq_incremental_base(
     k_cw: int = 32,
     dim: int = 64,
     base_pred: str = "true",
+    root: str | None = None,
 ) -> str:
     """T0 build of the compressed index over the ``base_pred`` subset:
     centroids AND per-subspace codebooks are hash-sampled from the base
@@ -1143,7 +1209,7 @@ def build_ivfpq_incremental_base(
     encoded with :func:`_ivfpq_encode_frozen` and partitioned by
     ``cluster_id``."""
     final = ivfpq_incremental_index_path(sf_dir, k_clusters, m_sub, k_cw,
-                                         base_pred)
+                                         base_pred, root=root)
     if os.path.isdir(final):
         return final
     df = read_table(spark, f"{sf_dir}/embeddings.parquet") \
@@ -1173,6 +1239,7 @@ def build_ivfpq_incremental_base(
         json.dump(codebooks, f)
     with open(os.path.join(tmp, "_tombstones.json"), "w") as f:
         json.dump([], f)
+    _write_build_count(spark, tmp)
     _publish(tmp, final)
     return final
 
@@ -1246,6 +1313,7 @@ def ivfpq_incremental_retrain(
         json.dump(codebooks, f)
     with open(os.path.join(tmp, "_tombstones.json"), "w") as f:
         json.dump([], f)
+    _write_build_count(spark, tmp)
     for m in os.listdir(path):
         if m.startswith("_applied_"):
             shutil.copy(os.path.join(path, m), os.path.join(tmp, m))

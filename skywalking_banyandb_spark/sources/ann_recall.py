@@ -167,3 +167,112 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str, k: int = 10,
             hits[name] += len(got & truth[qid])
             denom[name] += len(truth[qid])
     return {m: round(hits[m] / denom[m], 4) for m in probes}
+
+
+def ann_incremental_recall_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    scratch_root: str,
+    k: int = 10,
+    n_queries: int = 8,
+    steps: Sequence[float] = (0.1, 0.3, 0.5, 1.0),
+) -> Dict:
+    """Recall decay vs APPENDED FRACTION for the frozen-structure
+    incremental indexes (VERDICT r12 Next #4), plus the recovery a
+    retrain buys — the measurement behind the documented rebuild
+    trigger (:data:`ann_index.REBUILD_APPEND_FRACTION`).
+
+    Base = the even half of the corpus; the append pool is the odd half
+    in smallest-``md5(id)`` order (deterministic, engine-portable), fed
+    in cumulative slices of ``steps``×|base|. At each step both
+    incremental probes are scored against brute force over the LIVE
+    rows (base ∪ appended-so-far); after the last step both indexes are
+    retrained in place and scored again — the from-scratch level the
+    policy's retrain restores. Built in ``scratch_root`` (NOT the
+    shared index tree: retrain mutates; a second bench run must start
+    from the frozen base again). The live-id bookkeeping is driver-side
+    lists — fine for the bench corpus; at 100 TB liveness stays a
+    relational semi-join, which is exactly how the probes themselves
+    already treat tombstones."""
+    from ..functions.similarity import brute_force_topk
+    from .ann_index import (
+        build_ivf_incremental_base,
+        build_ivfpq_incremental_base,
+        incremental_appended_fraction,
+        ivf_incremental_append,
+        ivf_incremental_probe_topk,
+        ivf_incremental_retrain,
+        ivfpq_incremental_append,
+        ivfpq_incremental_probe_topk,
+        ivfpq_incremental_retrain,
+    )
+
+    base_pred = "vec_id % 2 = 0"
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    base_n = emb.where(base_pred).count()
+    pool_ids = [int(r.vec_id) for r in
+                emb.where("vec_id % 2 = 1")
+                .select("vec_id")
+                .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+                .collect()]
+    p_ivf = build_ivf_incremental_base(spark, sf_dir, k_clusters=8,
+                                       base_pred=base_pred,
+                                       root=scratch_root)
+    p_ivfpq = build_ivfpq_incremental_base(spark, sf_dir, k_clusters=8,
+                                           m_sub=16, k_cw=32,
+                                           base_pred=base_pred,
+                                           root=scratch_root)
+    panel = query_panel(spark, sf_dir, n_queries)
+
+    def score(live_ids: list) -> Dict[str, float]:
+        live = emb.where(F.expr(base_pred)
+                         | F.col("vec_id").isin(live_ids or [-1]))
+        out: Dict[str, float] = {}
+        for name, probe in (
+            ("ivf_incremental", lambda q, x: ivf_incremental_probe_topk(
+                spark, p_ivf, q, k, nprobe=4, exclude_id=x)),
+            ("ivfpq_incremental", lambda q, x: ivfpq_incremental_probe_topk(
+                spark, p_ivfpq, q, k, nprobe=4, m_sub=16, exclude_id=x)),
+        ):
+            hit = den = 0
+            for qid, qv in panel:
+                truth = {int(r.vec_id) for r in brute_force_topk(
+                    live.where(F.col("vec_id") != qid),
+                    "vec_id", "embedding", qv, k).collect()}
+                got = {int(r.vec_id) for r in probe(qv, qid).collect()}
+                hit += len(got & truth)
+                den += len(truth)
+            out[name] = round(hit / den, 4)
+        return out
+
+    result: Dict = {"base_pred": base_pred, "k": k, "base_rows": base_n,
+                    "steps": []}
+    applied = 0
+    for frac in steps:
+        target = min(int(frac * base_n), len(pool_ids))
+        new_ids = pool_ids[applied:target]
+        applied = target
+        if new_ids:
+            batch = emb.where(F.col("vec_id").isin(new_ids))
+            marker = f"sweep_{int(frac * 100)}"
+            ivf_incremental_append(spark, p_ivf, batch, marker=marker)
+            ivfpq_incremental_append(spark, p_ivfpq, batch, m_sub=16,
+                                     marker=marker)
+        result["steps"].append({
+            "appended_fraction": round(applied / base_n, 4),
+            "appended_fraction_measured": round(
+                incremental_appended_fraction(spark, p_ivf), 4),
+            **score(pool_ids[:applied]),
+        })
+    ivf_incremental_retrain(spark, p_ivf, k_clusters=8)
+    ivfpq_incremental_retrain(spark, p_ivfpq, k_clusters=8, m_sub=16,
+                              k_cw=32)
+    result["after_retrain"] = {
+        "appended_fraction": round(applied / base_n, 4),
+        "appended_fraction_measured": round(
+            incremental_appended_fraction(spark, p_ivf), 4),
+        **score(pool_ids[:applied]),
+    }
+    from .ann_index import REBUILD_APPEND_FRACTION
+    result["policy"] = {"rebuild_append_fraction": REBUILD_APPEND_FRACTION}
+    return result

@@ -368,3 +368,54 @@ def test_ivfpq_topk_sql_base_pred_requires_placeholder():
     sql = sim.ivfpq_topk_sql("embeddings", "vec_id", "embedding", 0, 10,
                              base_pred="{id} % 10 != 0")
     assert "eid % 10 != 0" in sql and "en.eid % 10 != 0" in sql
+
+
+def test_rebuild_trigger_fires_at_append_fraction(spark, tmp_path,
+                                                  monkeypatch):
+    """The documented maintenance policy (VERDICT r12 Next #4): an
+    incremental index must mandate a retrain once appends grow the
+    corpus past REBUILD_APPEND_FRACTION of its size at the last
+    (re)build; a retrain resets the baseline and the trigger."""
+    from skywalking_banyandb_spark.sources.ann_index import (
+        REBUILD_APPEND_FRACTION,
+        incremental_appended_fraction,
+        incremental_needs_retrain,
+        ivf_incremental_retrain,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    p = build_ivf_incremental_base(spark, SF_SMALL, k_clusters=8,
+                                   base_pred="vec_id % 2 = 0")
+    assert incremental_appended_fraction(spark, p) == 0.0
+    assert not incremental_needs_retrain(spark, p)
+    # append ~60% of the base size: past the 0.5 threshold
+    base_n = _emb(spark).where("vec_id % 2 = 0").count()
+    batch = (_emb(spark).where("vec_id % 2 = 1")
+             .orderBy("vec_id").limit(int(0.6 * base_n)))
+    ivf_incremental_append(spark, p, batch, marker="b60")
+    frac = incremental_appended_fraction(spark, p)
+    assert frac > REBUILD_APPEND_FRACTION
+    assert incremental_needs_retrain(spark, p)
+    # retrain re-baselines: the trigger resets
+    ivf_incremental_retrain(spark, p, k_clusters=8)
+    assert incremental_appended_fraction(spark, p) == 0.0
+    assert not incremental_needs_retrain(spark, p)
+
+
+def test_build_count_backfills_for_legacy_indexes(spark, tmp_path,
+                                                  monkeypatch):
+    """Indexes persisted before the _build_count sidecar existed must
+    not crash the trigger: the first observation backfills the current
+    count as the baseline (growth measured from then on)."""
+    from skywalking_banyandb_spark.sources.ann_index import (
+        incremental_appended_fraction,
+        incremental_needs_retrain,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    p = build_ivf_incremental_base(spark, SF_SMALL, k_clusters=8,
+                                   base_pred="vec_id % 2 = 0")
+    os.remove(os.path.join(p, "_build_count.json"))
+    assert incremental_appended_fraction(spark, p) == 0.0
+    assert os.path.exists(os.path.join(p, "_build_count.json"))
+    assert not incremental_needs_retrain(spark, p)
