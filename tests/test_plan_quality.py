@@ -404,3 +404,35 @@ def test_minhash_probe_no_nested_loop_and_pruned_index_scans(spark, monkeypatch,
     assert band_scans and all("sh:" not in s and "members" not in s
                               for s in band_scans), schemas
     dd.release_minhash_cache()
+
+
+def test_compacted_probe_plan_keeps_gates(spark, monkeypatch, tmp_path):
+    """Compaction must not change the probe's plan class: still
+    equi-join end-to-end (no nested loop), index scans still
+    column-pruned, and the member-level batch exclusion (r13) must be a
+    hash anti-join, not a filter over a collected id list."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    from skywalking_banyandb_spark.functions import dedup as dd
+    from skywalking_banyandb_spark.sources import minhash_index as mh
+    from skywalking_banyandb_spark.sources.parquet import read_table
+
+    dd.release_minhash_cache()
+    path = mh.build_minhash_index(spark, SF_SMALL,
+                                  base_pred="doc_id % 3 = 0")
+    docs = read_table(spark, f"{SF_SMALL}/documents.parquet")
+    mh.minhash_index_absorb(spark, path, docs.where("doc_id % 3 = 1"),
+                            "doc_id", "text", "e0")
+    mh.minhash_index_compact(spark, path)
+    pairs = mh.minhash_probe_pairs(spark, path,
+                                   docs.where("doc_id % 3 = 2"),
+                                   "doc_id", "text")
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftAnti" in plan, plan   # the member-level exclusion
+    import re
+    schemas = {m for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan)}
+    band_scans = [s for s in schemas if "bh" in s]
+    assert band_scans and all("sh:" not in s and "members" not in s
+                              for s in band_scans), schemas
+    dd.release_minhash_cache()
