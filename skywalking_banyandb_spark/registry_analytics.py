@@ -20,13 +20,11 @@ from pyspark.sql import functions as F
 
 from .registry import SUM6, register
 from .sources.parquet import read_table
+from .tpch_common import DEC, _tpch_views  # noqa: F401  (re-exported)
 
 
 def _t(sf: str, name: str):
     return lambda spark: read_table(spark, f"{sf}/{name}.parquet")
-
-
-DEC = "decimal(24,6)"
 
 
 def _tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
@@ -722,11 +720,6 @@ register(
 # correlated AVG is an exact double in any summation order; everything
 # else is integer counting and date comparison.
 # ---------------------------------------------------------------------------
-
-def _tpch_views(spark: SparkSession, sf: str, *names: str) -> None:
-    for n in names:
-        read_table(spark, f"{sf}/{n}.parquet").createOrReplaceTempView(n)
-
 
 _Q17_SQL = """
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE) / 7.0

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import SUM6, register
-from .registry_analytics import DEC, _tpch_views
+from .tpch_common import DEC, _tpch_views
 from .sources.parquet import read_table
 
 
