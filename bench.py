@@ -103,6 +103,15 @@ EXTENDED = [
     # arrival-loop shape. Its steady-state prices the probe; the one-time
     # index build disk-caches into the cold pass like the ann_* entries.
     "dedup_minhash_incremental",
+    # round-13 addition (VERDICT r12 Next #2): the compaction lifecycle —
+    # build → absorb twice (re-delivery) → compact → probe. The entry's
+    # index lives in wiped per-run scratch, so unlike the ann_* entries
+    # its COLD wall reprices build+absorb+compact every pass and the
+    # steady-state prices the same lifecycle on a warm JVM (the compact
+    # swap makes the directory non-reusable by design); read it against
+    # dedup_minhash_incremental's probe-only steady state for the
+    # compaction overhead itself.
+    "dedup_minhash_compacted",
 ]
 
 
