@@ -338,6 +338,15 @@ def minhash_index_compact(spark: SparkSession, path: str) -> dict:
                          for f in files)
         return total
 
+    # output file count sized to the data, the standard compaction
+    # posture (~128 MB targets at scale, ONE file per relation for a
+    # small index): without this, a 32-way shuffle fans each tiny
+    # relation into dozens of footer-dominated part files and the
+    # "compacted" index can be BIGGER than the appended one it replaced
+    # (seen at sf0.1: classes 1666 -> 1111 rows but bytes +16%)
+    def _n_files(subdir_bytes: int) -> int:
+        return max(1, -(-subdir_bytes // (128 << 20)))
+
     with _absorb_lock(path):
         bytes_before = _du(path)
         cls_df = spark.read.parquet(os.path.join(path, "classes"))
@@ -354,15 +363,23 @@ def minhash_index_compact(spark: SparkSession, path: str) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
         try:
             merged.select("cls", "rep", "members", "n_sh") \
+                .repartition(_n_files(_du(os.path.join(path, "classes")))) \
                 .write.parquet(os.path.join(tmp, "classes"))
+            # (band, bh)-clustered repartition: rows of one band land in
+            # few tasks (~1 file per 128 MB per band directory, not one
+            # per shuffle partition), while the bh component lets the
+            # task count exceed the band count at scale
             (spark.read.parquet(os.path.join(path, "bands"))
              .join(keep, "id", "left_semi")
              .dropDuplicates(["id", "band", "bh"])
+             .repartition(_n_files(_du(os.path.join(path, "bands"))),
+                          F.col("band"), F.col("bh"))
              .write.partitionBy("band")
              .parquet(os.path.join(tmp, "bands")))
             (spark.read.parquet(os.path.join(path, "shingles"))
              .join(keep, "id", "left_semi")
              .dropDuplicates(["id", "sh"])
+             .repartition(_n_files(_du(os.path.join(path, "shingles"))))
              .write.parquet(os.path.join(tmp, "shingles")))
             classes_after = merged.count()
         finally:
