@@ -361,6 +361,7 @@ def minhash_index_compact(spark: SparkSession, path: str) -> dict:
         keep = merged.select(F.col("rep").alias("id"))
         tmp = f"{path}.compact.tmp.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
+        ok = False
         try:
             merged.select("cls", "rep", "members", "n_sh") \
                 .repartition(_n_files(_du(os.path.join(path, "classes")))) \
@@ -382,12 +383,17 @@ def minhash_index_compact(spark: SparkSession, path: str) -> dict:
              .repartition(_n_files(_du(os.path.join(path, "shingles"))))
              .write.parquet(os.path.join(tmp, "shingles")))
             classes_after = merged.count()
+            for meta in ("_meta.json", "_batches.json"):
+                src = os.path.join(path, meta)
+                if os.path.exists(src):
+                    shutil.copy(src, os.path.join(tmp, meta))
+            ok = True
         finally:
             merged.unpersist()
-        for meta in ("_meta.json", "_batches.json"):
-            src = os.path.join(path, meta)
-            if os.path.exists(src):
-                shutil.copy(src, os.path.join(tmp, meta))
+            if not ok:
+                # a failed build must not leave a half-written tmp
+                # beside the (untouched, still-live) index
+                shutil.rmtree(tmp, ignore_errors=True)
         old = f"{path}.compact.old.{os.getpid()}"
         os.rename(path, old)
         os.rename(tmp, path)
