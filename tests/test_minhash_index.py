@@ -354,3 +354,19 @@ def test_compaction_equals_oneshot_rebuild(spark, docs):
                                      base_pred="doc_id % 3 <> 2")
     b2 = docs.where("doc_id % 3 = 2")
     assert _probe(spark, path, b2) == _probe(spark, oneshot, b2)
+
+
+def test_compaction_trigger_fires_on_duplicate_fraction(spark, docs):
+    """The compaction policy (COMPACT_DUPLICATE_FRACTION): a fresh
+    index never needs compaction; a re-delivered absorb pushes the
+    duplicate-class fraction to ~50% and fires the trigger; compaction
+    resets it."""
+    path = mh.build_minhash_index(spark, SF_SMALL,
+                                  base_pred="doc_id % 3 = 0")
+    assert not mh.minhash_index_needs_compaction(spark, path)
+    b1 = docs.where("doc_id % 3 = 1")
+    mh.minhash_index_absorb(spark, path, b1, "doc_id", "text", "lineageA-0")
+    mh.minhash_index_absorb(spark, path, b1, "doc_id", "text", "lineageB-0")
+    assert mh.minhash_index_needs_compaction(spark, path)
+    mh.minhash_index_compact(spark, path)
+    assert not mh.minhash_index_needs_compaction(spark, path)
