@@ -50,6 +50,8 @@ from pyspark.sql.streaming import StreamingQuery
 from ..sources.minhash_index import (
     absorbed_batches,
     minhash_index_absorb,
+    minhash_index_compact,
+    minhash_index_needs_compaction,
     minhash_probe_pairs,
 )
 
@@ -91,6 +93,7 @@ def start_incremental_dedup(
     output_path: str,
     checkpoint_path: str,
     threshold: float = 0.5,
+    auto_compact: bool = False,
 ) -> StreamingQuery:
     """Start the probe→emit→absorb loop over ``stream`` (a streaming
     DataFrame of documents). Pairs land under ``output_path`` as
@@ -128,6 +131,7 @@ def start_incremental_dedup(
              .parquet(output_path))
             minhash_index_absorb(sess, index_path, batch, id_col,
                                  text_col, key)
+            _maybe_compact(sess, index_path, auto_compact)
         finally:
             batch.unpersist()
 
@@ -138,6 +142,19 @@ def start_incremental_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _maybe_compact(sess: SparkSession, index_path: str,
+                   enabled: bool) -> None:
+    """Opt-in post-absorb maintenance: the streaming loop is the
+    index's long-lived single writer, so it is where the compaction
+    policy naturally runs. Fires only past the duplicate-fraction
+    threshold (one column-pruned aggregate per epoch when enabled);
+    compaction is probe-pair-exact and ledger-preserving, so stream ≡
+    batch and replay idempotency are unaffected — pinned by the
+    auto-compact stream test running against the same batch oracle."""
+    if enabled and minhash_index_needs_compaction(sess, index_path):
+        minhash_index_compact(sess, index_path)
 
 
 def seed_resolution_qualities(
@@ -175,6 +192,7 @@ def start_incremental_resolution(
     checkpoint_path: str,
     threshold: float = 0.5,
     quality=None,
+    auto_compact: bool = False,
 ) -> StreamingQuery:
     """Streaming keep-best RESOLUTION riding the incremental dedup loop
     (VERDICT r12 Next #6): each micro-batch probes the index for its
@@ -258,6 +276,7 @@ def start_incremental_resolution(
              .parquet(qualities_path))
             minhash_index_absorb(sess, index_path, batch, id_col,
                                  text_col, key)
+            _maybe_compact(sess, index_path, auto_compact)
         finally:
             if pairs is not None:
                 pairs.unpersist()

@@ -218,3 +218,46 @@ def test_streaming_resolution_redelivery_is_stable(spark, tmp_path):
         for e in [r.epoch for r in dec.select("epoch").distinct().collect()]
     ]
     assert per_epoch[0] == per_epoch[1] == first
+
+
+def test_auto_compact_mid_stream_preserves_output(spark, tmp_path):
+    """auto_compact=True: a fresh-lineage re-delivery of the same
+    single-batch source (the duplicate-generating workload — every
+    absorbed class duplicated once) pushes the duplicate-class fraction
+    past the threshold, the loop compacts, and the re-delivered run's
+    pairs still pair-exactly equal the first run's (valid for a single
+    batch: its own ids are member-excluded, so both lineages probe the
+    same effective corpus — with MULTIPLE batches a re-delivered
+    lineage legitimately sees the first lineage's later batches and
+    emits more pairs, which is corpus growth, not a compaction effect).
+    The trigger must have actually fired (the index ends compacted) and
+    the ledger must survive the swap (both lineages' keys)."""
+    docs = read_table(spark, f"{SF_SMALL}/documents.parquet") \
+        .where("doc_id % 3 = 0")
+    path = mh.build_minhash_index(spark, SF_SMALL,
+                                  base_pred="doc_id % 9 = 0",
+                                  root=str(tmp_path / "idx"))
+    src = str(tmp_path / "src")
+    docs.where("doc_id % 9 = 3").coalesce(1).write.parquet(f"{src}/b1")
+    _stamp_ordered(src, "b1")
+
+    def run(ckpt: str, out: str):
+        stream = (
+            spark.readStream.schema(spark.read.parquet(f"{src}/b1").schema)
+            .option("maxFilesPerTrigger", "1").parquet(f"{src}/*"))
+        q = start_incremental_dedup(
+            spark, stream, path, "doc_id", "text",
+            output_path=out, checkpoint_path=ckpt, auto_compact=True)
+        assert q.awaitTermination(timeout=300)
+        return sorted(
+            (r.a, r.b, r.jaccard)
+            for r in spark.read.parquet(out).collect())
+
+    first = run(str(tmp_path / "ckpt1"), str(tmp_path / "out1"))
+    # fresh lineage over the same file: the absorb duplicates every b1
+    # class, the duplicate fraction crosses the threshold mid-stream,
+    # the loop compacts; the pairs must not move
+    second = run(str(tmp_path / "ckpt2"), str(tmp_path / "out2"))
+    assert second == first and len(first) > 0
+    assert not mh.minhash_index_needs_compaction(spark, path)
+    assert len(mh.absorbed_batches(path)) == 2   # one epoch per lineage
