@@ -424,34 +424,52 @@ def _minhash_sig(df: DataFrame, id_col: str, text_col: str, n: int,
 # additionally keyed by SparkSession (ADVICE r11: sessions have disjoint
 # CacheManagers; never compare or evict across them), and the list is
 # lock-guarded for concurrent callers.
-# Window size = the live WORKING SET, not a token pair: the bench's two
-# steady-state passes interleave THREE distinct configurations (3-gram
-# K=8, unigram K=8, unigram K=32) plus the incremental probe's candidate
-# table — with a 2-slot window every pass evicted the config it was
-# about to need again (measured r12: 3-gram steady-state 5.0 s vs 2.1 s
-# with the set resident). Each entry is bands×reps rows of three narrow
-# columns — a few MB per 100k docs — so four slots cost little even at
-# corpus scale, where the table is MEMORY_AND_DISK and proportional to
-# the one shuffle it replaces.
-_BANDED_KEEP = 4
+# Window size = the live WORKING SET, not a token pair (VERDICT r13 #1
+# re-hit the r11 thrash by GROWING the set past the window without
+# resizing it). The bench's extended cycle interleaves FOUR stable
+# banded plans — 3-gram K=8, unigram K=8 (shared by the lsh and agg
+# entries), unigram K=32, and the incremental probe's candidate table —
+# so the window holds those four plus headroom for a caller's own
+# config. Plans keyed by PER-RUN SCRATCH paths (the compacted entry's
+# probe, the streaming loops' per-epoch probes) mint a fresh semantic
+# hash every pass and would churn one eviction per cycle at ANY fixed
+# size — they go to the separate _scratch_live window via
+# ``_retain_banded(df, scratch=True)`` and never touch this one.
+# Each entry is bands×reps rows of three narrow columns — a few MB per
+# 100k docs — so six slots cost little even at corpus scale, where the
+# table is MEMORY_AND_DISK and proportional to the one shuffle it
+# replaces.
+_BANDED_KEEP = 6
+# scratch plans are single-use by construction (their path or batch side
+# changes every call); two slots cover a probe whose result is still
+# unmaterialized when the next scratch probe is issued
+_SCRATCH_KEEP = 2
 _banded_lock = threading.Lock()
 _banded_live: list = []  # [(session, semanticHash, df)], MRU last
+_scratch_live: list = []  # single-use probe candidates, MRU last
 
 
-def _retain_banded(banded) -> None:
+def _retain_in(window: list, keep: int, banded) -> None:
     sess, h = banded.sparkSession, banded.semanticHash()
     with _banded_lock:
-        for i, (s, eh, edf) in enumerate(_banded_live):
+        for i, (s, eh, edf) in enumerate(window):
             if s is sess and eh == h and edf.sameSemantics(banded):
                 # same canonicalized plan: the twin's persist() was a
                 # no-op against this live entry — refresh its LRU slot
                 # instead of appending a handle whose eviction would
                 # drop the shared cache entry
-                _banded_live.append(_banded_live.pop(i))
+                window.append(window.pop(i))
                 return
-        _banded_live.append((sess, h, banded))
-        while len(_banded_live) > _BANDED_KEEP:
-            _banded_live.pop(0)[2].unpersist()
+        window.append((sess, h, banded))
+        while len(window) > keep:
+            window.pop(0)[2].unpersist()
+
+
+def _retain_banded(banded, scratch: bool = False) -> None:
+    if scratch:
+        _retain_in(_scratch_live, _SCRATCH_KEEP, banded)
+    else:
+        _retain_in(_banded_live, _BANDED_KEEP, banded)
 
 
 def release_minhash_cache() -> None:
@@ -460,6 +478,8 @@ def release_minhash_cache() -> None:
     with _banded_lock:
         while _banded_live:
             _banded_live.pop()[2].unpersist()
+        while _scratch_live:
+            _scratch_live.pop()[2].unpersist()
 
 
 def minhash_lsh_pairs(

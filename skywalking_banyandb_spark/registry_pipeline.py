@@ -5,6 +5,7 @@ search (brute-force + LSH), text analysis, multimodal plumbing.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -462,11 +463,25 @@ def _dedup_minhash_compacted(spark: SparkSession, sf: str) -> DataFrame:
     mh.minhash_index_absorb(spark, path, b1, "doc_id", "text", "lineageA-0")
     mh.minhash_index_absorb(spark, path, b1, "doc_id", "text", "lineageB-0")
     stats = mh.minhash_index_compact(spark, path)
-    if stats["bytes_after"] >= stats["bytes_before"]:
+    # gate on the ROW-level invariant (deterministic: the double-absorb
+    # guarantees duplicate classes exist, compaction must merge them);
+    # bytes are encoding/compression/filesystem-dependent and a byte
+    # gate can flake without any wrong result (ADVICE r13 #3) — the
+    # byte delta is informational only
+    if stats["classes_after"] >= stats["classes_before"]:
         raise RuntimeError(
-            f"compaction did not shrink the re-delivered index: {stats}")
+            f"compaction did not merge the re-delivered classes: {stats}")
+    logging.getLogger(__name__).info(
+        "minhash compaction bytes %d -> %d (classes %d -> %d)",
+        stats["bytes_before"], stats["bytes_after"],
+        stats["classes_before"], stats["classes_after"])
+    # retain=False: the index path is wiped per-run scratch, so the
+    # probe's candidate plan mints a fresh cache key every pass —
+    # parking it in the shared LRU window would evict a stable banded
+    # config per bench cycle (VERDICT r13 #1)
     pairs = mh.minhash_probe_pairs(spark, path, docs.where("doc_id % 9 = 6"),
-                                   "doc_id", "text", threshold=0.5)
+                                   "doc_id", "text", threshold=0.5,
+                                   retain=False)
     return _jbucket_agg(pairs, "sum_base", "sum_new", "sum_xx")
 
 

@@ -351,13 +351,21 @@ def minhash_index_compact(spark: SparkSession, path: str) -> dict:
       rows dropped; band partitioning preserved.
 
     Runs under the absorb lock (compaction is a writer); publishes by
-    atomic directory swap (build tmp → rename live aside → rename tmp
-    in → drop old), preserving ``_meta.json`` and the absorb ledger, so
-    a reader mid-compaction sees the old or the new index, never a mix.
-    A concurrent absorber can hit the instant between the two renames
-    and fail loudly on the missing lock path — single-writer contract,
-    same as two absorbers. Returns ``{"classes_before", "classes_after",
-    "bytes_before", "bytes_after"}``.
+    directory swap (build tmp → rename live aside → rename tmp in →
+    drop old), preserving ``_meta.json`` and the absorb ledger. The
+    swap is atomic only for the DIRECTORY ENTRY, not for in-flight
+    readers: the publish is two renames plus an rmtree, so a reader
+    that opens the path between the renames gets ENOENT, and a Spark
+    scan already PLANNED against the old file list fails once the old
+    directory is dropped (ADVICE r13 #2). The contract is therefore
+    single-writer AND quiesced readers — compact in the same
+    maintenance window that owns absorbs (the streaming loop's
+    ``foreachBatch`` satisfies this by construction: auto-compact runs
+    between epochs, when no probe plan is live). A concurrent absorber
+    hitting the instant between the renames fails loudly on the missing
+    lock path — same single-writer contract as two absorbers. Returns
+    ``{"classes_before", "classes_after", "bytes_before",
+    "bytes_after"}``.
     """
 
     def _du(d: str) -> int:
@@ -442,6 +450,7 @@ def minhash_probe_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
+    retain: bool = True,
 ) -> DataFrame:
     """Near-dup pairs between the index corpus and ``batch``: rows
     ``(a, b, jaccard)`` with ``a`` an INDEX doc id, ``b`` a BATCH doc id,
@@ -455,7 +464,13 @@ def minhash_probe_pairs(
     candidate relation persists through the shared plan-keyed window
     (``functions/dedup._retain_banded``): verification references it
     from two branches, and without the persist each branch would re-run
-    the bands-side join.
+    the bands-side join. Pass ``retain=False`` when the index lives in
+    per-run scratch or the probe is single-use (the streaming loops'
+    per-epoch probes): such plans mint a fresh cache key every call,
+    and parking them in the shared LRU window would evict a stable
+    config per pass (VERDICT r13 #1) — the candidate table still
+    persists for this call's branch sharing, but in a short scratch
+    window whose eviction costs nothing.
 
     The probe sees the index AS IF the batch were not in it: the result
     is exactly ``(index members ∖ batch-ids) × batch`` — the batch's own
@@ -479,14 +494,22 @@ def minhash_probe_pairs(
                          k, bands)
     bids = batch.select(F.col(id_col).alias("id")).distinct()
     iband = spark.read.parquet(os.path.join(path, "bands"))
+    # NO rep-level self-pair filter here (ADVICE r13 #1): ids are unique
+    # across corpora by the id contract, so x.id == y.id can only mean a
+    # re-delivered batch colliding with its own absorbed copy — and that
+    # SELF-candidate must survive, because after compaction the merged
+    # class it represents may carry OTHER corpora's members (rep = min
+    # member id can be the batch id). Filtering it at rep level dropped
+    # those cross-corpus members entirely; the member-level left_anti on
+    # bids below is the one correct exclusion point (self pairs verify
+    # at jaccard 1.0 and expand to nothing when the class is batch-only).
     cand = (
         iband.alias("x").join(bband.alias("y"), on=["band", "bh"])
-        .where(F.col("x.id") != F.col("y.id"))
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
         .persist()
     )
-    _retain_banded(cand)
+    _retain_banded(cand, scratch=not retain)
     # restrict EACH side to ITS candidate ids BEFORE the union —
     # _verify_pairs_exact's internal semi-join sits above the union and
     # Catalyst does not push joins through a union, so without this the
@@ -522,8 +545,11 @@ def minhash_probe_pairs(
     zb = (reps.where(_n_shingles(F.col(text_col), n) == 0)
           .select(F.coalesce(F.md5(F.col(text_col)), F.lit("")).alias("cls"),
                   F.col(id_col).alias("b")))
+    # same no-self-filter rule as the banded candidates above: a merged
+    # zero-shingle class whose rep is the re-delivered batch id must
+    # still expand its other-corpus members, so the (a == b) twin pair
+    # is kept and resolved at member level
     zero_pairs = (zi.join(zb, "cls")
-                  .where(F.col("a") != F.col("b"))
                   .select("a", "b", F.lit(1.0).alias("jaccard")))
     rep_pairs = verified.unionByName(zero_pairs)
     ma = icls.select(F.col("rep").alias("a"), F.col("members").alias("_ma"))

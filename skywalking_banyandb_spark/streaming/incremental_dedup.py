@@ -118,8 +118,11 @@ def start_incremental_dedup(
         # scanned once per epoch, not once per job
         batch = batch.persist()
         try:
+            # retain=False: each epoch's probe pairs a different batch
+            # side (and often a scratch index path), so its candidate
+            # plan is single-use — keep it out of the shared LRU window
             pairs = minhash_probe_pairs(sess, index_path, batch, id_col,
-                                        text_col, threshold)
+                                        text_col, threshold, retain=False)
             # the partition key is the RUN-SCOPED epoch: a fresh-
             # checkpoint rerun (epoch ids reset to 0) writes its own
             # partitions instead of overwriting partition epoch=0 while
@@ -239,7 +242,8 @@ def start_incremental_resolution(
         pairs = None
         try:
             pairs = minhash_probe_pairs(sess, index_path, batch, id_col,
-                                        text_col, threshold).persist()
+                                        text_col, threshold,
+                                        retain=False).persist()
             bq = batch.select(F.col(id_col).alias("node"),
                               quality(F.col(text_col)).alias("q"))
             bids = batch.select(F.col(id_col).alias("node")).distinct()

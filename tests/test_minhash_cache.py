@@ -91,3 +91,56 @@ def test_eviction_still_bounds_window_and_recomputes_correctly(docs):
     assert len(dd._banded_live) == dd._BANDED_KEEP
     assert not _cached(a)          # evicted: plan no longer substituted
     assert a.count() == n_a        # lineage recompute, same answer
+
+
+def test_bench_extended_cycle_keeps_every_stable_config_resident(
+        spark, docs, monkeypatch, tmp_path):
+    """The r13 thrash repro (VERDICT r13 #1): the bench's extended list
+    cycles FOUR stable banded plans — 3-gram K=8, unigram K=8 (shared
+    by the lsh and agg entries), unigram K=32, and the incremental
+    probe's candidate table — plus the compacted entry's per-run-
+    SCRATCH probe, which mints a fresh plan key every pass. With
+    _BANDED_KEEP=4 and the scratch probe retained in the shared window,
+    every pass evicted a config it was about to need again. Replay
+    three passes of the real cycle: every stable config's third pass
+    must execute against an InMemoryRelation, and the scratch probes
+    (retain=False) must never enter — let alone churn — the shared
+    window."""
+    from skywalking_banyandb_spark.sources import minhash_index as mh
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "shared"))
+    stable = mh.build_minhash_index(spark, SF_SMALL,
+                                    base_pred="doc_id % 2 = 0")
+    batch = docs.where("doc_id % 2 = 1")
+
+    def one_pass(scratch_root):
+        outs = [
+            dd.minhash_lsh_pairs(docs, "doc_id", "text", n=3,
+                                 threshold=0.4),           # 3gram
+            dd.minhash_lsh_pairs(docs, "doc_id", "text", n=1,
+                                 threshold=0.5),           # lsh + agg
+            dd.minhash_lsh_pairs(docs, "doc_id", "text", n=1,
+                                 threshold=0.5, k=32, bands=16),  # k32
+            mh.minhash_probe_pairs(spark, stable, batch,
+                                   "doc_id", "text"),      # incremental
+        ]
+        scratch = mh.build_minhash_index(
+            spark, SF_SMALL, base_pred="doc_id % 2 = 0",
+            root=str(scratch_root))                        # compacted:
+        outs.append(mh.minhash_probe_pairs(                # wiped scratch
+            spark, scratch, batch, "doc_id", "text", retain=False))
+        for o in outs:
+            o.count()
+        return outs
+
+    one_pass(tmp_path / "s1")
+    one_pass(tmp_path / "s2")
+    third = one_pass(tmp_path / "s3")
+    names = ("3gram", "unigram-k8", "unigram-k32", "incremental-probe")
+    for name, o in zip(names, third[:4]):
+        assert _cached(o), (
+            f"stable config {name}'s third pass must execute against "
+            "the live InMemoryRelation — the cycle evicted it")
+    assert len(dd._banded_live) <= dd._BANDED_KEEP
+    # the three scratch probes never entered the shared window
+    assert len(dd._scratch_live) <= dd._SCRATCH_KEEP

@@ -370,3 +370,41 @@ def test_compaction_trigger_fires_on_duplicate_fraction(spark, docs):
     assert mh.minhash_index_needs_compaction(spark, path)
     mh.minhash_index_compact(spark, path)
     assert not mh.minhash_index_needs_compaction(spark, path)
+
+
+def test_rep_as_batch_id_after_compaction_keeps_cross_members(
+        spark, tmp_path):
+    """ADVICE r13 #1 repro: when a compacted class's rep (min member id)
+    is a RE-DELIVERED batch id — batch twin's doc id SMALLER than its
+    base twin's — the probe's candidate self-pair (rep, rep) must
+    survive to member expansion. The old rep-level ``x.id != y.id``
+    filter dropped it, so the merged class's cross-corpus members were
+    never expanded (pre-absorb probe [(3,1,1.0)], post-compact probe
+    []). Covers both the banded path (real text) and the zero-shingle
+    cls-equality path (empty text)."""
+    rows = [
+        (3, "the quick brown fox jumps over the lazy dog"),  # base twin
+        (6, "spark compiles declarative plans with catalyst"),
+        (9, ""),                             # base zero-shingle twin
+        (1, "the quick brown fox jumps over the lazy dog"),  # batch twin,
+        # SMALLER id than its base twin -> merged rep = batch id
+        (4, ""),                             # batch zero-shingle twin
+        (7, "an entirely unrelated body of text goes here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    path = mh.build_minhash_index(spark, str(tmp_path),
+                                  base_pred="doc_id % 3 = 0")
+    b1 = docs.where("doc_id % 3 = 1")
+    pre = _probe(spark, path, b1)
+    assert (3, 1, 1.0) in pre          # banded twin pair
+    assert (9, 4, 1.0) in pre          # zero-shingle twin pair
+    mh.minhash_index_absorb(spark, path, b1, "doc_id", "text", "e0")
+    mh.minhash_index_compact(spark, path)
+    reps = {r.rep for r in
+            spark.read.parquet(f"{path}/classes").select("rep").collect()}
+    # the merged twin classes' reps ARE the batch ids (min member)
+    assert {1, 4} <= reps
+    # replay-idempotency contract: re-probing the absorbed batch sees
+    # the index as if the batch were not in it — the pre-absorb pairs
+    assert _probe(spark, path, b1) == pre
