@@ -702,11 +702,86 @@ _R13_TOUCHED = (
     "dedup_minhash_incremental", "streaming_incremental_dedup_materialized",
 )
 
+# Entries the round-13 driver sweep recorded (CORRECTNESS_r13.json):
+# 50/50 green, zero errors — the fifth consecutive all-green window.
+# The window equals the first 50 of the r13 front exactly, with the
+# mandated r12-spill prefix (request_yaml_topn, bydbql_show_top) at
+# positions 0-1 (judge re-derived it mechanically).
+_R13_DRIVER_SEEN = frozenset({
+    "bpe_pair_counts", "bydbql_measure_group_agg",
+    "bydbql_measure_scan_where", "bydbql_property_match",
+    "bydbql_select_top", "bydbql_show_top", "bydbql_stream_having",
+    "bydbql_stream_orderby_tag", "bydbql_stream_select_top",
+    "bydbql_trace_orderby_duration", "dedup_minhash_compacted",
+    "dedup_minhash_incremental", "documents_chunking",
+    "embedding_kmeans_clusters", "events_alert_intervals",
+    "events_sessionization", "measure_agg_all", "measure_bottom_asc",
+    "measure_count_distinct", "measure_counter_increase_promql",
+    "measure_created_at_clamp", "measure_downsample_5m",
+    "measure_filter_not_null", "measure_groupby_count",
+    "measure_groupby_max", "measure_groupby_mean", "measure_groupby_min",
+    "measure_groupby_no_agg", "measure_scan_filter", "pii_scrub",
+    "property_ids_select", "property_match_and", "property_match_keyword",
+    "property_match_url_and", "property_orderby_offset",
+    "request_yaml_topn", "sketch_cms_tokens",
+    "stream_filter_in_orderby_tag", "stream_filter_not_in_range",
+    "stream_match_props", "streaming_incremental_dedup_materialized",
+    "streaming_interval_join_materialized",
+    "streaming_resolution_materialized", "text_simhash", "text_stats",
+    "trace_by_ids", "trace_finalize_sampling", "trace_orderby_duration",
+    "trace_regroup_stats", "vocab_top_tokens",
+})
+
+# Round-14 window front (VERDICT r13 Next #2): no spill carried out of
+# r13 (43-entry front, under the cap), so the seed is simply the
+# 33-entry r10 cohort — the oldest driver rows anywhere after r13's
+# histogram (r10:33 / r11:40 / r12:48 / r13:50). After r14 no entry's
+# newest driver row may be older than r11 except a documented spill.
+_R14_STALE_FIRST = (
+    "dedup_resolution_keep_best", "dedup_substring_winnow",
+    "measure_groupby_sum", "measure_multigroup_schema_merge",
+    "measure_multigroup_union", "measure_ohlc_window", "measure_top_desc",
+    "measure_write_roundtrip", "part_never_ordered_antijoin",
+    "property_filter_sort", "property_match_or", "quality_bigram_coverage",
+    "quality_charlm_typicality", "quality_rare_token_ratio",
+    "request_yaml_measure", "request_yaml_property", "request_yaml_stream",
+    "request_yaml_trace", "rollup_events_daily",
+    "slo_burn_rate_multiwindow", "stream_criteria_or_tree",
+    "stream_multigroup_schema_merge", "stream_scan_paged",
+    "streaming_counter_increase_materialized", "topn_stateful_heap",
+    "topn_streaming_materialized", "tpch_q10_returned_items",
+    "tpch_q14_promo_effect", "tpch_q17_small_quantity",
+    "tpch_q18_large_volume", "tpch_q21_sole_delayed",
+    "tpch_q3_shipping_priority", "trace_multigroup_schema_merge",
+)
+
+# Entries whose compile paths round 14 changed (re-verify ahead of the
+# merely-stale rest):
+# - dedup_minhash_{compacted,incremental} and both streaming minhash
+#   loops: minhash_probe_pairs dropped the rep-level self-pair filters
+#   (ADVICE r13 #1 — a compacted class whose rep is a re-delivered
+#   batch id kept its cross-corpus members only via member-level
+#   exclusion) and grew a retain= knob; the compacted entry's gate
+#   moved from bytes to class counts (ADVICE r13 #3);
+# - dedup_minhash_lsh{,_3gram,_k32,_agg}: the banded cache split into
+#   stable + scratch windows and resized (VERDICT r13 #1).
+# Window arithmetic: 33 stale + 0 fresh + 8 touched = 41 — under the
+# cap, no spill; the remaining 9 slots take the oldest r11 rows.
+_R14_TOUCHED = (
+    "dedup_minhash_compacted", "dedup_minhash_incremental",
+    "streaming_incremental_dedup_materialized",
+    "streaming_resolution_materialized",
+    "dedup_minhash_lsh", "dedup_minhash_lsh_3gram",
+    "dedup_minhash_lsh_k32", "dedup_minhash_lsh_agg",
+)
+
 _SWEEP_CAP = 50
 
 
 def _newest_driver_round(k: str) -> int:
     """Most recent round whose sweep recorded this entry (0 = never)."""
+    if k in _R13_DRIVER_SEEN:
+        return 13
     if k in _R12_DRIVER_SEEN:
         return 12
     if k in _R11_DRIVER_SEEN:
@@ -736,17 +811,17 @@ def _newest_driver_round(k: str) -> int:
 
 def _sweep_order(d: Dict[str, "object"]) -> list:
     """Driver sweeps record the FIRST 50 entries only, so order by need:
-    the r12 overflow spill + r9-stale cohort (mandatory prefix + oldest
-    driver rows anywhere — VERDICT r12 Next #1), then never-driver-seen
+    the r10-stale cohort (oldest driver rows anywhere — VERDICT r13
+    Next #2; no spill carried out of r13), then never-driver-seen
     entries (new this round), then entries whose code changed this round
-    (_R13_TOUCHED), then everything else oldest-driver-row first so no
+    (_R14_TOUCHED), then everything else oldest-driver-row first so no
     entry's newest row goes stale silently. Warn when the priority
     prefix itself overflows the cap (ADVICE r3) — the spilled tail
     becomes the mandatory prefix of next round's stale seed (overflow
     rule above _R8_STALE_FIRST)."""
-    stale = [k for k in _R13_STALE_FIRST if k in d]
+    stale = [k for k in _R14_STALE_FIRST if k in d]
     fresh = [k for k in d if _newest_driver_round(k) == 0 and k not in stale]
-    touched = [k for k in _R13_TOUCHED
+    touched = [k for k in _R14_TOUCHED
                if k in d and k not in fresh and k not in stale]
     front = stale + fresh + touched
     if len(front) > _SWEEP_CAP:
