@@ -49,6 +49,7 @@ from ..functions.similarity import (
     cosine_raw,
     ivf_assign,
     ivf_build,
+    resolve_k_clusters,
     srp_signature,
 )
 from .parquet import read_table
@@ -267,15 +268,19 @@ def build_ivf_index(
     sf_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k_clusters: int = 8,
+    k_clusters: "int | None" = None,
 ) -> str:
     """Write-time IVF: train centroids once, store the assignment table
     partitioned by ``cluster_id`` (the probe's pruning key) and the
-    centroids as JSON beside it."""
+    centroids as JSON beside it. ``k_clusters=None`` resolves to the √n
+    default policy (``similarity.default_k_clusters``) — deterministic
+    in the corpus size, so probes resolving ``None`` find the same
+    index directory."""
+    df = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    k_clusters = resolve_k_clusters(k_clusters, df)
     final = ivf_index_path(sf_dir, k_clusters)
     if os.path.isdir(final):
         return final
-    df = read_table(spark, f"{sf_dir}/embeddings.parquet")
     centroids = ivf_build(df, id_col, vec_col, k_clusters)
     assigned = ivf_assign(df, vec_col, centroids).select(
         F.col(id_col).alias("id"),
@@ -362,12 +367,13 @@ def build_ivf_sampled_index(
     sf_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k_clusters: int = 8,
+    k_clusters: "int | None" = None,
 ) -> str:
     """Write-time IVF with *deterministic sampled* centroids: the
     ``k_clusters`` vectors with the smallest ``md5(id)`` hex (a uniform
     hash-sample of the corpus — the same reason FAISS trains on a sample;
     Lloyd refinement stays available via :func:`build_ivf_index`).
+    ``k_clusters=None`` resolves to the √n default policy.
 
     Unlike the Lloyd path, every decision here is engine-portable, so the
     whole probe has an exact DuckDB twin
@@ -377,10 +383,11 @@ def build_ivf_sampled_index(
     engines, see ``cosine_raw``) — one map-only scan, no UDF, no shuffle;
     the partitioned write clusters by ``cluster_id`` which is the probe's
     pruning key."""
+    df = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    k_clusters = resolve_k_clusters(k_clusters, df)
     final = ivf_sampled_index_path(sf_dir, k_clusters)
     if os.path.isdir(final):
         return final
-    df = read_table(spark, f"{sf_dir}/embeddings.parquet")
     cent_rows = (
         df.select(F.col(id_col).alias("cid"),
                   F.col(vec_col).cast("array<double>").alias("cv"))
@@ -516,7 +523,7 @@ def build_ivf_incremental_base(
     sf_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k_clusters: int = 8,
+    k_clusters: "int | None" = None,
     base_pred: str = "true",
     root: str | None = None,
 ) -> str:
@@ -524,13 +531,16 @@ def build_ivf_incremental_base(
     the ``k_clusters`` smallest-``md5(id)`` BASE vectors (deterministic
     sample, engine-portable like :func:`build_ivf_sampled_index`),
     frozen for the life of the index; assignment partitioned by
-    ``cluster_id``. Idempotent per (sf, params, base_pred) directory."""
+    ``cluster_id``. Idempotent per (sf, params, base_pred) directory.
+    ``k_clusters=None`` resolves to the √n default policy over the BASE
+    subset (the corpus the centroids are sampled from)."""
+    df = read_table(spark, f"{sf_dir}/embeddings.parquet") \
+        .where(F.expr(base_pred))
+    k_clusters = resolve_k_clusters(k_clusters, df)
     final = ivf_incremental_index_path(sf_dir, k_clusters, base_pred,
                                        root=root)
     if os.path.isdir(final):
         return final
-    df = read_table(spark, f"{sf_dir}/embeddings.parquet") \
-        .where(F.expr(base_pred))
     cent_rows = (
         df.select(F.col(id_col).alias("cid"),
                   F.col(vec_col).cast("array<double>").alias("cv"))
@@ -678,7 +688,7 @@ def incremental_needs_retrain(spark: SparkSession, path: str,
 def ivf_incremental_retrain(
     spark: SparkSession,
     path: str,
-    k_clusters: int = 8,
+    k_clusters: "int | None" = None,
 ) -> None:
     """Periodic re-train + atomic swap — the answer to centroid drift
     (frozen centroids degrade as the corpus distribution moves; the
@@ -688,12 +698,16 @@ def ivf_incremental_retrain(
     them — the same deterministic sample as the base build, so the
     result equals a one-shot base build over the live corpus (invariant
     tested) — re-assigns, and swaps the directory atomically. The
-    tombstone sidecar resets: a retrain is also a full compaction."""
+    tombstone sidecar resets: a retrain is also a full compaction.
+    ``k_clusters=None`` resolves to the √n policy over the LIVE rows —
+    the natural maintenance behavior: the cluster count tracks the
+    corpus as it grows, instead of freezing the base build's k."""
     with open(os.path.join(path, "_tombstones.json")) as f:
         tombs = json.load(f)
     live = spark.read.parquet(path)
     if tombs:
         live = live.where(~F.col("id").isin(tombs))
+    k_clusters = resolve_k_clusters(k_clusters, live)
     cent_rows = (
         live.select("id", "vec")
         .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
@@ -980,7 +994,7 @@ def build_ivfpq_index(
     sf_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k_clusters: int = 8,
+    k_clusters: "int | None" = None,
     m_sub: int = 16,
     k_cw: int = 32,
     dim: int = 64,
@@ -996,11 +1010,13 @@ def build_ivfpq_index(
     Both sub-indexes reuse their established deterministic builds:
     sampled-md5 centroids (``build_ivf_sampled_index``) and per-subspace
     hash-sampled codebooks over L2-normalized vectors
-    (``build_pq_index``)."""
+    (``build_pq_index``). ``k_clusters=None`` resolves to the √n
+    default policy."""
+    df = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    k_clusters = resolve_k_clusters(k_clusters, df)
     final = ivfpq_index_path(sf_dir, k_clusters, m_sub, k_cw)
     if os.path.isdir(final):
         return final
-    df = read_table(spark, f"{sf_dir}/embeddings.parquet")
     sub = dim // m_sub
     norm = F.sqrt(F.aggregate(
         F.transform(F.col("vec"), lambda x: x * x),
@@ -1196,7 +1212,7 @@ def build_ivfpq_incremental_base(
     sf_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k_clusters: int = 8,
+    k_clusters: "int | None" = None,
     m_sub: int = 16,
     k_cw: int = 32,
     dim: int = 64,
@@ -1207,13 +1223,15 @@ def build_ivfpq_incremental_base(
     centroids AND per-subspace codebooks are hash-sampled from the base
     corpus in one scan (:func:`_hash_sample_tops`) and frozen; rows are
     encoded with :func:`_ivfpq_encode_frozen` and partitioned by
-    ``cluster_id``."""
+    ``cluster_id``. ``k_clusters=None`` resolves to the √n default
+    policy over the BASE subset."""
+    df = read_table(spark, f"{sf_dir}/embeddings.parquet") \
+        .where(F.expr(base_pred))
+    k_clusters = resolve_k_clusters(k_clusters, df)
     final = ivfpq_incremental_index_path(sf_dir, k_clusters, m_sub, k_cw,
                                          base_pred, root=root)
     if os.path.isdir(final):
         return final
-    df = read_table(spark, f"{sf_dir}/embeddings.parquet") \
-        .where(F.expr(base_pred))
     sub = dim // m_sub
     norm = F.sqrt(F.aggregate(
         F.transform(F.col("vec"), lambda x: x * x),
@@ -1276,7 +1294,7 @@ def ivfpq_incremental_append(
 def ivfpq_incremental_retrain(
     spark: SparkSession,
     path: str,
-    k_clusters: int = 8,
+    k_clusters: "int | None" = None,
     m_sub: int = 16,
     k_cw: int = 32,
     dim: int = 64,
@@ -1285,12 +1303,14 @@ def ivfpq_incremental_retrain(
     AND per-subspace codebooks hash-sampled from the LIVE rows (one
     scan), every live row re-assigned and re-encoded, tombstones reset.
     Equal to a one-shot base build over the live corpus by the same
-    determinism argument as :func:`ivf_incremental_retrain`."""
+    determinism argument as :func:`ivf_incremental_retrain`.
+    ``k_clusters=None`` resolves to the √n policy over the LIVE rows."""
     with open(os.path.join(path, "_tombstones.json")) as f:
         tombs = json.load(f)
     live = spark.read.parquet(path)
     if tombs:
         live = live.where(~F.col("id").isin(tombs))
+    k_clusters = resolve_k_clusters(k_clusters, live)
     sub = dim // m_sub
     norm = F.sqrt(F.aggregate(
         F.transform(F.col("vec"), lambda x: x * x),
@@ -1394,7 +1414,7 @@ def build_ivfpq_residual_index(
     sf_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k_clusters: int = 8,
+    k_clusters: "int | None" = None,
     m_sub: int = 16,
     k_cw: int = 32,
     dim: int = 64,
@@ -1414,10 +1434,11 @@ def build_ivfpq_residual_index(
     oracle-paired registry entry stays on the direct variant
     (``ann_ivfpq_topk``); this path is recall-gated in pytest, the standard
     posture for a production-parity approximation."""
+    df = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    k_clusters = resolve_k_clusters(k_clusters, df)
     final = ivfpq_residual_index_path(sf_dir, k_clusters, m_sub, k_cw)
     if os.path.isdir(final):
         return final
-    df = read_table(spark, f"{sf_dir}/embeddings.parquet")
     sub = dim // m_sub
     norm = F.sqrt(F.aggregate(
         F.transform(F.col("vec"), lambda x: x * x),
