@@ -281,6 +281,18 @@ def main() -> None:
     # record goes to a sidecar it names.
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # Same-host A/B pair (VERDICT r13 Next #5): scripts/ab_bench.py runs
+    # the previous round's HEAD and the current HEAD back-to-back and
+    # writes AB_PREV_HEAD.json; embedding it here puts the paired
+    # evidence into the driver-captured BENCH_DETAIL_r{N}. The record
+    # carries its own commits and epoch timestamps, so a stale pair is
+    # self-identifying rather than silently misleading.
+    ab_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "AB_PREV_HEAD.json")
+    ab_prev_head = None
+    if os.path.exists(ab_path):
+        with open(ab_path) as fh:
+            ab_prev_head = json.load(fh)
     with open(detail_path, "w") as fh:
         json.dump({
             "metric": "headline_query_total",
@@ -298,6 +310,7 @@ def main() -> None:
             "scratch_build_probe": scratch_split,
             "ann_recall_at_10": ann_recall,
             "ann_incremental_recall_sweep": ann_sweep,
+            "ab_prev_head": ab_prev_head,
             "sf": sf,
         }, fh, indent=1)
     print(json.dumps({

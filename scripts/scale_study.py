@@ -1,8 +1,10 @@
 """Three-point scale study (VERDICT r12 Next #3): measure, don't argue.
 
-The five families whose 100 TB story was previously argued from plan
+The families whose 100 TB story was previously argued from plan
 shape — MinHash pair discovery, the incremental index probe, winnowing
-substring dedup, ANN probes, session windows, and TopN materialization
+substring dedup, ANN probes, session windows, TopN materialization,
+and (r14, VERDICT r13 Next #3) the MinHash compaction lifecycle and
+the streaming keep-best resolution loop
 — are timed at sf0.01 / sf0.1 / sf1 over a SEED-FIXED generated corpus
 with the same shape as the driver's testdata (TESTDATA.md; the
 read-only /root/testdata is never touched), and each adjacent pair of
@@ -67,6 +69,13 @@ ENTRIES = [
     ("ann_ivf_incremental_topk", "noop"),      # ANN probe (incremental)
     ("events_session_window", "noop"),         # session event-time window
     ("topn_per_window", "noop"),               # TopN materialization
+    # the two r13 families (VERDICT r13 Next #3), staged runners below:
+    # the compaction lifecycle decomposes into build/absorb/trigger/
+    # compact/probe stages so the compact stage's own exponent names the
+    # cost driver; the streaming resolution loop prices the full
+    # 2-epoch probe->decide->absorb stream per pass
+    ("mhidx_compaction_lifecycle", "staged"),
+    ("streaming_resolution_loop", "staged"),
 ]
 # entries whose sf1 pass count is 1 (quadratic answer volume)
 SINGLE_PASS_AT_SF1 = {"dedup_minhash_lsh_agg", "dedup_substring_winnow"}
@@ -141,12 +150,99 @@ def _run(df, sink: str):
     return None
 
 
-def time_entries(spark, qs, sf_dir: str, sf: float) -> dict:
+def _time_compaction_lifecycle(spark, sf_dir: str) -> dict:
+    """The r13 family's full maintenance lifecycle (VERDICT r13 Next #3),
+    staged so each stage carries its own exponent: build the base index
+    (doc_id%9=0 of the %3=0 universe — the registry entry's shape),
+    absorb the %9=3 shard under TWO lineages (the re-delivery workload
+    that duplicates classes), check the trigger, COMPACT, probe the
+    %9=6 shard (noop sink, retain=False — the per-run-scratch path).
+    The compact stage's expected cost driver is the class/band/shingle
+    rewrite — ~linear in index rows — which `classes_before` records
+    alongside so the exponent can be read against it."""
+    import shutil
+    import tempfile
+
+    from skywalking_banyandb_spark.sources import minhash_index as mh
+    from skywalking_banyandb_spark.sources.parquet import read_table
+
+    work = tempfile.mkdtemp(prefix="mhidx_lifecycle_")
+    try:
+        stages: dict = {}
+        t0 = time.perf_counter()
+        path = mh.build_minhash_index(
+            spark, sf_dir, base_pred="doc_id % 9 = 0", root=work)
+        stages["build_sec"] = round(time.perf_counter() - t0, 3)
+        docs = read_table(
+            spark, f"{sf_dir}/documents.parquet").where("doc_id % 3 = 0")
+        b1 = docs.where("doc_id % 9 = 3")
+        t0 = time.perf_counter()
+        mh.minhash_index_absorb(spark, path, b1, "doc_id", "text", "lA-0")
+        stages["absorb1_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        mh.minhash_index_absorb(spark, path, b1, "doc_id", "text", "lB-0")
+        stages["absorb2_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        fired = mh.minhash_index_needs_compaction(spark, path)
+        stages["trigger_check_sec"] = round(time.perf_counter() - t0, 3)
+        assert fired, "re-delivery workload must fire the trigger"
+        t0 = time.perf_counter()
+        st = mh.minhash_index_compact(spark, path)
+        stages["compact_sec"] = round(time.perf_counter() - t0, 3)
+        stages["classes_before"] = st["classes_before"]
+        stages["classes_after"] = st["classes_after"]
+        t0 = time.perf_counter()
+        mh.minhash_probe_pairs(
+            spark, path, docs.where("doc_id % 9 = 6"), "doc_id", "text",
+            retain=False).write.format("noop").mode("overwrite").save()
+        stages["probe_sec"] = round(time.perf_counter() - t0, 3)
+        stages["steady_sec"] = round(sum(
+            stages[s] for s in ("build_sec", "absorb1_sec", "absorb2_sec",
+                                "trigger_check_sec", "compact_sec",
+                                "probe_sec")), 3)
+        return stages
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _time_streaming_resolution(spark, qs, sf_dir: str) -> dict:
+    """The streaming keep-best resolution loop — the registry entry runs
+    the full 2-epoch probe→decide→absorb stream in fresh scratch per
+    call, so one call IS one lifecycle pass."""
+    t0 = time.perf_counter()
+    rows = qs["streaming_resolution_materialized"](spark, sf_dir).collect()
+    return {"steady_sec": round(time.perf_counter() - t0, 3),
+            "survivors": len(rows)}
+
+
+# lifecycle families re-run their whole build/absorb/stream per pass in
+# fresh scratch — there is no warm steady state to separate, so one
+# cold pass per measurement and min over `passes` repetitions
+STAGED = {
+    "mhidx_compaction_lifecycle":
+        lambda spark, qs, d: _time_compaction_lifecycle(spark, d),
+    "streaming_resolution_loop": _time_streaming_resolution,
+}
+
+
+def time_entries(spark, qs, sf_dir: str, sf: float, only=None) -> dict:
     from skywalking_banyandb_spark.functions import dedup as dd
 
     out: dict = {}
     for name, sink in ENTRIES:
+        if only is not None and name not in only:
+            continue
         passes = 1 if (sf >= 1 and name in SINGLE_PASS_AT_SF1) else 2
+        if sink == "staged":
+            best = None
+            for _ in range(passes):
+                rec = STAGED[name](spark, qs, sf_dir)
+                if best is None or rec["steady_sec"] < best["steady_sec"]:
+                    best = rec
+            best["passes"] = passes
+            out[name] = best
+            print(f"    {name}: {best}", flush=True)
+            continue
         t0 = time.perf_counter()
         rows = _run(qs[name](spark, sf_dir), sink)
         cold = time.perf_counter() - t0
@@ -169,16 +265,32 @@ def time_entries(spark, qs, sf_dir: str, sf: float) -> dict:
 
 
 def fit(results: dict, scales) -> dict:
+    """Fit exponents for every entry present at ALL scale points; for
+    staged lifecycle families, additionally fit each stage's own
+    exponent (the compact stage's is the named cost driver)."""
     exps: dict = {}
-    for name, _ in ENTRIES:
+    names = [n for n, _ in ENTRIES
+             if all(n in results.get(str(s), {}) for s in scales)]
+
+    def _e(a: float, b: float, lo: float, hi: float) -> float:
+        if a <= 0 or b <= 0:
+            return float("nan")
+        return round(math.log(b / a) / math.log(hi / lo), 3)
+
+    for name in names:
         per = []
         for lo, hi in zip(scales, scales[1:]):
-            a = results[str(lo)][name]["steady_sec"]
-            b = results[str(hi)][name]["steady_sec"]
-            per.append({
-                "from_sf": lo, "to_sf": hi,
-                "exponent": round(math.log(b / a) / math.log(hi / lo), 3),
-            })
+            ra, rb = results[str(lo)][name], results[str(hi)][name]
+            rec = {"from_sf": lo, "to_sf": hi,
+                   "exponent": _e(ra["steady_sec"], rb["steady_sec"],
+                                  lo, hi)}
+            stage_keys = [k for k in ra
+                          if k.endswith("_sec") and k != "steady_sec"
+                          and k != "cold_sec" and k in rb]
+            if stage_keys:
+                rec["stages"] = {k: _e(ra[k], rb[k], lo, hi)
+                                 for k in stage_keys}
+            per.append(rec)
         exps[name] = per
     return exps
 
@@ -189,8 +301,14 @@ def main() -> None:
     ap.add_argument("--validate", action="store_true",
                     help="also time the real /root/testdata/sf0.1 for a "
                          "generated-vs-real shape check")
+    ap.add_argument("--entries", default=None,
+                    help="comma list: time only these families and MERGE "
+                         "into the existing SCALE_STUDY.json (other "
+                         "families' recorded points are kept; exponents "
+                         "are re-fitted over the merged results)")
     args = ap.parse_args()
     scales = [float(s) for s in args.scales.split(",")]
+    only = set(args.entries.split(",")) if args.entries else None
 
     import tempfile
 
@@ -204,7 +322,14 @@ def main() -> None:
     import __spark_entry__ as em
     qs = em.queries()
 
-    results: dict = {}
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "SCALE_STUDY.json")
+    record = {"seed": SEED, "scales": scales, "results": {},
+              "exponents": {}}
+    if only is not None and os.path.exists(out):
+        with open(out) as f:
+            record = json.load(f)
+
     for sf in scales:
         d = os.path.join(root, f"gen_sf{sf}")
         print(f"[gen] sf{sf} -> {d}", flush=True)
@@ -212,17 +337,15 @@ def main() -> None:
         gen_corpus(d, sf)
         print(f"[gen] done in {time.perf_counter() - t0:.1f}s", flush=True)
         print(f"[time] sf{sf}", flush=True)
-        results[str(sf)] = time_entries(spark, qs, d, sf)
+        record["results"].setdefault(str(sf), {}).update(
+            time_entries(spark, qs, d, sf, only=only))
 
-    record = {"seed": SEED, "scales": scales, "results": results,
-              "exponents": fit(results, scales)}
+    record["exponents"] = fit(record["results"], scales)
     if args.validate:
         print("[time] real sf0.1 (validation)", flush=True)
-        record["real_sf0.1"] = time_entries(
-            spark, qs, "/root/testdata/sf0.1", 0.1)
+        record.setdefault("real_sf0.1", {}).update(time_entries(
+            spark, qs, "/root/testdata/sf0.1", 0.1, only=only))
 
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "SCALE_STUDY.json")
     with open(out, "w") as f:
         json.dump(record, f, indent=1)
     print(json.dumps(record["exponents"], indent=1))
