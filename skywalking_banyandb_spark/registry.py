@@ -765,8 +765,9 @@ _R14_STALE_FIRST = (
 #   moved from bytes to class counts (ADVICE r13 #3);
 # - dedup_minhash_lsh{,_3gram,_k32,_agg}: the banded cache split into
 #   stable + scratch windows and resized (VERDICT r13 #1).
-# Window arithmetic: 33 stale + 0 fresh + 8 touched = 41 — under the
-# cap, no spill; the remaining 9 slots take the oldest r11 rows.
+# Window arithmetic: 33 stale + 1 fresh (ann_ivf_policy_topk) + 8
+# touched = 42 — under the cap, no spill; the remaining 8 slots take
+# the oldest r11 rows.
 _R14_TOUCHED = (
     "dedup_minhash_compacted", "dedup_minhash_incremental",
     "streaming_incremental_dedup_materialized",

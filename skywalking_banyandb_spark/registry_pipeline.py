@@ -775,6 +775,43 @@ register(
 )
 
 
+def _ann_ivf_policy(spark: SparkSession, sf: str) -> DataFrame:
+    """The √n k_clusters default policy exercised END-TO-END (VERDICT
+    r13 Next #4): probe the sampled-centroid index built WITHOUT an
+    explicit k — the build resolves ``k_clusters=None`` through
+    ``similarity.default_k_clusters(count)``, so a wrong policy
+    resolution (wrong count, wrong clamp, drifted formula) changes the
+    centroid sample, the partition assignment, and therefore the
+    probed top-k. The oracle is corpus-fitted at resolution time (the
+    lazy-PCA pattern): it counts the same embeddings table and renders
+    the exact sampled-IVF SQL with the same isqrt-clamped k — the
+    policy CHOICE itself is driver-checked, not just the probe math.
+    At the driver's sf0.01 the policy picks k=22; the sf0.1 sweep
+    picks k=44 (2000 vectors) — two corpus sizes, two documented k
+    values, both oracle-exact."""
+    from .sources.ann_index import ivf_sampled_probe_topk
+
+    q = _query_vec(spark, sf)
+    return ivf_sampled_probe_topk(
+        spark, sf, q, 10, k_clusters=None, nprobe=4, exclude_id=0
+    )
+
+
+def _ann_ivf_policy_oracle() -> str:
+    import duckdb
+
+    sf_dir = _oracle_sf_dir()
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    return sim.ivf_sampled_topk_sql(
+        "embeddings", "vec_id", "embedding", 0, 10,
+        k_clusters=sim.default_k_clusters(int(n)), nprobe=4)
+
+
+register("ann_ivf_policy_topk", _ann_ivf_policy, _ann_ivf_policy_oracle)
+
+
 # Incremental-IVF simulation predicates (VERDICT r6 #6): base = 90% of the
 # corpus at T0 (centroids frozen on it), the increment appends the
 # vec_id % 10 == 0 rows, tombstones delete the vec_id % 97 == 0 rows.

@@ -426,7 +426,7 @@ def ivf_sampled_probe_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k_clusters: int = 8,
+    k_clusters: "int | None" = 8,
     nprobe: int = 4,
     exclude_id=None,
 ) -> DataFrame:
