@@ -291,8 +291,13 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "AB_PREV_HEAD.json")
     ab_prev_head = None
     if os.path.exists(ab_path):
-        with open(ab_path) as fh:
-            ab_prev_head = json.load(fh)
+        try:
+            with open(ab_path) as fh:
+                ab_prev_head = json.load(fh)
+        except (OSError, ValueError) as exc:
+            # an interrupted ab_bench run must degrade the OPTIONAL
+            # sidecar, never break the scored bench
+            ab_prev_head = {"error": f"unreadable AB_PREV_HEAD.json: {exc}"}
     with open(detail_path, "w") as fh:
         json.dump({
             "metric": "headline_query_total",

@@ -65,11 +65,21 @@ def main() -> None:
                     help="previous HEAD commit (default: newest 'round *' "
                          "bookkeeping commit)")
     args = ap.parse_args()
-    prev = args.prev or _git("log", "--grep", "^round ", "-1",
-                             "--format=%H")
+    cur = _git("rev-parse", "HEAD")
+    prev = args.prev
+    if prev is None:
+        # match the SUBJECT only (git --grep matches any message line,
+        # and round-narrative commit BODIES also contain "round " lines)
+        # and skip HEAD itself — run right after the driver's own
+        # bookkeeping commit, the newest match IS HEAD and the pair
+        # would compare a commit against itself
+        for line in _git("log", "--format=%H %s").splitlines():
+            sha, _, subject = line.partition(" ")
+            if subject.startswith("round ") and sha != cur:
+                prev = sha
+                break
     if not prev:
         raise SystemExit("no previous-round commit found; pass --prev")
-    cur = _git("rev-parse", "HEAD")
 
     wt = f"/tmp/ab_prev_{prev[:8]}"
     subprocess.run(["git", "worktree", "remove", "--force", wt],
@@ -93,8 +103,10 @@ def main() -> None:
                 "deterministic index artifacts",
     }
     out = os.path.join(REPO, "AB_PREV_HEAD.json")
-    with open(out, "w") as f:
+    tmp = out + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(record, f, indent=1)
+    os.replace(tmp, out)   # atomic: bench.py reads this file
     print(json.dumps({k: {kk: vv for kk, vv in v.items()
                           if not isinstance(vv, dict)}
                       if isinstance(v, dict) else v

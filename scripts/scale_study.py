@@ -340,7 +340,14 @@ def main() -> None:
         record["results"].setdefault(str(sf), {}).update(
             time_entries(spark, qs, d, sf, only=only))
 
-    record["exponents"] = fit(record["results"], scales)
+    # merge semantics: the exponent set is re-fitted over the UNION of
+    # recorded scale points (so a subset --scales rerun cannot silently
+    # narrow other families' fitted range), and families missing a
+    # point keep their previously-fitted entries rather than vanishing
+    all_scales = sorted({*(record.get("scales") or []), *scales})
+    record["scales"] = all_scales
+    record.setdefault("exponents", {}).update(
+        fit(record["results"], all_scales))
     if args.validate:
         print("[time] real sf0.1 (validation)", flush=True)
         record.setdefault("real_sf0.1", {}).update(time_entries(

@@ -449,27 +449,50 @@ _banded_live: list = []  # [(session, semanticHash, df)], MRU last
 _scratch_live: list = []  # single-use probe candidates, MRU last
 
 
-def _retain_in(window: list, keep: int, banded) -> None:
-    sess, h = banded.sparkSession, banded.semanticHash()
-    with _banded_lock:
-        for i, (s, eh, edf) in enumerate(window):
-            if s is sess and eh == h and edf.sameSemantics(banded):
-                # same canonicalized plan: the twin's persist() was a
-                # no-op against this live entry — refresh its LRU slot
-                # instead of appending a handle whose eviction would
-                # drop the shared cache entry
-                window.append(window.pop(i))
-                return
-        window.append((sess, h, banded))
-        while len(window) > keep:
-            window.pop(0)[2].unpersist()
+def _find_twin(window: list, sess, h, banded) -> int:
+    for i, (s, eh, edf) in enumerate(window):
+        if s is sess and eh == h and edf.sameSemantics(banded):
+            return i
+    return -1
 
 
 def _retain_banded(banded, scratch: bool = False) -> None:
-    if scratch:
-        _retain_in(_scratch_live, _SCRATCH_KEEP, banded)
-    else:
-        _retain_in(_banded_live, _BANDED_KEEP, banded)
+    """Register a persisted banded/candidate table in the bounded cache.
+
+    Twin detection spans BOTH windows: Spark's CacheManager keys
+    persist/unpersist by canonicalized plan, so the same plan retained
+    once with ``scratch=False`` and once with ``scratch=True`` shares
+    ONE cache entry — tracking it under two handles would let a scratch
+    eviction unpersist the entry the stable window still lists as live
+    (the r13 thrash, reintroduced sideways). Rules: a twin already in
+    the STABLE window is refreshed there whichever way it arrives (the
+    stable claim is the stronger one); a twin in the scratch window is
+    PROMOTED to stable when a stable retain arrives, else refreshed in
+    place."""
+    sess, h = banded.sparkSession, banded.semanticHash()
+    with _banded_lock:
+        i = _find_twin(_banded_live, sess, h, banded)
+        if i >= 0:
+            # same canonicalized plan: the twin's persist() was a no-op
+            # against this live entry — refresh its LRU slot instead of
+            # appending a handle whose eviction would drop the shared
+            # cache entry
+            _banded_live.append(_banded_live.pop(i))
+            return
+        j = _find_twin(_scratch_live, sess, h, banded)
+        if j >= 0:
+            if scratch:
+                _scratch_live.append(_scratch_live.pop(j))
+            else:
+                _banded_live.append(_scratch_live.pop(j))
+                while len(_banded_live) > _BANDED_KEEP:
+                    _banded_live.pop(0)[2].unpersist()
+            return
+        window, keep = ((_scratch_live, _SCRATCH_KEEP) if scratch
+                        else (_banded_live, _BANDED_KEEP))
+        window.append((sess, h, banded))
+        while len(window) > keep:
+            window.pop(0)[2].unpersist()
 
 
 def release_minhash_cache() -> None:

@@ -1545,7 +1545,7 @@ def _ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     from .sources.ann_index import ivfpq_probe_topk
 
     q = _query_vec(spark, sf)
-    return ivfpq_probe_topk(spark, sf, q, 10, exclude_id=0)
+    return ivfpq_probe_topk(spark, sf, q, 10, k_clusters=8, exclude_id=0)
 
 
 def _ann_ivfpq_residual(spark: SparkSession, sf: str) -> DataFrame:
@@ -1556,7 +1556,8 @@ def _ann_ivfpq_residual(spark: SparkSession, sf: str) -> DataFrame:
     from .sources.ann_index import ivfpq_residual_probe_topk
 
     q = _query_vec(spark, sf)
-    return ivfpq_residual_probe_topk(spark, sf, q, 10, exclude_id=0)
+    return ivfpq_residual_probe_topk(spark, sf, q, 10, k_clusters=8,
+                                     exclude_id=0)
 
 
 register(

@@ -275,12 +275,16 @@ def build_ivf_index(
     centroids as JSON beside it. ``k_clusters=None`` resolves to the √n
     default policy (``similarity.default_k_clusters``) — deterministic
     in the corpus size, so probes resolving ``None`` find the same
-    index directory."""
-    df = read_table(spark, f"{sf_dir}/embeddings.parquet")
-    k_clusters = resolve_k_clusters(k_clusters, df)
+    index directory. Resolution costs one count job; an EXPLICIT k
+    keeps the source-independent fast path (existing index returned
+    without touching the source parquet at all)."""
+    if k_clusters is None:
+        k_clusters = resolve_k_clusters(
+            None, read_table(spark, f"{sf_dir}/embeddings.parquet"))
     final = ivf_index_path(sf_dir, k_clusters)
     if os.path.isdir(final):
         return final
+    df = read_table(spark, f"{sf_dir}/embeddings.parquet")
     centroids = ivf_build(df, id_col, vec_col, k_clusters)
     assigned = ivf_assign(df, vec_col, centroids).select(
         F.col(id_col).alias("id"),
@@ -304,7 +308,7 @@ def ivf_probe_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k_clusters: int = 8,
+    k_clusters: "int | None" = None,
     nprobe: int = 4,
     exclude_id=None,
 ) -> DataFrame:
@@ -383,11 +387,13 @@ def build_ivf_sampled_index(
     engines, see ``cosine_raw``) — one map-only scan, no UDF, no shuffle;
     the partitioned write clusters by ``cluster_id`` which is the probe's
     pruning key."""
-    df = read_table(spark, f"{sf_dir}/embeddings.parquet")
-    k_clusters = resolve_k_clusters(k_clusters, df)
+    if k_clusters is None:
+        k_clusters = resolve_k_clusters(
+            None, read_table(spark, f"{sf_dir}/embeddings.parquet"))
     final = ivf_sampled_index_path(sf_dir, k_clusters)
     if os.path.isdir(final):
         return final
+    df = read_table(spark, f"{sf_dir}/embeddings.parquet")
     cent_rows = (
         df.select(F.col(id_col).alias("cid"),
                   F.col(vec_col).cast("array<double>").alias("cv"))
@@ -426,7 +432,7 @@ def ivf_sampled_probe_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k_clusters: "int | None" = 8,
+    k_clusters: "int | None" = None,
     nprobe: int = 4,
     exclude_id=None,
 ) -> DataFrame:
@@ -533,14 +539,18 @@ def build_ivf_incremental_base(
     frozen for the life of the index; assignment partitioned by
     ``cluster_id``. Idempotent per (sf, params, base_pred) directory.
     ``k_clusters=None`` resolves to the √n default policy over the BASE
-    subset (the corpus the centroids are sampled from)."""
-    df = read_table(spark, f"{sf_dir}/embeddings.parquet") \
-        .where(F.expr(base_pred))
-    k_clusters = resolve_k_clusters(k_clusters, df)
+    subset (the corpus the centroids are sampled from); an explicit k
+    keeps the source-independent existing-index fast path."""
+    if k_clusters is None:
+        k_clusters = resolve_k_clusters(
+            None, read_table(spark, f"{sf_dir}/embeddings.parquet")
+            .where(F.expr(base_pred)))
     final = ivf_incremental_index_path(sf_dir, k_clusters, base_pred,
                                        root=root)
     if os.path.isdir(final):
         return final
+    df = read_table(spark, f"{sf_dir}/embeddings.parquet") \
+        .where(F.expr(base_pred))
     cent_rows = (
         df.select(F.col(id_col).alias("cid"),
                   F.col(vec_col).cast("array<double>").alias("cv"))
@@ -688,7 +698,7 @@ def incremental_needs_retrain(spark: SparkSession, path: str,
 def ivf_incremental_retrain(
     spark: SparkSession,
     path: str,
-    k_clusters: "int | None" = None,
+    k_clusters: "int | str | None" = None,
 ) -> None:
     """Periodic re-train + atomic swap — the answer to centroid drift
     (frozen centroids degrade as the corpus distribution moves; the
@@ -699,15 +709,27 @@ def ivf_incremental_retrain(
     result equals a one-shot base build over the live corpus (invariant
     tested) — re-assigns, and swaps the directory atomically. The
     tombstone sidecar resets: a retrain is also a full compaction.
-    ``k_clusters=None`` resolves to the √n policy over the LIVE rows —
-    the natural maintenance behavior: the cluster count tracks the
-    corpus as it grows, instead of freezing the base build's k."""
+
+    ``k_clusters`` semantics: ``None`` (default) PRESERVES the index's
+    current centroid count — the directory name encodes k
+    (``ivfinc_k{k}_p...``) and a silent default resize would hand a
+    later ``build_ivf_incremental_base(k_clusters=8)`` caller an index
+    whose contents no longer match its path key. ``"policy"`` opts in
+    to the √n default over the LIVE rows — the maintenance behavior
+    where the cluster count tracks corpus growth (the caller owns the
+    path and accepts that its k-suffix now records the BUILD-time k,
+    not the live one). An explicit int resizes to exactly that."""
     with open(os.path.join(path, "_tombstones.json")) as f:
         tombs = json.load(f)
+    with open(os.path.join(path, "_centroids.json")) as f:
+        k_current = len(json.load(f))
     live = spark.read.parquet(path)
     if tombs:
         live = live.where(~F.col("id").isin(tombs))
-    k_clusters = resolve_k_clusters(k_clusters, live)
+    if k_clusters is None:
+        k_clusters = k_current
+    elif k_clusters == "policy":
+        k_clusters = resolve_k_clusters(None, live)
     cent_rows = (
         live.select("id", "vec")
         .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
@@ -1011,12 +1033,15 @@ def build_ivfpq_index(
     sampled-md5 centroids (``build_ivf_sampled_index``) and per-subspace
     hash-sampled codebooks over L2-normalized vectors
     (``build_pq_index``). ``k_clusters=None`` resolves to the √n
-    default policy."""
-    df = read_table(spark, f"{sf_dir}/embeddings.parquet")
-    k_clusters = resolve_k_clusters(k_clusters, df)
+    default policy; an explicit k keeps the source-independent
+    existing-index fast path."""
+    if k_clusters is None:
+        k_clusters = resolve_k_clusters(
+            None, read_table(spark, f"{sf_dir}/embeddings.parquet"))
     final = ivfpq_index_path(sf_dir, k_clusters, m_sub, k_cw)
     if os.path.isdir(final):
         return final
+    df = read_table(spark, f"{sf_dir}/embeddings.parquet")
     sub = dim // m_sub
     norm = F.sqrt(F.aggregate(
         F.transform(F.col("vec"), lambda x: x * x),
@@ -1085,7 +1110,7 @@ def ivfpq_probe_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k_clusters: int = 8,
+    k_clusters: "int | None" = None,
     nprobe: int = 4,
     m_sub: int = 16,
     k_cw: int = 32,
@@ -1224,14 +1249,18 @@ def build_ivfpq_incremental_base(
     corpus in one scan (:func:`_hash_sample_tops`) and frozen; rows are
     encoded with :func:`_ivfpq_encode_frozen` and partitioned by
     ``cluster_id``. ``k_clusters=None`` resolves to the √n default
-    policy over the BASE subset."""
-    df = read_table(spark, f"{sf_dir}/embeddings.parquet") \
-        .where(F.expr(base_pred))
-    k_clusters = resolve_k_clusters(k_clusters, df)
+    policy over the BASE subset; an explicit k keeps the
+    source-independent existing-index fast path."""
+    if k_clusters is None:
+        k_clusters = resolve_k_clusters(
+            None, read_table(spark, f"{sf_dir}/embeddings.parquet")
+            .where(F.expr(base_pred)))
     final = ivfpq_incremental_index_path(sf_dir, k_clusters, m_sub, k_cw,
                                          base_pred, root=root)
     if os.path.isdir(final):
         return final
+    df = read_table(spark, f"{sf_dir}/embeddings.parquet") \
+        .where(F.expr(base_pred))
     sub = dim // m_sub
     norm = F.sqrt(F.aggregate(
         F.transform(F.col("vec"), lambda x: x * x),
@@ -1294,7 +1323,7 @@ def ivfpq_incremental_append(
 def ivfpq_incremental_retrain(
     spark: SparkSession,
     path: str,
-    k_clusters: "int | None" = None,
+    k_clusters: "int | str | None" = None,
     m_sub: int = 16,
     k_cw: int = 32,
     dim: int = 64,
@@ -1304,13 +1333,21 @@ def ivfpq_incremental_retrain(
     scan), every live row re-assigned and re-encoded, tombstones reset.
     Equal to a one-shot base build over the live corpus by the same
     determinism argument as :func:`ivf_incremental_retrain`.
-    ``k_clusters=None`` resolves to the √n policy over the LIVE rows."""
+    ``k_clusters``: ``None`` preserves the index's current centroid
+    count (the path-key contract — see
+    :func:`ivf_incremental_retrain`); ``"policy"`` opts in to the √n
+    default over the LIVE rows; an int resizes explicitly."""
     with open(os.path.join(path, "_tombstones.json")) as f:
         tombs = json.load(f)
+    with open(os.path.join(path, "_centroids.json")) as f:
+        k_current = len(json.load(f))
     live = spark.read.parquet(path)
     if tombs:
         live = live.where(~F.col("id").isin(tombs))
-    k_clusters = resolve_k_clusters(k_clusters, live)
+    if k_clusters is None:
+        k_clusters = k_current
+    elif k_clusters == "policy":
+        k_clusters = resolve_k_clusters(None, live)
     sub = dim // m_sub
     norm = F.sqrt(F.aggregate(
         F.transform(F.col("vec"), lambda x: x * x),
@@ -1434,11 +1471,13 @@ def build_ivfpq_residual_index(
     oracle-paired registry entry stays on the direct variant
     (``ann_ivfpq_topk``); this path is recall-gated in pytest, the standard
     posture for a production-parity approximation."""
-    df = read_table(spark, f"{sf_dir}/embeddings.parquet")
-    k_clusters = resolve_k_clusters(k_clusters, df)
+    if k_clusters is None:
+        k_clusters = resolve_k_clusters(
+            None, read_table(spark, f"{sf_dir}/embeddings.parquet"))
     final = ivfpq_residual_index_path(sf_dir, k_clusters, m_sub, k_cw)
     if os.path.isdir(final):
         return final
+    df = read_table(spark, f"{sf_dir}/embeddings.parquet")
     sub = dim // m_sub
     norm = F.sqrt(F.aggregate(
         F.transform(F.col("vec"), lambda x: x * x),
@@ -1530,7 +1569,7 @@ def ivfpq_residual_probe_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k_clusters: int = 8,
+    k_clusters: "int | None" = None,
     nprobe: int = 4,
     m_sub: int = 16,
     k_cw: int = 32,

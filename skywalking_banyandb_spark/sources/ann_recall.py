@@ -134,10 +134,10 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str, k: int = 10,
             spark, sf_dir, q, k, exclude_id=x)
     if "ivfpq" in want:
         probes["ivfpq"] = lambda q, x: ivfpq_probe_topk(
-            spark, sf_dir, q, k, exclude_id=x)
+            spark, sf_dir, q, k, k_clusters=8, exclude_id=x)
     if "ivfpq_residual" in want:
         probes["ivfpq_residual"] = lambda q, x: ivfpq_residual_probe_topk(
-            spark, sf_dir, q, k, exclude_id=x)
+            spark, sf_dir, q, k, k_clusters=8, exclude_id=x)
     live_pred = None
     if want & {"ivf_incremental", "ivfpq_incremental"}:
         p_ivf, p_ivfpq, live_pred = _incremental_paths(spark, sf_dir)

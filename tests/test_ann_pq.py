@@ -75,7 +75,7 @@ def test_ivfpq_recall_and_partition_pruning(spark):
         F.col("vec_id") != 0)
     exact = {r.vec_id for r in
              brute_force_topk(emb, "vec_id", "embedding", q, 10).collect()}
-    df = ivfpq_probe_topk(spark, SF_SMALL, q, 10, exclude_id=0)
+    df = ivfpq_probe_topk(spark, SF_SMALL, q, 10, k_clusters=8, exclude_id=0)
     approx = {r.vec_id for r in df.collect()}
     # nprobe=4 of 8 clusters halves the universe before ADC; the composed
     # index still recovers the bulk of the true top-10
@@ -168,8 +168,10 @@ def test_residual_ivfpq_recall_at_least_direct(spark):
     exact = {r.vec_id for r in
              brute_force_topk(emb, "vec_id", "embedding", q, 10).collect()}
     direct = {r.vec_id for r in
-              ivfpq_probe_topk(spark, SF_SMALL, q, 10, exclude_id=0).collect()}
-    resid_df = ivfpq_residual_probe_topk(spark, SF_SMALL, q, 10, exclude_id=0)
+              ivfpq_probe_topk(spark, SF_SMALL, q, 10, k_clusters=8,
+                               exclude_id=0).collect()}
+    resid_df = ivfpq_residual_probe_topk(spark, SF_SMALL, q, 10, k_clusters=8,
+                                         exclude_id=0)
     resid = {r.vec_id for r in resid_df.collect()}
     assert len(exact & resid) >= len(exact & direct), (exact, direct, resid)
     assert len(exact & resid) >= 6

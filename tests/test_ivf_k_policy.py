@@ -58,21 +58,27 @@ def test_build_without_k_picks_corpus_sized_k(spark, tmp_path):
             assert len(json.load(f)) == k
 
 
-def test_retrain_without_k_resizes_to_the_grown_corpus(spark, tmp_path):
-    """The maintenance behavior the policy buys: a retrain with
-    ``k_clusters=None`` re-derives k from the LIVE rows, so the cluster
-    count tracks the corpus as appends grow it — instead of freezing
-    the base build's k forever."""
+def test_retrain_default_preserves_k_policy_opt_in_resizes(spark, tmp_path):
+    """Retrain ``k_clusters`` semantics: the DEFAULT (None) preserves
+    the index's current centroid count — the directory name encodes k,
+    and a silent default resize would hand a later explicit-k caller
+    an index whose contents no longer match its path key.
+    ``k_clusters="policy"`` opts in to the maintenance behavior the
+    policy buys: k re-derived from the LIVE rows, tracking corpus
+    growth."""
     emb = read_table(spark, f"{SF_SMALL}/embeddings.parquet")
     path = ai.build_ivf_incremental_base(
         spark, SF_SMALL, base_pred="vec_id % 5 = 0", root=str(tmp_path))
     k_before = len(json.load(open(os.path.join(path, "_centroids.json"))))
-    ai.ivf_incremental_append(spark, path,
-                              emb.where("vec_id % 5 <> 0"))
-    ai.ivf_incremental_retrain(spark, path)          # k=None -> policy
-    k_after = len(json.load(open(os.path.join(path, "_centroids.json"))))
     assert k_before == sim.default_k_clusters(
         emb.where("vec_id % 5 = 0").count())
+    ai.ivf_incremental_append(spark, path,
+                              emb.where("vec_id % 5 <> 0"))
+    ai.ivf_incremental_retrain(spark, path)          # default: preserve
+    k_kept = len(json.load(open(os.path.join(path, "_centroids.json"))))
+    assert k_kept == k_before
+    ai.ivf_incremental_retrain(spark, path, k_clusters="policy")
+    k_after = len(json.load(open(os.path.join(path, "_centroids.json"))))
     assert k_after == sim.default_k_clusters(emb.count())
     assert k_after > k_before
 

@@ -144,3 +144,48 @@ def test_bench_extended_cycle_keeps_every_stable_config_resident(
     assert len(dd._banded_live) <= dd._BANDED_KEEP
     # the three scratch probes never entered the shared window
     assert len(dd._scratch_live) <= dd._SCRATCH_KEEP
+
+
+def test_cross_window_twin_shares_one_handle(spark, docs, monkeypatch,
+                                             tmp_path):
+    """A plan retained once with retain=True and once with retain=False
+    shares ONE CacheManager entry (persist is keyed by canonicalized
+    plan), so it must be tracked under one handle: if the scratch
+    window held a second handle for a stable-resident plan, a scratch
+    eviction would unpersist the entry the stable window still lists
+    as live — the r13 thrash reintroduced sideways. The stable claim
+    wins: a scratch retain of a stable-resident twin refreshes the
+    stable slot, and a stable retain of a scratch-resident twin
+    PROMOTES it out of the evictable window."""
+    from skywalking_banyandb_spark.sources import minhash_index as mh
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "shared"))
+    path = mh.build_minhash_index(spark, SF_SMALL,
+                                  base_pred="doc_id % 2 = 0")
+    batch = docs.where("doc_id % 2 = 1")
+
+    # stable first, then the identical probe as scratch
+    stable = mh.minhash_probe_pairs(spark, path, batch, "doc_id", "text")
+    stable.count()
+    mh.minhash_probe_pairs(spark, path, batch, "doc_id", "text",
+                           retain=False).count()
+    assert len(dd._scratch_live) == 0       # refreshed in stable, no twin
+    # churn the scratch window: the stable plan must stay resident
+    for root in ("s1", "s2", "s3"):
+        sp = mh.build_minhash_index(spark, SF_SMALL,
+                                    base_pred="doc_id % 2 = 0",
+                                    root=str(tmp_path / root))
+        mh.minhash_probe_pairs(spark, sp, batch, "doc_id", "text",
+                               retain=False).count()
+    assert _cached(stable), (
+        "scratch evictions dropped the stable window's live entry")
+
+    # scratch first, then the identical probe as stable: promoted
+    dd.release_minhash_cache()
+    scratch_probe = mh.minhash_probe_pairs(spark, path, batch,
+                                           "doc_id", "text", retain=False)
+    scratch_probe.count()
+    assert len(dd._scratch_live) == 1
+    mh.minhash_probe_pairs(spark, path, batch, "doc_id", "text").count()
+    assert len(dd._scratch_live) == 0       # promoted to stable
+    assert _cached(scratch_probe)
