@@ -767,7 +767,30 @@ _R14_STALE_FIRST = (
 #   stable + scratch windows and resized (VERDICT r13 #1).
 # Window arithmetic: 33 stale + 1 fresh (ann_ivf_policy_topk) + 8
 # touched = 42 — under the cap, no spill; the remaining 8 slots take
-# the oldest r11 rows.
+# the oldest-cohort rest in (round, name) order — deterministically
+# the first 8 r11 entries alphabetically: ann_cosine_topk,
+# ann_ivf_incremental_topk, ann_ivf_topk, bydbql_trace_stats,
+# continuous_rollup_materialized, corpus_clean_pipeline,
+# criteria_having_array, criteria_not_having_array.
+# R15 SEEDING NOTE (precomputed so next round is mechanical): after
+# the r14 sweep records this 50, the oldest cohort is the REMAINING
+# 32 r11 entries (decontamination_overlap, dedup_exact,
+# dedup_ngram_jaccard, documents_weighted_sample,
+# domain_mixture_resample, embedding_covariance,
+# embedding_int8_quantization, embedding_pca_project, events_asof_join,
+# events_cube_type_day, events_funnel_conversion,
+# events_funnel_transitions, events_pivot_type_counts,
+# events_range_join_bucketed, events_session_window, latency_heatmap,
+# measure_gap_fill_interpolate, measure_hopping_window,
+# measure_index_mode_scan, measure_latency_percentiles,
+# measure_moving_avg, measure_orderby_field_desc, multimodal_features,
+# multimodal_frame_sample, quality_tfidf_top_terms,
+# tpch_q1_pricing_summary, tpch_q4_order_priority,
+# tpch_q5_local_supplier, tpch_q6_forecast_revenue,
+# tpch_q7_volume_shipping, tpch_q8_market_share, trace_spans_payload)
+# — lead _R15_STALE_FIRST with them (confirm against the actual
+# CORRECTNESS_r14.json keys first; a driver failure could shift the
+# recorded window).
 _R14_TOUCHED = (
     "dedup_minhash_compacted", "dedup_minhash_incremental",
     "streaming_incremental_dedup_materialized",
