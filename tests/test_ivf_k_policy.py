@@ -110,3 +110,31 @@ def test_policy_built_index_probe_recall_holds(spark, tmp_path):
         spark, path, q, 10, nprobe=4, exclude_id=0).collect()]
     recall = len(set(approx) & set(brute)) / 10
     assert recall >= 0.5, f"nprobe=4 recall {recall} under policy k={k_used}"
+
+
+def test_default_build_and_probe_target_one_policy_index(
+        spark, monkeypatch, tmp_path):
+    """Build/probe default agreement (post-review hardening): a
+    default-args build and a default-args probe resolve the SAME
+    policy-k index. Before the probe defaults flipped to None, a
+    default probe after a default (policy) build silently built and
+    queried a SECOND k=8 index — different recall than the index the
+    user just built, plus an unrequested O(corpus) write."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    emb = read_table(spark, f"{SF_SMALL}/embeddings.parquet")
+    q = [float(x) for x in emb.where("vec_id = 1").first()["embedding"]]
+    k_policy = sim.default_k_clusters(emb.count())
+    built = ai.build_ivf_sampled_index(spark, SF_SMALL)      # default args
+    assert f"k{k_policy}" in os.path.basename(built)
+    got = [(r.vec_id, r.score) for r in ai.ivf_sampled_probe_topk(
+        spark, SF_SMALL, q, 10, exclude_id=1).collect()]     # default args
+    explicit = [(r.vec_id, r.score) for r in ai.ivf_sampled_probe_topk(
+        spark, SF_SMALL, q, 10, k_clusters=k_policy,
+        exclude_id=1).collect()]
+    assert got == explicit and len(got) == 10
+    # exactly ONE sampled-IVF index exists — the probe reused the
+    # build's directory instead of minting a k=8 sibling
+    key = os.path.basename(os.path.normpath(SF_SMALL))
+    dirs = [d for d in os.listdir(tmp_path / key)
+            if d.startswith("ivfs2_")]
+    assert dirs == [os.path.basename(built)]
