@@ -145,6 +145,112 @@ def _publish(tmp: str, final: str) -> None:
             raise
 
 
+def _write_meta(index_dir: str, kind: str, k_clusters: int,
+                policy: bool, **params) -> None:
+    """Persist the resolved build parameters beside the index (VERDICT
+    r14 wrong #1): ``policy_k`` records whether ``k_clusters`` came from
+    the √n default policy. Probes resolving ``k_clusters=None`` BIND to
+    the newest ``policy_k`` index via this sidecar instead of re-deriving
+    k from a live corpus count — the re-derivation both paid a
+    full-corpus count job per probe and, after the corpus grew, derived
+    a DIFFERENT k, missed the existing directory, and silently ran an
+    O(corpus) index build inside the probe call."""
+    meta = {"kind": kind, "k_clusters": int(k_clusters),
+            "policy_k": bool(policy)}
+    meta.update(params)
+    with open(os.path.join(index_dir, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def _bind_policy_index(sf_dir: str, kind: str, match: dict | None = None,
+                       ) -> str:
+    """Resolve ``k_clusters=None`` on the PROBE side: return the newest
+    policy-built index of this ``kind`` for ``sf_dir`` (matching any
+    non-k params in ``match``), judged by its ``_meta.json`` mtime — a
+    retrain or rebuild re-stamps the sidecar, so "newest" is the index
+    the most recent policy build produced. NEVER counts the corpus and
+    NEVER builds: a probe is a read. Raises when no policy index exists
+    — the caller must build explicitly (``build_*(k_clusters=None)``)
+    before probing with the default."""
+    key = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(_index_root(), key)
+    cands = []
+    if os.path.isdir(base):
+        for d in os.listdir(base):
+            if not d.startswith(f"{kind}_") or d.endswith(".tmp"):
+                continue
+            mfile = os.path.join(base, d, "_meta.json")
+            try:
+                with open(mfile) as f:
+                    meta = json.load(f)
+            except (OSError, ValueError):
+                continue
+            if not meta.get("policy_k"):
+                continue
+            if match and any(meta.get(mk) != mv for mk, mv in match.items()):
+                continue
+            cands.append((os.path.getmtime(mfile), os.path.join(base, d)))
+    if not cands:
+        raise ValueError(
+            f"no policy-built '{kind}' index for {sf_dir!r} under "
+            f"{_index_root()!r}: a probe with k_clusters=None binds to an "
+            "existing policy index and never builds — build explicitly "
+            "(build_*(k_clusters=None)) before probing with the default")
+    cands.sort()
+    return cands[-1][1]
+
+
+def _ensure_policy_meta(final: str, kind: str, k_clusters: int,
+                        **params) -> None:
+    """A POLICY build that finds its directory already on disk stamps
+    (or upgrades) the ``_meta.json`` sidecar: builds are deterministic
+    in (corpus, k), so an index at the policy-resolved k IS the policy
+    index regardless of which call built it — including pre-r15 caches
+    that predate the sidecar and explicit-k builds that happen to equal
+    the policy k. Without the backfill, a default-k probe after a
+    default-k build against a warm cache would refuse."""
+    mfile = os.path.join(final, "_meta.json")
+    try:
+        with open(mfile) as f:
+            if json.load(f).get("policy_k"):
+                return
+    except (OSError, ValueError):
+        pass
+    _write_meta(final, kind, k_clusters, True, **params)
+
+
+def _restamp_meta(old_dir: str, tmp: str, k_clusters: int,
+                  policy: "bool | None") -> None:
+    """Carry the ``_meta.json`` sidecar through a retrain swap: the k
+    updates to the retrained centroid count; ``policy_k`` stays sticky
+    across a preserve-retrain (``policy=None`` — the index is still the
+    one the policy build produced) and is set/cleared by an explicit
+    ``"policy"``/int retrain."""
+    meta = {}
+    try:
+        with open(os.path.join(old_dir, "_meta.json")) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        pass
+    if policy is not None:
+        meta["policy_k"] = bool(policy)
+    meta["k_clusters"] = int(k_clusters)
+    with open(os.path.join(tmp, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def _check_k_clusters_arg(k_clusters) -> None:
+    """Reject any string other than the documented ``"policy"`` opt-in
+    (ADVICE r14 #2) — a typo like ``"Policy"`` or ``"auto"`` previously
+    fell through to ``.limit(k_clusters)`` and died with an opaque Py4J
+    type error."""
+    if isinstance(k_clusters, str) and k_clusters != "policy":
+        raise ValueError(
+            "k_clusters must be an int, None (preserve current k), or "
+            f"the string 'policy' (resize to the sqrt-n default); got "
+            f"{k_clusters!r}")
+
+
 # --------------------------------------------------------------------------
 # SRP-LSH signature index
 # --------------------------------------------------------------------------
@@ -278,11 +384,14 @@ def build_ivf_index(
     index directory. Resolution costs one count job; an EXPLICIT k
     keeps the source-independent fast path (existing index returned
     without touching the source parquet at all)."""
+    policy = k_clusters is None
     if k_clusters is None:
         k_clusters = resolve_k_clusters(
             None, read_table(spark, f"{sf_dir}/embeddings.parquet"))
     final = ivf_index_path(sf_dir, k_clusters)
     if os.path.isdir(final):
+        if policy:
+            _ensure_policy_meta(final, "ivf", k_clusters)
         return final
     df = read_table(spark, f"{sf_dir}/embeddings.parquet")
     centroids = ivf_build(df, id_col, vec_col, k_clusters)
@@ -297,6 +406,7 @@ def build_ivf_index(
     assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
     with open(os.path.join(tmp, "_centroids.json"), "w") as f:
         json.dump(centroids, f)
+    _write_meta(tmp, "ivf", k_clusters, policy)
     _publish(tmp, final)
     return final
 
@@ -315,8 +425,13 @@ def ivf_probe_topk(
     """Probe the stored IVF index: rank centroids driver-side (k×dim
     floats), read only the ``nprobe`` nearest cluster partitions
     (PartitionFilters), exact cosine re-rank inside them. Same semantics
-    as ``ivf_topk`` with pre-built centroids."""
-    path = build_ivf_index(spark, sf_dir, id_col, vec_col, k_clusters)
+    as ``ivf_topk`` with pre-built centroids. ``k_clusters=None`` BINDS
+    to the newest policy-built index (``_bind_policy_index``) — no
+    corpus count, no build inside a probe."""
+    if k_clusters is None:
+        path = _bind_policy_index(sf_dir, "ivf")
+    else:
+        path = build_ivf_index(spark, sf_dir, id_col, vec_col, k_clusters)
     with open(os.path.join(path, "_centroids.json")) as f:
         centroids = json.load(f)
     qn = math.sqrt(sum(x * x for x in query)) or 1e-12
@@ -387,11 +502,14 @@ def build_ivf_sampled_index(
     engines, see ``cosine_raw``) — one map-only scan, no UDF, no shuffle;
     the partitioned write clusters by ``cluster_id`` which is the probe's
     pruning key."""
+    policy = k_clusters is None
     if k_clusters is None:
         k_clusters = resolve_k_clusters(
             None, read_table(spark, f"{sf_dir}/embeddings.parquet"))
     final = ivf_sampled_index_path(sf_dir, k_clusters)
     if os.path.isdir(final):
+        if policy:
+            _ensure_policy_meta(final, "ivfs2", k_clusters)
         return final
     df = read_table(spark, f"{sf_dir}/embeddings.parquet")
     cent_rows = (
@@ -421,6 +539,7 @@ def build_ivf_sampled_index(
     assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(tmp)
     with open(os.path.join(tmp, "_centroids.json"), "w") as f:
         json.dump(centroids, f)
+    _write_meta(tmp, "ivfs2", k_clusters, policy)
     _publish(tmp, final)
     return final
 
@@ -440,8 +559,14 @@ def ivf_sampled_probe_topk(
     the UNROUNDED cosine (the Python left-fold is bit-identical to both
     engines' folds, see ``cosine_raw``), read only the ``nprobe`` nearest
     ``cluster_id`` partitions (PartitionFilters), exact cosine re-rank
-    inside them — also unrounded, with id tie-break."""
-    path = build_ivf_sampled_index(spark, sf_dir, id_col, vec_col, k_clusters)
+    inside them — also unrounded, with id tie-break. ``k_clusters=None``
+    BINDS to the newest policy-built index — no corpus count, no build
+    inside a probe (VERDICT r14 wrong #1)."""
+    if k_clusters is None:
+        path = _bind_policy_index(sf_dir, "ivfs2")
+    else:
+        path = build_ivf_sampled_index(spark, sf_dir, id_col, vec_col,
+                                       k_clusters)
     with open(os.path.join(path, "_centroids.json")) as f:
         centroids = json.load(f)
     probe = [cid for _, cid in _rank_centroids(centroids, query)[:nprobe]]
@@ -541,6 +666,7 @@ def build_ivf_incremental_base(
     ``k_clusters=None`` resolves to the √n default policy over the BASE
     subset (the corpus the centroids are sampled from); an explicit k
     keeps the source-independent existing-index fast path."""
+    policy = k_clusters is None
     if k_clusters is None:
         k_clusters = resolve_k_clusters(
             None, read_table(spark, f"{sf_dir}/embeddings.parquet")
@@ -569,6 +695,8 @@ def build_ivf_incremental_base(
     with open(os.path.join(tmp, "_tombstones.json"), "w") as f:
         json.dump([], f)
     _write_build_count(spark, tmp)
+    _write_meta(tmp, "ivfinc", k_clusters, policy,
+                base_pred=_base_pred_token(base_pred))
     _publish(tmp, final)
     return final
 
@@ -718,7 +846,12 @@ def ivf_incremental_retrain(
     to the √n default over the LIVE rows — the maintenance behavior
     where the cluster count tracks corpus growth (the caller owns the
     path and accepts that its k-suffix now records the BUILD-time k,
-    not the live one). An explicit int resizes to exactly that."""
+    not the live one). An explicit int resizes to exactly that; any
+    other string raises (ADVICE r14 #2)."""
+    _check_k_clusters_arg(k_clusters)
+    # meta policy_k after the swap: sticky for preserve (None), set by
+    # "policy", cleared by an explicit int
+    meta_policy = None if k_clusters is None else (k_clusters == "policy")
     with open(os.path.join(path, "_tombstones.json")) as f:
         tombs = json.load(f)
     with open(os.path.join(path, "_centroids.json")) as f:
@@ -747,6 +880,7 @@ def ivf_incremental_retrain(
     with open(os.path.join(tmp, "_tombstones.json"), "w") as f:
         json.dump([], f)
     _write_build_count(spark, tmp)
+    _restamp_meta(path, tmp, k_clusters, meta_policy)
     # applied-batch markers survive the swap: a retrain re-homes rows,
     # it does not forget which append batches are already in the index
     for m in os.listdir(path):
@@ -1035,11 +1169,15 @@ def build_ivfpq_index(
     (``build_pq_index``). ``k_clusters=None`` resolves to the √n
     default policy; an explicit k keeps the source-independent
     existing-index fast path."""
+    policy = k_clusters is None
     if k_clusters is None:
         k_clusters = resolve_k_clusters(
             None, read_table(spark, f"{sf_dir}/embeddings.parquet"))
     final = ivfpq_index_path(sf_dir, k_clusters, m_sub, k_cw)
     if os.path.isdir(final):
+        if policy:
+            _ensure_policy_meta(final, "ivfpq2", k_clusters,
+                                m_sub=m_sub, k_cw=k_cw)
         return final
     df = read_table(spark, f"{sf_dir}/embeddings.parquet")
     sub = dim // m_sub
@@ -1099,6 +1237,7 @@ def build_ivfpq_index(
         json.dump(centroids, f)
     with open(os.path.join(tmp, "_codebooks.json"), "w") as f:
         json.dump(codebooks, f)
+    _write_meta(tmp, "ivfpq2", k_clusters, policy, m_sub=m_sub, k_cw=k_cw)
     _publish(tmp, final)
     return final
 
@@ -1123,9 +1262,15 @@ def ivfpq_probe_topk(
     (PartitionFilters), ADC-rank their codes with the integer LUT, exact
     cosine re-rank of the candidate pool — also unrounded, with id
     tie-break. The scan cost is (nprobe/k_clusters) × (code bytes / vector
-    bytes) of a brute-force scan — both prunings compose."""
-    path = build_ivfpq_index(spark, sf_dir, id_col, vec_col,
-                             k_clusters, m_sub, k_cw, dim=len(query))
+    bytes) of a brute-force scan — both prunings compose.
+    ``k_clusters=None`` BINDS to the newest policy-built index with the
+    same (m_sub, k_cw) — no corpus count, no build inside a probe."""
+    if k_clusters is None:
+        path = _bind_policy_index(sf_dir, "ivfpq2",
+                                  match={"m_sub": m_sub, "k_cw": k_cw})
+    else:
+        path = build_ivfpq_index(spark, sf_dir, id_col, vec_col,
+                                 k_clusters, m_sub, k_cw, dim=len(query))
     with open(os.path.join(path, "_centroids.json")) as f:
         centroids = json.load(f)
     with open(os.path.join(path, "_codebooks.json")) as f:
@@ -1251,6 +1396,7 @@ def build_ivfpq_incremental_base(
     ``cluster_id``. ``k_clusters=None`` resolves to the √n default
     policy over the BASE subset; an explicit k keeps the
     source-independent existing-index fast path."""
+    policy = k_clusters is None
     if k_clusters is None:
         k_clusters = resolve_k_clusters(
             None, read_table(spark, f"{sf_dir}/embeddings.parquet")
@@ -1287,6 +1433,8 @@ def build_ivfpq_incremental_base(
     with open(os.path.join(tmp, "_tombstones.json"), "w") as f:
         json.dump([], f)
     _write_build_count(spark, tmp)
+    _write_meta(tmp, "ivfpqinc", k_clusters, policy, m_sub=m_sub,
+                k_cw=k_cw, base_pred=_base_pred_token(base_pred))
     _publish(tmp, final)
     return final
 
@@ -1336,7 +1484,10 @@ def ivfpq_incremental_retrain(
     ``k_clusters``: ``None`` preserves the index's current centroid
     count (the path-key contract — see
     :func:`ivf_incremental_retrain`); ``"policy"`` opts in to the √n
-    default over the LIVE rows; an int resizes explicitly."""
+    default over the LIVE rows; an int resizes explicitly; any other
+    string raises (ADVICE r14 #2)."""
+    _check_k_clusters_arg(k_clusters)
+    meta_policy = None if k_clusters is None else (k_clusters == "policy")
     with open(os.path.join(path, "_tombstones.json")) as f:
         tombs = json.load(f)
     with open(os.path.join(path, "_centroids.json")) as f:
@@ -1371,6 +1522,7 @@ def ivfpq_incremental_retrain(
     with open(os.path.join(tmp, "_tombstones.json"), "w") as f:
         json.dump([], f)
     _write_build_count(spark, tmp)
+    _restamp_meta(path, tmp, k_clusters, meta_policy)
     for m in os.listdir(path):
         if m.startswith("_applied_"):
             shutil.copy(os.path.join(path, m), os.path.join(tmp, m))
@@ -1471,11 +1623,15 @@ def build_ivfpq_residual_index(
     oracle-paired registry entry stays on the direct variant
     (``ann_ivfpq_topk``); this path is recall-gated in pytest, the standard
     posture for a production-parity approximation."""
+    policy = k_clusters is None
     if k_clusters is None:
         k_clusters = resolve_k_clusters(
             None, read_table(spark, f"{sf_dir}/embeddings.parquet"))
     final = ivfpq_residual_index_path(sf_dir, k_clusters, m_sub, k_cw)
     if os.path.isdir(final):
+        if policy:
+            _ensure_policy_meta(final, "ivfpqr", k_clusters,
+                                m_sub=m_sub, k_cw=k_cw)
         return final
     df = read_table(spark, f"{sf_dir}/embeddings.parquet")
     sub = dim // m_sub
@@ -1558,6 +1714,7 @@ def build_ivfpq_residual_index(
         json.dump(centroids, f)
     with open(os.path.join(tmp, "_codebooks.json"), "w") as f:
         json.dump(codebooks, f)
+    _write_meta(tmp, "ivfpqr", k_clusters, policy, m_sub=m_sub, k_cw=k_cw)
     _publish(tmp, final)
     return final
 
@@ -1581,9 +1738,15 @@ def ivfpq_residual_probe_topk(
     LUT per inverted list the same way) — so the ADC term is selected by
     the row's ``cluster_id`` over the nprobe live LUTs. Everything else
     (partition pruning, integer micro-unit LUT, exact unrounded-cosine
-    re-rank) matches ``ivfpq_probe_topk``."""
-    path = build_ivfpq_residual_index(spark, sf_dir, id_col, vec_col,
-                                      k_clusters, m_sub, k_cw, dim=len(query))
+    re-rank) matches ``ivfpq_probe_topk``, including the
+    ``k_clusters=None`` → bind-to-newest-policy-index resolution."""
+    if k_clusters is None:
+        path = _bind_policy_index(sf_dir, "ivfpqr",
+                                  match={"m_sub": m_sub, "k_cw": k_cw})
+    else:
+        path = build_ivfpq_residual_index(spark, sf_dir, id_col, vec_col,
+                                          k_clusters, m_sub, k_cw,
+                                          dim=len(query))
     with open(os.path.join(path, "_centroids.json")) as f:
         centroids = json.load(f)
     with open(os.path.join(path, "_codebooks.json")) as f:
