@@ -772,25 +772,9 @@ _R14_STALE_FIRST = (
 # ann_ivf_incremental_topk, ann_ivf_topk, bydbql_trace_stats,
 # continuous_rollup_materialized, corpus_clean_pipeline,
 # criteria_having_array, criteria_not_having_array.
-# R15 SEEDING NOTE (precomputed so next round is mechanical): after
-# the r14 sweep records this 50, the oldest cohort is the REMAINING
-# 32 r11 entries (decontamination_overlap, dedup_exact,
-# dedup_ngram_jaccard, documents_weighted_sample,
-# domain_mixture_resample, embedding_covariance,
-# embedding_int8_quantization, embedding_pca_project, events_asof_join,
-# events_cube_type_day, events_funnel_conversion,
-# events_funnel_transitions, events_pivot_type_counts,
-# events_range_join_bucketed, events_session_window, latency_heatmap,
-# measure_gap_fill_interpolate, measure_hopping_window,
-# measure_index_mode_scan, measure_latency_percentiles,
-# measure_moving_avg, measure_orderby_field_desc, multimodal_features,
-# multimodal_frame_sample, quality_tfidf_top_terms,
-# tpch_q1_pricing_summary, tpch_q4_order_priority,
-# tpch_q5_local_supplier, tpch_q6_forecast_revenue,
-# tpch_q7_volume_shipping, tpch_q8_market_share, trace_spans_payload)
-# — lead _R15_STALE_FIRST with them (confirm against the actual
-# CORRECTNESS_r14.json keys first; a driver failure could shift the
-# recorded window).
+# R15 SEEDING NOTE: promoted to _R15_STALE_FIRST below in r15 after
+# confirming the CORRECTNESS_r14.json keys matched the precomputed
+# window exactly (50/50 green, no spill).
 _R14_TOUCHED = (
     "dedup_minhash_compacted", "dedup_minhash_incremental",
     "streaming_incremental_dedup_materialized",
@@ -799,11 +783,108 @@ _R14_TOUCHED = (
     "dedup_minhash_lsh_k32", "dedup_minhash_lsh_agg",
 )
 
+# Entries the round-14 driver sweep recorded (CORRECTNESS_r14.json):
+# 50/50 green, zero errors — the sixth consecutive all-green window,
+# matching the precomputed r14 front exactly (33-entry r10 cohort +
+# ann_ivf_policy_topk + the 8 touched minhash paths + the first 8 r11
+# entries alphabetically; judge re-derived it mechanically).
+_R14_DRIVER_SEEN = frozenset({
+    "ann_cosine_topk", "ann_ivf_incremental_topk", "ann_ivf_policy_topk",
+    "ann_ivf_topk", "bydbql_trace_stats", "continuous_rollup_materialized",
+    "corpus_clean_pipeline", "criteria_having_array",
+    "criteria_not_having_array", "dedup_minhash_compacted",
+    "dedup_minhash_incremental", "dedup_minhash_lsh",
+    "dedup_minhash_lsh_3gram", "dedup_minhash_lsh_agg",
+    "dedup_minhash_lsh_k32", "dedup_resolution_keep_best",
+    "dedup_substring_winnow", "measure_groupby_sum",
+    "measure_multigroup_schema_merge", "measure_multigroup_union",
+    "measure_ohlc_window", "measure_top_desc", "measure_write_roundtrip",
+    "part_never_ordered_antijoin", "property_filter_sort",
+    "property_match_or", "quality_bigram_coverage",
+    "quality_charlm_typicality", "quality_rare_token_ratio",
+    "request_yaml_measure", "request_yaml_property", "request_yaml_stream",
+    "request_yaml_trace", "rollup_events_daily",
+    "slo_burn_rate_multiwindow", "stream_criteria_or_tree",
+    "stream_multigroup_schema_merge", "stream_scan_paged",
+    "streaming_counter_increase_materialized",
+    "streaming_incremental_dedup_materialized",
+    "streaming_resolution_materialized", "topn_stateful_heap",
+    "topn_streaming_materialized", "tpch_q10_returned_items",
+    "tpch_q14_promo_effect", "tpch_q17_small_quantity",
+    "tpch_q18_large_volume", "tpch_q21_sole_delayed",
+    "tpch_q3_shipping_priority", "trace_multigroup_schema_merge",
+})
+
+# Round-15 window front (VERDICT r14 Next #2): no spill carried out of
+# r14 (42-entry front, under the cap), so the seed is the 32-entry r11
+# cohort — the oldest driver rows anywhere after r14's histogram
+# (r11:32 / r12:44 / r13:46 / r14:50); the r14 VERDICT's precomputed
+# list, confirmed against the actual CORRECTNESS_r14.json keys. After
+# r15 no entry's newest driver row may be older than r12 except a
+# documented spill.
+_R15_STALE_FIRST = (
+    "decontamination_overlap", "dedup_exact", "dedup_ngram_jaccard",
+    "documents_weighted_sample", "domain_mixture_resample",
+    "embedding_covariance", "embedding_int8_quantization",
+    "embedding_pca_project", "events_asof_join", "events_cube_type_day",
+    "events_funnel_conversion", "events_funnel_transitions",
+    "events_pivot_type_counts", "events_range_join_bucketed",
+    "events_session_window", "latency_heatmap",
+    "measure_gap_fill_interpolate", "measure_hopping_window",
+    "measure_index_mode_scan", "measure_latency_percentiles",
+    "measure_moving_avg", "measure_orderby_field_desc",
+    "multimodal_features", "multimodal_frame_sample",
+    "quality_tfidf_top_terms", "tpch_q1_pricing_summary",
+    "tpch_q4_order_priority", "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "trace_spans_payload",
+)
+
+# Entries whose compile paths round 15 changed (re-verify ahead of the
+# merely-stale rest): the ANN probe-side policy binding (VERDICT r14
+# wrong #1) — ann_ivf_policy_topk now builds explicitly then BINDS its
+# default-k probe to the persisted _meta.json sidecar; the other IVF
+# probes and the incremental base builds share the touched
+# ann_index.py code paths (meta write/backfill, bind-vs-build branch).
+# Window arithmetic: 32 stale + 0 fresh + 6 touched = 38 — under the
+# cap, no spill; the remaining 12 slots take the oldest-cohort rest in
+# (round, name) order — deterministically the first 12 r12 entries
+# alphabetically: ann_lsh_topk, ann_pq_topk, bydbql_family_qualified_agg,
+# dedup_embedding_cosine, dedup_embedding_lsh, dedup_near_dup_clusters,
+# documents_stratified_sample, documents_train_split,
+# embedding_centroid_confusion, embedding_l2_norms,
+# events_cohort_retention, json_extract_agg.
+# R16 SEEDING NOTE (precomputed so next round is mechanical): after
+# the r15 sweep records this 50, the oldest cohort is the REMAINING
+# 29 r12 entries (measure_groupby_mean_salted, measure_histogram_quantile,
+# measure_rate_delta, measure_rate_extrapolated_promql,
+# measure_zscore_anomalies, property_crud_roundtrip, quality_repetition,
+# sequence_packing, sketch_bloom_membership, sketch_hll_users,
+# stream_having_derived_tag, stream_write_roundtrip,
+# streaming_extrapolated_rate_materialized,
+# streaming_hll_distinct_materialized, topn_entity_conditions,
+# topn_multigroup_postagg_max, topn_per_window, topn_postagg_mean,
+# tpch_q11_important_stock, tpch_q12_priority_shipclass,
+# tpch_q13_customer_distribution, tpch_q15_top_supplier,
+# tpch_q16_supplier_relationship, tpch_q19_discounted_revenue,
+# tpch_q20_part_promotion, tpch_q22_sales_opportunity,
+# tpch_q2_min_cost_supplier, tpch_q9_product_profit,
+# write_mixed_roundtrip) — lead _R16_STALE_FIRST with them (confirm
+# against the actual CORRECTNESS_r15.json keys first; a driver failure
+# could shift the recorded window).
+_R15_TOUCHED = (
+    "ann_ivf_policy_topk", "ann_ivf_topk", "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk", "ann_ivf_incremental_topk",
+    "ann_ivfpq_incremental_topk",
+)
+
 _SWEEP_CAP = 50
 
 
 def _newest_driver_round(k: str) -> int:
     """Most recent round whose sweep recorded this entry (0 = never)."""
+    if k in _R14_DRIVER_SEEN:
+        return 14
     if k in _R13_DRIVER_SEEN:
         return 13
     if k in _R12_DRIVER_SEEN:
@@ -835,17 +916,17 @@ def _newest_driver_round(k: str) -> int:
 
 def _sweep_order(d: Dict[str, "object"]) -> list:
     """Driver sweeps record the FIRST 50 entries only, so order by need:
-    the r10-stale cohort (oldest driver rows anywhere — VERDICT r13
-    Next #2; no spill carried out of r13), then never-driver-seen
+    the r11-stale cohort (oldest driver rows anywhere — VERDICT r14
+    Next #2; no spill carried out of r14), then never-driver-seen
     entries (new this round), then entries whose code changed this round
-    (_R14_TOUCHED), then everything else oldest-driver-row first so no
+    (_R15_TOUCHED), then everything else oldest-driver-row first so no
     entry's newest row goes stale silently. Warn when the priority
     prefix itself overflows the cap (ADVICE r3) — the spilled tail
     becomes the mandatory prefix of next round's stale seed (overflow
     rule above _R8_STALE_FIRST)."""
-    stale = [k for k in _R14_STALE_FIRST if k in d]
+    stale = [k for k in _R15_STALE_FIRST if k in d]
     fresh = [k for k in d if _newest_driver_round(k) == 0 and k not in stale]
-    touched = [k for k in _R14_TOUCHED
+    touched = [k for k in _R15_TOUCHED
                if k in d and k not in fresh and k not in stale]
     front = stale + fresh + touched
     if len(front) > _SWEEP_CAP:

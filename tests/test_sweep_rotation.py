@@ -1,12 +1,12 @@
-"""Driver-window rotation discipline (VERDICT r11 #2 / r13 Next #2).
+"""Driver-window rotation discipline (VERDICT r11 #2 / r14 Next #2).
 
 The driver records only the FIRST 50 `queries()` entries per round, so
 the sweep order IS the rotation policy: stale-first cohort, then
 never-driver-seen entries, then this round's touched compile paths,
-then everything else oldest-first. Round 13 cleared its window without
-a spill, so round 14's seed is simply the r10 cohort — the 33 entries
-whose newest driver row is r10, the oldest anywhere after r13's
-histogram (r10:33 / r11:40 / r12:48 / r13:50). These tests pin the r14
+then everything else oldest-first. Round 14 cleared its window without
+a spill, so round 15's seed is simply the r11 cohort — the 32 entries
+whose newest driver row is r11, the oldest anywhere after r14's
+histogram (r11:32 / r12:44 / r13:46 / r14:50). These tests pin the r15
 composition mechanically so a silent mis-ordering (an entry waiting two
 extra rounds unnoticed) cannot ship.
 """
@@ -19,35 +19,35 @@ from skywalking_banyandb_spark import registry as reg
 
 
 def _front():
-    stale = [k for k in reg._R14_STALE_FIRST if k in reg._QUERIES]
+    stale = [k for k in reg._R15_STALE_FIRST if k in reg._QUERIES]
     fresh = [k for k in reg._QUERIES
              if reg._newest_driver_round(k) == 0 and k not in stale]
-    touched = [k for k in reg._R14_TOUCHED
+    touched = [k for k in reg._R15_TOUCHED
                if k in reg._QUERIES and k not in fresh and k not in stale]
     return stale + fresh + touched
 
 
-def test_r10_cohort_leads_the_window():
-    """The r14 seed is the full r10 cohort: every _R14_STALE_FIRST entry
-    must actually have its newest driver row at r10 (seeding anything
+def test_r11_cohort_leads_the_window():
+    """The r15 seed is the full r11 cohort: every _R15_STALE_FIRST entry
+    must actually have its newest driver row at r11 (seeding anything
     fresher would waste window slots; anything staler cannot exist
-    after r13's histogram), and the sweep leads with exactly that tuple."""
+    after r14's histogram), and the sweep leads with exactly that tuple."""
     order = list(reg.queries())
-    stale = [k for k in reg._R14_STALE_FIRST if k in reg._QUERIES]
+    stale = [k for k in reg._R15_STALE_FIRST if k in reg._QUERIES]
     assert order[:len(stale)] == stale
     for k in stale:
-        assert reg._newest_driver_round(k) == 10, (
+        assert reg._newest_driver_round(k) == 11, (
             f"{k} has newest driver row r{reg._newest_driver_round(k)}, "
-            "not r10 — the seed no longer matches the staleness histogram")
+            "not r11 — the seed no longer matches the staleness histogram")
 
 
-def test_every_r10_row_is_in_the_seed():
-    """No r10-stale entry may be left out of the seed — it would wait
+def test_every_r11_row_is_in_the_seed():
+    """No r11-stale entry may be left out of the seed — it would wait
     behind fresher rows and silently fall past the cap."""
     missing = [k for k in reg._QUERIES
-               if reg._newest_driver_round(k) == 10
-               and k not in reg._R14_STALE_FIRST]
-    assert not missing, f"r10-stale entries outside the seed: {missing}"
+               if reg._newest_driver_round(k) == 11
+               and k not in reg._R15_STALE_FIRST]
+    assert not missing, f"r11-stale entries outside the seed: {missing}"
 
 
 def test_window_composition():
@@ -60,30 +60,41 @@ def test_window_composition():
     if spill:
         # overflow rule: the warning must name the spilled entries and
         # each must have a driver row fresh enough to wait one round
-        assert all(reg._newest_driver_round(k) >= 11 for k in spill)
+        assert all(reg._newest_driver_round(k) >= 12 for k in spill)
         msgs = [str(x.message) for x in w if "exceeds" in str(x.message)]
         assert msgs and all(k in msgs[0] for k in spill)
     else:
         assert not [x for x in w if "exceeds" in str(x.message)]
 
 
-def test_r14_front_fits_or_spill_is_documented():
-    """33 stale + fresh + 8 touched; if it overflows, the spilled tail
+def test_r15_front_fits_or_spill_is_documented():
+    """32 stale + fresh + 6 touched; if it overflows, the spilled tail
     must be copied into the next round's seed — assert we can at least
     name it deterministically here."""
-    stale = [k for k in reg._R14_STALE_FIRST if k in reg._QUERIES]
-    assert len(stale) == 33  # the full r10 cohort
+    stale = [k for k in reg._R15_STALE_FIRST if k in reg._QUERIES]
+    assert len(stale) == 32  # the full r11 cohort
 
 
 def test_nothing_outside_the_window_is_stale():
-    """After the r14 sweep records the first 50, no entry's newest
-    driver row anywhere in the registry may be older than r11 (the r10
+    """After the r15 sweep records the first 50, no entry's newest
+    driver row anywhere in the registry may be older than r12 (the r11
     cohort all sits inside the window)."""
     order = list(reg.queries())
     for k in order[reg._SWEEP_CAP:]:
-        assert reg._newest_driver_round(k) >= 11, (
+        assert reg._newest_driver_round(k) >= 12, (
             f"{k} (newest driver row r{reg._newest_driver_round(k)}) "
             "is outside the 50-entry window — it would go stale silently")
+
+
+def test_r14_seen_set_matches_correctness_file():
+    """_R14_DRIVER_SEEN must equal the keys of CORRECTNESS_r14.json —
+    the bookkeeping the staleness ordering rests on."""
+    import json
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "CORRECTNESS_r14.json")
+    recorded = frozenset(json.load(open(path)).keys())
+    assert reg._R14_DRIVER_SEEN == recorded
 
 
 def test_r13_seen_set_matches_correctness_file():
@@ -95,17 +106,6 @@ def test_r13_seen_set_matches_correctness_file():
                         "CORRECTNESS_r13.json")
     recorded = frozenset(json.load(open(path)).keys())
     assert reg._R13_DRIVER_SEEN == recorded
-
-
-def test_r12_seen_set_matches_correctness_file():
-    """_R12_DRIVER_SEEN must equal the keys of CORRECTNESS_r12.json —
-    the bookkeeping the staleness ordering rests on."""
-    import json
-    import os
-    path = os.path.join(os.path.dirname(__file__), "..",
-                        "CORRECTNESS_r12.json")
-    recorded = frozenset(json.load(open(path)).keys())
-    assert reg._R12_DRIVER_SEEN == recorded
 
 
 def test_oracles_and_queries_share_the_exact_order():
