@@ -115,6 +115,60 @@ EXTENDED = [
 ]
 
 
+def _ab_freshness(ab, head: "str | None", changed_paths):
+    """A/B-pair freshness gate (VERDICT r14 Next #3): the embedded pair
+    is only evidence about THIS bench's code if no engine source changed
+    between the pair's current-HEAD run and the bench HEAD. A pair whose
+    ``cur_head.commit`` matches the bench HEAD — or differs from it only
+    by artifact commits (no ``.py`` in the diff; BENCH/SCALE/AB json and
+    doc updates are measurement bookkeeping, not engine changes) — embeds
+    under ``ab_prev_head``; anything else embeds under
+    ``ab_prev_head_stale`` with an explicit warning, so a stale pair is
+    loud instead of silently misleading. Returns (key, record)."""
+    if not isinstance(ab, dict) or "cur_head" not in ab:
+        return "ab_prev_head", ab          # absent / unreadable-error stub
+    cur = ab.get("cur_head", {}).get("commit")
+    rec = {**ab, "head_at_bench": head}
+    if head is None:
+        rec["warning"] = ("could not resolve the repo HEAD; pair "
+                          "freshness not checked")
+        return "ab_prev_head", rec
+    if cur == head or (changed_paths is not None and
+                       not any(p.endswith(".py") for p in changed_paths)):
+        return "ab_prev_head", rec
+    rec["warning"] = (
+        f"pair's cur_head {str(cur)[:12]} does not match bench HEAD "
+        f"{head[:12]} and .py sources changed between them — rerun "
+        "scripts/ab_bench.py for a pair that measures this code")
+    return "ab_prev_head_stale", rec
+
+
+def _ab_git_state(ab) -> "tuple[str | None, list | None]":
+    """(bench HEAD, paths changed since the pair's cur_head) — both None
+    when git/the commit is unavailable (the gate then requires exact
+    commit equality)."""
+    import subprocess
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        head = subprocess.check_output(
+            ["git", "rev-parse", "HEAD"], cwd=repo, text=True,
+            stderr=subprocess.DEVNULL).strip()
+    except Exception:
+        return None, None
+    changed = None
+    cur = (ab or {}).get("cur_head", {}).get("commit") \
+        if isinstance(ab, dict) else None
+    if cur:
+        try:
+            out = subprocess.check_output(
+                ["git", "diff", "--name-only", f"{cur}..HEAD"], cwd=repo,
+                text=True, stderr=subprocess.DEVNULL)
+            changed = [ln for ln in out.splitlines() if ln.strip()]
+        except Exception:
+            changed = None
+    return head, changed
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -231,6 +285,7 @@ def main() -> None:
     # round; tests/test_ann_recall.py asserts the floors.
     from skywalking_banyandb_spark.sources.ann_recall import (
         ann_incremental_recall_sweep,
+        ann_policy_retrain_sequence,
         ann_recall_at_k,
     )
 
@@ -245,6 +300,13 @@ def main() -> None:
 
     ann_sweep = ann_incremental_recall_sweep(
         spark, sf_dir, _scratch_dir("ann_recall_sweep"))
+
+    # append → needs_retrain → retrain(k="policy") → recall (VERDICT
+    # r14 Next #6): the live-rows k-resize opt-in run end-to-end each
+    # round; the from-scratch floor is a fresh policy build, and the
+    # retrained index must MATCH it (same deterministic sample).
+    ann_policy_seq = ann_policy_retrain_sequence(
+        spark, sf_dir, _scratch_dir("ann_policy_retrain"))
 
     total = round(sum(timings.values()), 4)
     ext_total = round(sum(extended.values()), 4)
@@ -298,6 +360,8 @@ def main() -> None:
             # an interrupted ab_bench run must degrade the OPTIONAL
             # sidecar, never break the scored bench
             ab_prev_head = {"error": f"unreadable AB_PREV_HEAD.json: {exc}"}
+    ab_key, ab_rec = _ab_freshness(ab_prev_head,
+                                   *_ab_git_state(ab_prev_head))
     with open(detail_path, "w") as fh:
         json.dump({
             "metric": "headline_query_total",
@@ -315,7 +379,8 @@ def main() -> None:
             "scratch_build_probe": scratch_split,
             "ann_recall_at_10": ann_recall,
             "ann_incremental_recall_sweep": ann_sweep,
-            "ab_prev_head": ab_prev_head,
+            "ann_policy_retrain": ann_policy_seq,
+            ab_key: ab_rec,
             "sf": sf,
         }, fh, indent=1)
     print(json.dumps({

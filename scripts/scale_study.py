@@ -76,6 +76,14 @@ ENTRIES = [
     # 2-epoch probe->decide->absorb stream per pass
     ("mhidx_compaction_lifecycle", "staged"),
     ("streaming_resolution_loop", "staged"),
+    # the mid-weight quality family (VERDICT r14 Next #4) — the three
+    # largest extended bench rows that previously had no fitted
+    # exponents; all three are Catalyst-only aggregations over
+    # documents, expected shuffle-bound sub-linear-to-linear, but
+    # "almost certainly" is the evidence class this study replaces
+    ("quality_charlm_typicality", "noop"),
+    ("quality_repetition", "noop"),
+    ("quality_tfidf_top_terms", "noop"),
 ]
 # entries whose sf1 pass count is 1 (quadratic answer volume)
 SINGLE_PASS_AT_SF1 = {"dedup_minhash_lsh_agg", "dedup_substring_winnow"}
@@ -267,14 +275,29 @@ def time_entries(spark, qs, sf_dir: str, sf: float, only=None) -> dict:
 def fit(results: dict, scales) -> dict:
     """Fit exponents for every entry present at ALL scale points; for
     staged lifecycle families, additionally fit each stage's own
-    exponent (the compact stage's is the named cost driver)."""
+    exponent (the compact stage's is the named cost driver). A family
+    timed at SOME but not all scale points is named in a warning
+    (ADVICE r14 #3) — a silent skip reads as the study having covered
+    it."""
     exps: dict = {}
     names = [n for n, _ in ENTRIES
              if all(n in results.get(str(s), {}) for s in scales)]
+    partial = [n for n, _ in ENTRIES
+               if n not in names
+               and any(n in results.get(str(s), {}) for s in scales)]
+    if partial:
+        import warnings
+        warnings.warn(
+            f"families timed at some but not all of {scales} and "
+            f"therefore EXCLUDED from the exponent fit: {partial} — "
+            "re-run them at the missing scale points", stacklevel=2)
 
-    def _e(a: float, b: float, lo: float, hi: float) -> float:
+    def _e(a: float, b: float, lo: float, hi: float) -> "float | None":
+        # None (JSON null), not float('nan'): a stage wall rounding to
+        # 0.0 at small SF must not poison SCALE_STUDY.json with a bare
+        # NaN token that strict parsers reject (ADVICE r14 #1)
         if a <= 0 or b <= 0:
-            return float("nan")
+            return None
         return round(math.log(b / a) / math.log(hi / lo), 3)
 
     for name in names:

@@ -276,3 +276,79 @@ def ann_incremental_recall_sweep(
     from .ann_index import REBUILD_APPEND_FRACTION
     result["policy"] = {"rebuild_append_fraction": REBUILD_APPEND_FRACTION}
     return result
+
+
+def ann_policy_retrain_sequence(
+    spark: SparkSession,
+    sf_dir: str,
+    scratch_root: str,
+    k: int = 10,
+    n_queries: int = 4,
+) -> Dict:
+    """The ``k_clusters="policy"`` retrain exercised END-TO-END (VERDICT
+    r14 Next #6): build a POLICY-sized incremental base over half the
+    corpus, append the other half (100% growth), watch
+    :func:`ann_index.incremental_needs_retrain` fire, retrain with
+    ``k_clusters="policy"`` — the maintenance behavior where the
+    cluster count tracks corpus growth — and score post-retrain recall.
+
+    The from-scratch floor is measured, not argued: a FRESH policy base
+    built over the full corpus in separate scratch. Because retrain re-
+    derives the same smallest-``md5(id)`` centroid sample from the same
+    live rows, the retrained index and the fresh build are the SAME
+    artifact — ``recall_after_policy_retrain`` must EQUAL
+    ``recall_from_scratch`` (pinned in tests/test_ann_recall.py), which
+    is the strongest form of "post-retrain recall ≥ the from-scratch
+    floor"."""
+    import json as _json
+    import os as _os
+
+    from ..functions.similarity import default_k_clusters
+    from .ann_index import (
+        build_ivf_incremental_base,
+        incremental_needs_retrain,
+        ivf_incremental_append,
+        ivf_incremental_probe_topk,
+        ivf_incremental_retrain,
+    )
+
+    emb = read_table(spark, f"{sf_dir}/embeddings.parquet")
+    base_pred = "vec_id % 2 = 0"
+    p = build_ivf_incremental_base(
+        spark, sf_dir, k_clusters=None, base_pred=base_pred,
+        root=_os.path.join(scratch_root, "grown"))
+    with open(_os.path.join(p, "_centroids.json")) as f:
+        k_before = len(_json.load(f))
+    ivf_incremental_append(spark, p, emb.where("vec_id % 2 = 1"),
+                           marker="policy_seq")
+    fired = incremental_needs_retrain(spark, p)
+    ivf_incremental_retrain(spark, p, k_clusters="policy")
+    with open(_os.path.join(p, "_meta.json")) as f:
+        meta = _json.load(f)
+    k_after = meta["k_clusters"]
+
+    fresh = build_ivf_incremental_base(
+        spark, sf_dir, k_clusters=None, base_pred="true",
+        root=_os.path.join(scratch_root, "fresh"))
+
+    panel = query_panel(spark, sf_dir, n_queries)
+
+    def _recall(path: str) -> float:
+        hit = den = 0
+        for qid, qv in panel:
+            truth = _exact_ids(spark, sf_dir, qv, k, qid)
+            got = {int(r.vec_id) for r in ivf_incremental_probe_topk(
+                spark, path, qv, k, nprobe=4, exclude_id=qid).collect()}
+            hit += len(got & truth)
+            den += len(truth)
+        return round(hit / den, 4)
+
+    return {
+        "k_before": k_before,
+        "k_after": k_after,
+        "k_policy_live": default_k_clusters(emb.count()),
+        "needs_retrain_fired": bool(fired),
+        "meta_policy_k": bool(meta.get("policy_k")),
+        "recall_after_policy_retrain": _recall(p),
+        "recall_from_scratch": _recall(fresh),
+    }

@@ -53,3 +53,21 @@ def test_panel_is_deterministic(spark):
     p2 = query_panel(spark, SF_SMALL, 8)
     assert p1 == p2
     assert len({qid for qid, _ in p1}) == 8
+
+
+def test_policy_retrain_sequence_matches_from_scratch(spark, tmp_path):
+    """The bench's append→needs_retrain→retrain(k="policy")→recall row
+    (VERDICT r14 Next #6): the trigger fires at 100% growth, the resize
+    lands on the live-rows policy k, and post-retrain recall EQUALS the
+    fresh policy build's — retrain re-derives the same smallest-md5
+    centroid sample from the same live rows, so the two indexes are the
+    same artifact (the strongest form of ">= the from-scratch floor")."""
+    from skywalking_banyandb_spark.sources.ann_recall import (
+        ann_policy_retrain_sequence,
+    )
+
+    rec = ann_policy_retrain_sequence(spark, SF_SMALL, str(tmp_path))
+    assert rec["needs_retrain_fired"] is True          # 100% > 50%
+    assert rec["k_after"] == rec["k_policy_live"] > rec["k_before"]
+    assert rec["meta_policy_k"] is True
+    assert rec["recall_after_policy_retrain"] == rec["recall_from_scratch"]
