@@ -104,6 +104,32 @@ def _shingles_sql(expr: str, n: int) -> str:
     )
 
 
+def _verify_sets(sh: DataFrame) -> DataFrame:
+    """``(id, shset, sz)`` verify-set relation from an exploded ``(id,
+    sh)`` shingle relation — the shingle is CODED to its 64-bit xxhash
+    before set collection (r15, guide §2.3 "narrower types"): the
+    per-pair verification only ever reads CARDINALITIES (|∩| and the two
+    set sizes), never shingle values, so any injective coding is
+    value-invariant — and ``array_intersect`` over fixed-width BIGINTs
+    hashes/compares machine words where the string form re-hashes every
+    variable-length shingle once per candidate pair it appears in (the
+    DuckDB twin has dense-coded its verify lists since r10 for the same
+    reason, 1.8× there; same-host paired runs here, combined with the
+    r15 cand persist: K=32 bench entry 26.5 s → 8.7 s, K=8 agg
+    12.5 s → 9.2 s). A 64-bit collision between two distinct shingles of
+    the same candidate-doc pair would shrink a set or an intersection;
+    over a corpus vocabulary of V shingles the expected number of
+    colliding pairs is ~V²/2⁶⁵ (≈1e-9 at V=100k, still ≈1e-3 at a
+    100 TB-scale V=1e8) — tests/test_dedup_hashcode.py pins injectivity
+    on the shipped corpora and the oracle conformance suite re-proves
+    value-equality end-to-end every round."""
+    return (
+        sh.groupBy("id")
+        .agg(F.collect_set(F.xxhash64("sh")).alias("shset"))
+        .select("id", "shset", F.size("shset").alias("sz"))
+    )
+
+
 def _verify_pairs_exact(
     cand: DataFrame, sh: DataFrame, threshold: float
 ) -> DataFrame:
@@ -126,15 +152,10 @@ def _verify_pairs_exact(
         .unionByName(cand.select(F.col("b").alias("id")))
         .distinct()
     )
-    sets = (
-        # candidate-id cardinality is data-dependent (could approach the
-        # corpus in a dup-heavy crawl), so no forced broadcast — AQE
-        # broadcasts the semi-join side when it is actually small
-        sh.join(ids, "id", "left_semi")
-        .groupBy("id")
-        .agg(F.collect_set("sh").alias("shset"))
-        .select("id", "shset", F.size("shset").alias("sz"))
-    )
+    # candidate-id cardinality is data-dependent (could approach the
+    # corpus in a dup-heavy crawl), so no forced broadcast — AQE
+    # broadcasts the semi-join side when it is actually small
+    sets = _verify_sets(sh.join(ids, "id", "left_semi"))
     return _verify_pairs_with_sets(cand, sets, threshold)
 
 
@@ -426,20 +447,21 @@ def _minhash_sig(df: DataFrame, id_col: str, text_col: str, n: int,
 # lock-guarded for concurrent callers.
 # Window size = the live WORKING SET, not a token pair (VERDICT r13 #1
 # re-hit the r11 thrash by GROWING the set past the window without
-# resizing it). The bench's extended cycle interleaves FOUR stable
-# banded plans — 3-gram K=8, unigram K=8 (shared by the lsh and agg
-# entries), unigram K=32, and the incremental probe's candidate table —
-# so the window holds those four plus headroom for a caller's own
-# config. Plans keyed by PER-RUN SCRATCH paths (the compacted entry's
-# probe, the streaming loops' per-epoch probes) mint a fresh semantic
-# hash every pass and would churn one eviction per cycle at ANY fixed
+# resizing it). The bench's extended cycle interleaves SEVEN stable
+# plans since r15 (each self-join entry retains its banded table AND
+# its candidate table): 3-gram K=8 (banded+cand), unigram K=8
+# (banded+cand, shared by the lsh and agg entries), unigram K=32
+# (banded+cand), and the incremental probe's candidate table — the
+# window holds those seven plus headroom for a caller's own config.
+# Plans keyed by PER-RUN SCRATCH paths (the compacted entry's probe,
+# the streaming loops' per-epoch probes) mint a fresh semantic hash
+# every pass and would churn one eviction per cycle at ANY fixed
 # size — they go to the separate _scratch_live window via
 # ``_retain_banded(df, scratch=True)`` and never touch this one.
-# Each entry is bands×reps rows of three narrow columns — a few MB per
-# 100k docs — so six slots cost little even at corpus scale, where the
-# table is MEMORY_AND_DISK and proportional to the one shuffle it
-# replaces.
-_BANDED_KEEP = 6
+# Each entry is bands×reps banded rows or candidate-volume (a,b) BIGINT
+# pairs — narrow columns, MEMORY_AND_DISK, proportional to the one
+# shuffle (banded) or the four recomputed subtrees (cand) it replaces.
+_BANDED_KEEP = 9
 # scratch plans are single-use by construction (their path or batch side
 # changes every call); two slots cover a probe whose result is still
 # unmaterialized when the next scratch probe is issued
@@ -600,7 +622,19 @@ def minhash_lsh_pairs(
         .where(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
+        # persist (r15): the verify consumes cand from FIVE branches —
+        # the pair join itself, the two id-restriction unions here and
+        # the two inside _verify_pairs_exact — and physical-plan
+        # exchange reuse does NOT dedupe them (stage profile at sf0.1:
+        # four separate ~900 KB materializations of the identical
+        # band-join + partial-distinct subtree, ~220 s of the entry's
+        # ~570 s task time). One MEMORY_AND_DISK materialization of two
+        # BIGINT columns — the same cost class and registration window
+        # as the banded table (the probe path has persisted its cand
+        # since r12 for the same reason).
+        .persist()
     )
+    _retain_banded(cand)
     # Exact-Jaccard verification restricted to the CANDIDATE set — the whole
     # point of LSH discovery: only candidate pairs are verified, so cost
     # tracks the (linear) candidate volume, never all-pairs volume.
@@ -611,27 +645,35 @@ def minhash_lsh_pairs(
     # semi-join inside _verify_pairs_exact sits above the explode, and
     # Catalyst cannot push a join below a generator — without this the
     # whole corpus re-tokenizes for verification even when LSH pruned
-    # the candidates to a handful (r9 profile). banded is checkpointed,
-    # so re-deriving cand here reads materialized rows.
+    # the candidates to a handful (r9 profile). cand is persisted, so
+    # this restriction reads materialized rows.
     cand_ids = (
         cand.select(F.col("a").alias(id_col))
         .unionByName(cand.select(F.col("b").alias(id_col)))
         .distinct()
     )
-    verified = _verify_pairs_exact(
+    # sets built directly (r15): the shingle relation below is already
+    # restricted to candidate docs, so _verify_pairs_exact's internal
+    # semi-join — two more cand references plus a join per verify — was
+    # pure overhead on this path (it remains load-bearing for callers
+    # that pass an UNRESTRICTED shingle relation, e.g. the prefix-filter
+    # n-gram path).
+    verified = _verify_pairs_with_sets(
         cand,
-        df.join(cand_ids, id_col, "left_semi").select(
-            F.col(id_col).alias("id"),
-            F.explode(_shingles(F.col(text_col), n)).alias("sh"),
+        _verify_sets(
+            df.join(cand_ids, id_col, "left_semi").select(
+                F.col(id_col).alias("id"),
+                F.explode(_shingles(F.col(text_col), n)).alias("sh"),
+            )
         ),
         threshold,
     )
-    # _verify_pairs_exact verifies exactly the candidate pairs (its output
-    # is cand ⋈ shingle-sets, filtered) — so every verified pair already
-    # band-collides and the historical `verified ⋉ cand` restriction was a
-    # no-op that recomputed the whole candidate subtree a second time
-    # (r9 profile: ~1 s at sf0.1). The band-collision restriction is
-    # enforced by construction.
+    # _verify_pairs_with_sets verifies exactly the candidate pairs (its
+    # output is cand ⋈ shingle-sets, filtered) — so every verified pair
+    # already band-collides and the historical `verified ⋉ cand`
+    # restriction was a no-op that recomputed the whole candidate subtree
+    # a second time (r9 profile: ~1 s at sf0.1). The band-collision
+    # restriction is enforced by construction.
     rep_pairs = verified
 
     # expand representative pairs back to member pairs: cross-class pairs

@@ -57,7 +57,8 @@ from ..functions.dedup import (
     _retain_banded,
     _shingles,
     _text_classes,
-    _verify_pairs_exact,
+    _verify_pairs_with_sets,
+    _verify_sets,
 )
 from .ann_index import _base_pred_token, _index_dir, _publish
 from .parquet import read_table
@@ -523,7 +524,13 @@ def minhash_probe_pairs(
                      id_col, "left_semi")
            .select(F.col(id_col).alias("id"),
                    F.explode(_shingles(F.col(text_col), n)).alias("sh")))
-    verified = _verify_pairs_exact(cand, ish.unionByName(bsh), threshold)
+    # sets built directly (r15): both sides above are already restricted
+    # to THEIR candidate ids, so _verify_pairs_exact's internal semi-join
+    # (two more cand references plus a join) was pure overhead here; the
+    # sets are hash-coded in _verify_sets (cardinality-invariant — see
+    # its docstring)
+    verified = _verify_pairs_with_sets(
+        cand, _verify_sets(ish.unionByName(bsh)), threshold)
     # dropDuplicates on rep: a torn append (crash between parquet write
     # and ledger commit, then retry) can leave byte-identical class rows
     # twice; reps are unique across corpora by the id contract, so

@@ -54,10 +54,12 @@ def test_third_same_config_call_hits_inmemoryrelation(docs):
         "third same-config call must execute against the live "
         "InMemoryRelation, not recompute the signature pipeline")
     assert c.count() == a.count()
-    # the window holds exactly the two distinct plans — no twin appended
-    assert len(dd._banded_live) == 2
+    # the window holds exactly the two distinct configs' plans — each
+    # config retains its banded table AND its candidate table since r15
+    # — and no twin was appended
+    assert len(dd._banded_live) == 4
     hashes = [h for (_, h, _) in dd._banded_live]
-    assert len(set(hashes)) == 2
+    assert len(set(hashes)) == 4
 
 
 def _fill_configs(docs, count: int, start_n: int = 4):
@@ -73,7 +75,9 @@ def test_same_config_refreshes_lru_slot(docs):
     with fresh configs evicts the others first — cfg1 stays cached."""
     a = dd.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.4)
     a.count()
-    _fill_configs(docs, dd._BANDED_KEEP - 1)     # window now full
+    # each call retains TWO plans since r15 (banded + cand), so fill to
+    # just under capacity without evicting cfg1's pair
+    _fill_configs(docs, (dd._BANDED_KEEP - 2) // 2)
     dd.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.4).count()
     # one more fresh config evicts the oldest NON-refreshed slot
     dd.minhash_lsh_pairs(docs, "doc_id", "text", n=2, threshold=0.4).count()
