@@ -447,25 +447,26 @@ def _minhash_sig(df: DataFrame, id_col: str, text_col: str, n: int,
 # lock-guarded for concurrent callers.
 # Window size = the live WORKING SET, not a token pair (VERDICT r13 #1
 # re-hit the r11 thrash by GROWING the set past the window without
-# resizing it). The bench's extended cycle interleaves SEVEN stable
-# plans since r15 (each self-join entry retains its banded table AND
-# its candidate table): 3-gram K=8 (banded+cand), unigram K=8
-# (banded+cand, shared by the lsh and agg entries), unigram K=32
-# (banded+cand), and the incremental probe's candidate table — the
-# window holds those seven plus headroom for a caller's own config.
+# resizing it). The bench's extended cycle interleaves ELEVEN stable
+# plans since r15 (each self-join entry retains its banded table, its
+# candidate table AND its verify-set table): 3-gram K=8, unigram K=8
+# (shared by the lsh and agg entries), unigram K=32 (three plans each),
+# plus the incremental probe's candidate and set tables — the window
+# holds those eleven plus headroom for a caller's own config.
 # Plans keyed by PER-RUN SCRATCH paths (the compacted entry's probe,
 # the streaming loops' per-epoch probes) mint a fresh semantic hash
 # every pass and would churn one eviction per cycle at ANY fixed
 # size — they go to the separate _scratch_live window via
 # ``_retain_banded(df, scratch=True)`` and never touch this one.
-# Each entry is bands×reps banded rows or candidate-volume (a,b) BIGINT
-# pairs — narrow columns, MEMORY_AND_DISK, proportional to the one
-# shuffle (banded) or the four recomputed subtrees (cand) it replaces.
-_BANDED_KEEP = 9
+# Each entry is bands×reps banded rows, candidate-volume (a,b) BIGINT
+# pairs, or per-candidate-doc hashed shingle sets — narrow columns,
+# MEMORY_AND_DISK, proportional to the one shuffle (banded) or the
+# recomputed subtrees (cand: four branches, sets: two) each replaces.
+_BANDED_KEEP = 13
 # scratch plans are single-use by construction (their path or batch side
-# changes every call); two slots cover a probe whose result is still
-# unmaterialized when the next scratch probe is issued
-_SCRATCH_KEEP = 2
+# changes every call); four slots cover a probe (cand + sets) whose
+# result is still unmaterialized when the next scratch probe is issued
+_SCRATCH_KEEP = 4
 _banded_lock = threading.Lock()
 _banded_live: list = []  # [(session, semanticHash, df)], MRU last
 _scratch_live: list = []  # single-use probe candidates, MRU last
@@ -657,17 +658,21 @@ def minhash_lsh_pairs(
     # semi-join — two more cand references plus a join per verify — was
     # pure overhead on this path (it remains load-bearing for callers
     # that pass an UNRESTRICTED shingle relation, e.g. the prefix-filter
-    # n-gram path).
-    verified = _verify_pairs_with_sets(
-        cand,
-        _verify_sets(
-            df.join(cand_ids, id_col, "left_semi").select(
-                F.col(id_col).alias("id"),
-                F.explode(_shingles(F.col(text_col), n)).alias("sh"),
-            )
-        ),
-        threshold,
-    )
+    # n-gram path). The sets relation persists for the same reason as
+    # cand: _verify_pairs_with_sets joins it on BOTH pair sides and
+    # exchange reuse does not dedupe the branches, so without it the
+    # candidate docs re-tokenize and re-collect twice per query (k32
+    # profile: two ~1.6 s broadcast collects plus two aggregation
+    # subtrees). One row per candidate doc — the smallest of the three
+    # windowed relations.
+    sets = _verify_sets(
+        df.join(cand_ids, id_col, "left_semi").select(
+            F.col(id_col).alias("id"),
+            F.explode(_shingles(F.col(text_col), n)).alias("sh"),
+        )
+    ).persist()
+    _retain_banded(sets)
+    verified = _verify_pairs_with_sets(cand, sets, threshold)
     # _verify_pairs_with_sets verifies exactly the candidate pairs (its
     # output is cand ⋈ shingle-sets, filtered) — so every verified pair
     # already band-collides and the historical `verified ⋉ cand`

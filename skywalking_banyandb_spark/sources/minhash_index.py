@@ -528,9 +528,11 @@ def minhash_probe_pairs(
     # to THEIR candidate ids, so _verify_pairs_exact's internal semi-join
     # (two more cand references plus a join) was pure overhead here; the
     # sets are hash-coded in _verify_sets (cardinality-invariant — see
-    # its docstring)
-    verified = _verify_pairs_with_sets(
-        cand, _verify_sets(ish.unionByName(bsh)), threshold)
+    # its docstring) and persist alongside cand because the verify joins
+    # them on both pair sides (same windows and scratch rules as cand)
+    sets = _verify_sets(ish.unionByName(bsh)).persist()
+    _retain_banded(sets, scratch=not retain)
+    verified = _verify_pairs_with_sets(cand, sets, threshold)
     # dropDuplicates on rep: a torn append (crash between parquet write
     # and ledger commit, then retry) can leave byte-identical class rows
     # twice; reps are unique across corpora by the id contract, so

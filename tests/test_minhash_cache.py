@@ -55,11 +55,11 @@ def test_third_same_config_call_hits_inmemoryrelation(docs):
         "InMemoryRelation, not recompute the signature pipeline")
     assert c.count() == a.count()
     # the window holds exactly the two distinct configs' plans — each
-    # config retains its banded table AND its candidate table since r15
-    # — and no twin was appended
-    assert len(dd._banded_live) == 4
+    # config retains its banded table, its candidate table and its
+    # verify-set table since r15 — and no twin was appended
+    assert len(dd._banded_live) == 6
     hashes = [h for (_, h, _) in dd._banded_live]
-    assert len(set(hashes)) == 4
+    assert len(set(hashes)) == 6
 
 
 def _fill_configs(docs, count: int, start_n: int = 4):
@@ -75,9 +75,9 @@ def test_same_config_refreshes_lru_slot(docs):
     with fresh configs evicts the others first — cfg1 stays cached."""
     a = dd.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.4)
     a.count()
-    # each call retains TWO plans since r15 (banded + cand), so fill to
-    # just under capacity without evicting cfg1's pair
-    _fill_configs(docs, (dd._BANDED_KEEP - 2) // 2)
+    # each call retains THREE plans since r15 (banded + cand + sets),
+    # so fill to just under capacity without evicting cfg1's trio
+    _fill_configs(docs, (dd._BANDED_KEEP - 3) // 3)
     dd.minhash_lsh_pairs(docs, "doc_id", "text", n=3, threshold=0.4).count()
     # one more fresh config evicts the oldest NON-refreshed slot
     dd.minhash_lsh_pairs(docs, "doc_id", "text", n=2, threshold=0.4).count()
@@ -189,7 +189,8 @@ def test_cross_window_twin_shares_one_handle(spark, docs, monkeypatch,
     scratch_probe = mh.minhash_probe_pairs(spark, path, batch,
                                            "doc_id", "text", retain=False)
     scratch_probe.count()
-    assert len(dd._scratch_live) == 1
+    # a probe retains TWO scratch plans since r15 (cand + verify sets)
+    assert len(dd._scratch_live) == 2
     mh.minhash_probe_pairs(spark, path, batch, "doc_id", "text").count()
-    assert len(dd._scratch_live) == 0       # promoted to stable
+    assert len(dd._scratch_live) == 0       # both promoted to stable
     assert _cached(scratch_probe)
