@@ -52,6 +52,11 @@ def _jbucket_agg(pairs: DataFrame, a_alias: str = "sum_a",
 
 
 def _text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # spread_scan was tried here (r15) and REVERTED by measurement:
+    # 0.76 s -> 0.87 s paired — the row-wise projection's output is as
+    # wide as its input, so the round-robin exchange ships every byte
+    # the serial scan saved; unlike tpch_q1 there is no aggregation to
+    # shrink the post-exchange volume
     d = _docs(spark, sf)
     t = F.col("text")
     return d.select(

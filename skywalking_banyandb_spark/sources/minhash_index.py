@@ -64,6 +64,26 @@ from .ann_index import _base_pred_token, _index_dir, _publish
 from .parquet import read_table
 
 
+def _run_concurrently(*fns) -> None:
+    """Run independent Spark actions from a small thread pool (guide
+    §2.6): the scheduler happily overlaps jobs, and each job's tail
+    back-fills cores the others free. Exceptions propagate after all
+    futures settle (so a failure never leaves a sibling write running
+    unsupervised past this call)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(fns)) as ex:
+        futs = [ex.submit(fn) for fn in fns]
+        errs = []
+        for f in futs:
+            try:
+                f.result()
+            except Exception as exc:  # noqa: BLE001 — re-raised below
+                errs.append(exc)
+        if errs:
+            raise errs[0]
+
+
 def _n_shingles(text_col, n: int):
     """Shingle count with NULL text counting as 0, independent of the
     session's ANSI config: ``size(NULL)`` is NULL under ANSI (Spark 4
@@ -121,19 +141,35 @@ def _write_side(df: DataFrame, id_col: str, text_col: str, n: int, k: int,
         rep_nsh = reps.select(
             F.col(id_col).alias("rep"),
             _n_shingles(F.col(text_col), n).alias("n_sh"))
-        (classes.select(
-            F.coalesce(F.col("_cls"), F.lit("")).alias("cls"),
-            F.col("_rep").alias("rep"),
-            F.col("_members").alias("members"))
-         .join(rep_nsh, "rep")
-         .write.mode(mode).parquet(os.path.join(out, "classes")))
-        sig = _minhash_sig(reps, id_col, text_col, n, k=k)
-        (_band_hashes(sig, k, bands)
-         .write.mode(mode).partitionBy("band")
-         .parquet(os.path.join(out, "bands")))
-        (reps.select(F.col(id_col).alias("id"),
-                     F.explode(_shingles(F.col(text_col), n)).alias("sh"))
-         .write.mode(mode).parquet(os.path.join(out, "shingles")))
+
+        def w_classes() -> None:
+            (classes.select(
+                F.coalesce(F.col("_cls"), F.lit("")).alias("cls"),
+                F.col("_rep").alias("rep"),
+                F.col("_members").alias("members"))
+             .join(rep_nsh, "rep")
+             .write.mode(mode).parquet(os.path.join(out, "classes")))
+
+        def w_bands() -> None:
+            sig = _minhash_sig(reps, id_col, text_col, n, k=k)
+            (_band_hashes(sig, k, bands)
+             .write.mode(mode).partitionBy("band")
+             .parquet(os.path.join(out, "bands")))
+
+        def w_shingles() -> None:
+            (reps.select(F.col(id_col).alias("id"),
+                         F.explode(_shingles(F.col(text_col), n)).alias("sh"))
+             .write.mode(mode).parquet(os.path.join(out, "shingles")))
+
+        # the three writes are independent jobs over the shared persisted
+        # subtree — submit them concurrently (guide §2.6: actions are
+        # only sequential because the driver calls them sequentially) so
+        # the wall is the slowest write, not the sum; block-level cache
+        # locks make the concurrent first materialization of classes/
+        # reps single-computation. Torn-write exposure is unchanged from
+        # the sequential form (the three appends were never one atomic
+        # commit — see minhash_index_append's docstring).
+        _run_concurrently(w_classes, w_bands, w_shingles)
     finally:
         reps.unpersist()
         classes.unpersist()
@@ -401,25 +437,35 @@ def minhash_index_compact(spark: SparkSession, path: str) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
         ok = False
         try:
-            merged.select("cls", "rep", "members", "n_sh") \
-                .repartition(_n_files(_du(os.path.join(path, "classes")))) \
-                .write.parquet(os.path.join(tmp, "classes"))
+            def w_classes() -> None:
+                merged.select("cls", "rep", "members", "n_sh") \
+                    .repartition(_n_files(_du(os.path.join(path, "classes")))) \
+                    .write.parquet(os.path.join(tmp, "classes"))
+
             # (band, bh)-clustered repartition: rows of one band land in
             # few tasks (~1 file per 128 MB per band directory, not one
             # per shuffle partition), while the bh component lets the
             # task count exceed the band count at scale
-            (spark.read.parquet(os.path.join(path, "bands"))
-             .join(keep, "id", "left_semi")
-             .dropDuplicates(["id", "band", "bh"])
-             .repartition(_n_files(_du(os.path.join(path, "bands"))),
-                          F.col("band"), F.col("bh"))
-             .write.partitionBy("band")
-             .parquet(os.path.join(tmp, "bands")))
-            (spark.read.parquet(os.path.join(path, "shingles"))
-             .join(keep, "id", "left_semi")
-             .dropDuplicates(["id", "sh"])
-             .repartition(_n_files(_du(os.path.join(path, "shingles"))))
-             .write.parquet(os.path.join(tmp, "shingles")))
+            def w_bands() -> None:
+                (spark.read.parquet(os.path.join(path, "bands"))
+                 .join(keep, "id", "left_semi")
+                 .dropDuplicates(["id", "band", "bh"])
+                 .repartition(_n_files(_du(os.path.join(path, "bands"))),
+                              F.col("band"), F.col("bh"))
+                 .write.partitionBy("band")
+                 .parquet(os.path.join(tmp, "bands")))
+
+            def w_shingles() -> None:
+                (spark.read.parquet(os.path.join(path, "shingles"))
+                 .join(keep, "id", "left_semi")
+                 .dropDuplicates(["id", "sh"])
+                 .repartition(_n_files(_du(os.path.join(path, "shingles"))))
+                 .write.parquet(os.path.join(tmp, "shingles")))
+
+            # independent rewrites into the private tmp dir — concurrent
+            # (guide §2.6); the publish below still sees one complete
+            # artifact or none
+            _run_concurrently(w_classes, w_bands, w_shingles)
             classes_after = merged.count()
             for meta in ("_meta.json", "_batches.json"):
                 src = os.path.join(path, meta)

@@ -121,6 +121,35 @@ def read_table(
     return df
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Scan-parallelism floor for compute-heavy consumers (guide §2.5
+    "input skew: one huge unsplittable file").
+
+    A parquet ROW GROUP is the minimum split unit — a single-row-group
+    file scans as ONE task no matter how ``maxPartitionBytes`` is set,
+    serializing every per-row expression above it (measured at sf0.1:
+    tpch_q1's decimal aggregation spent 0.85 s of a 1.1 s execution in
+    one task on a 32-core session). When the planned scan parallelism
+    is below the session's default parallelism, a round-robin
+    repartition spreads the per-row work across the cluster; when the
+    input already arrives in enough splits — the normal state at scale,
+    where the writer targets 128 MB+ multi-row-group files — this is a
+    NO-OP, so the exchange is never paid where the scan itself
+    parallelizes. Apply only where per-row compute dominates the
+    exchange cost (heavy projections, wide aggregations): the shuffle
+    moves every surviving row once.
+
+    Result-invariant: callers aggregate (decimal/bigint sums are
+    associative-exact) or emit row-wise projections, and the driver's
+    comparison is order-insensitive.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def prune_ts_buckets(df: DataFrame, begin, end) -> DataFrame:
     """Derive partition-pruning predicates on the ``ts_bucket`` segment
     column from a row-level time range — the reference's
