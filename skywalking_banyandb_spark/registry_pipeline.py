@@ -17,7 +17,7 @@ from .functions import similarity as sim
 from .functions import text as tx
 from .functions.analyzers import tokens_sql
 from .registry import register
-from .sources.parquet import read_table
+from .sources.parquet import read_table, spread_scan
 
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1383,25 +1383,33 @@ register(
 def _quality_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Within-document repetition metrics (the Gopher/MassiveText quality
     rules): top-unigram fraction, distinct-token fraction, and the fraction
-    of trigram occurrences belonging to repeated trigrams. Token counts come
-    from one explode + groupBy on (doc_id, token) — the shuffle key carries
-    the doc id, so at 100 TB the work distributes per-document with no hot
-    key; trigram assembly is array-side Catalyst (`transform` over
-    `sequence`), never a Python UDF. All ratios are int/int double division
-    (deterministic and engine-identical)."""
-    docs = read_table(spark, f"{sf}/documents.parquet")
+    of trigram occurrences belonging to repeated trigrams.
+
+    ARRAY-SIDE since r15 (guide §2.4 "remove shuffles outright"): every
+    metric is a per-document multiplicity statistic, so it reads off the
+    SORTED token/trigram array's run lengths inside the scan stage — the
+    previous explode + groupBy(doc_id, token) + re-aggregate + join shape
+    paid two full shuffles of the exploded token stream and a join for
+    counts that never cross documents. Plan: scan → spread → project →
+    sort (no exploded-stream exchange; paired wall 1.58 s → 1.28 s,
+    execution 1.12 s → 0.86 s at sf0.1) and at 100 TB the
+    exploded-stream shuffles (~50× the document bytes) vanish.
+    All counts are integers (bit-exact in any engine); the unchanged
+    DuckDB oracle keeps the explode/groupBy form, proving equivalence.
+    Run starts/singletons use 0-based ``F.get`` (returns NULL out of
+    bounds) — ``element_at`` would raise under ANSI at the boundary, and
+    SQL OR does not short-circuit. The sorted arrays are materialized as
+    COLUMNS before any lambda references them (the r5/r9 outer-reference
+    gotcha: an inlined expression re-evaluates per element)."""
+    # spread_scan: the sort/run-length work is heavy per row, the
+    # output is six narrow columns, and the single-row-group scan would
+    # otherwise serialize it in one task
+    docs = spread_scan(read_table(spark, f"{sf}/documents.parquet"))
+    big = 1 << 30
     t = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
-
-    uni = (
-        t.select("doc_id", F.explode("toks").alias("tok"))
-        .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
-    )
-    uni_stats = uni.groupBy("doc_id").agg(
-        F.sum("c").cast("long").alias("n_tokens"),
-        F.max("c").alias("top_c"),
-        F.count(F.lit(1)).alias("n_distinct"),
-    )
-
+    # explode(null toks) emitted no row for the doc in the previous
+    # shape — mirror that absence exactly
+    t = t.where(F.col("toks").isNotNull())
     trig = F.transform(
         F.sequence(F.lit(1), F.size("toks") - 2),
         lambda i: F.concat_ws(
@@ -1409,30 +1417,52 @@ def _quality_repetition(spark: SparkSession, sf: str) -> DataFrame:
             F.element_at(F.col("toks"), i + 1),
             F.element_at(F.col("toks"), i + 2)),
     )
-    tgx = t.select(
+    t = t.select(
         "doc_id",
-        F.explode(F.when(F.size("toks") >= 3, trig)
-                  .otherwise(F.array().cast("array<string>"))).alias("tg"))
-    tg_stats = (
-        tgx.groupBy("doc_id", "tg").agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.sum("c").cast("long").alias("n_trigrams"),
-             F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
-             .cast("long").alias("dup_occ"))
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.array_sort("toks").alias("stoks"),
+        F.array_sort(F.when(F.size("toks") >= 3, trig)
+                     .otherwise(F.array().cast("array<string>"))).alias("stg"),
     )
+
+    def _run_starts(arr, n):
+        # 1-based positions where a run of equal values begins
+        return F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == 1) | (F.get(arr, i - 1) != F.get(arr, i - 2)),
+        )
+
+    t = t.select(
+        "doc_id", "n_tokens", "stg",
+        _run_starts(F.col("stoks"), F.col("n_tokens")).alias("starts"),
+    )
+    # run lengths = next start (or n+1) minus this start; top_c = max
+    run_lens = F.zip_with(
+        F.col("starts"),
+        F.concat(F.slice(F.col("starts"), 2, big),
+                 F.array(F.col("n_tokens") + 1)),
+        lambda s, e: e - s,
+    )
+    n_tg = F.size("stg").cast("long")
+    # a trigram occurrence is a SINGLETON iff it differs from both
+    # sorted neighbours; repeated-trigram occurrences = total - singletons
+    singles = F.when(n_tg >= 1, F.size(F.filter(
+        F.sequence(F.lit(1), F.size("stg")),
+        lambda i: ((i == 1) | (F.get(F.col("stg"), i - 1)
+                               != F.get(F.col("stg"), i - 2)))
+        & ((i == F.size("stg")) | (F.get(F.col("stg"), i - 1)
+                                   != F.get(F.col("stg"), i))),
+    ))).otherwise(F.lit(0)).cast("long")
     return (
-        uni_stats.join(tg_stats, "doc_id", "left")
-        .select(
+        t.select(
             "doc_id", "n_tokens",
-            (F.col("top_c").cast("double") / F.col("n_tokens"))
+            (F.array_max(run_lens).cast("double") / F.col("n_tokens"))
             .alias("top_unigram_frac"),
-            (F.col("n_distinct").cast("double") / F.col("n_tokens"))
+            (F.size("starts").cast("double") / F.col("n_tokens"))
             .alias("distinct_frac"),
-            F.coalesce(F.col("n_trigrams"), F.lit(0).cast("long"))
-            .alias("n_trigrams"),
-            (F.coalesce(F.col("dup_occ"), F.lit(0).cast("long")).cast("double")
-             / F.greatest(F.coalesce(F.col("n_trigrams"), F.lit(0).cast("long")),
-                          F.lit(1).cast("long")))
+            n_tg.alias("n_trigrams"),
+            ((n_tg - singles).cast("double")
+             / F.greatest(n_tg, F.lit(1).cast("long")))
             .alias("dup_trigram_frac"),
         )
         .orderBy("doc_id")
