@@ -1019,7 +1019,15 @@ def winnow_posting_table(
     this is the difference between one corpus-hashing pass and four.
     Callers that layer further consumers on top (e.g. keep-best dedup
     resolution) should build this once and pass it to ``winnow_pairs``
-    via ``fingerprints=``; release with ``.unpersist()`` when done."""
+    via ``fingerprints=``; release with ``.unpersist()`` when done.
+
+    An FP-PARTITIONED persist (``repartition("fp")`` before the cache,
+    so the self-join and hot-set aggregate would inherit the layout
+    with zero exchanges) was tried in r15 and REVERTED by measurement:
+    the cached co-partitioning forces a sort-merge self-join where AQE
+    otherwise broadcasts the capped posting side — bench wall
+    2.7 s → 5.0 s at sf0.1. The exchanges it removed were the cheap
+    part."""
     return winnow_doc_fingerprints(df, id_col, text_col, k, w).persist()
 
 
