@@ -147,8 +147,10 @@ def test_tpch_q17_q21_decorrelate(spark):
     """r6: the correlated-subquery entries must DECORRELATE — a per-row
     subquery execution (CartesianProduct / BroadcastNestedLoopJoin over
     lineitem) is the 100 TB scale-killer Catalyst's rewrite exists to
-    prevent. Q17's scalar AVG becomes an aggregate + equi-join; Q21's
-    EXISTS / NOT EXISTS become LeftSemi / LeftAnti equi-joins."""
+    prevent. Q17's scalar AVG becomes an aggregate + equi-join. Q21 was
+    rewritten in r15 to the one-scan aggregate form (its EXISTS/NOT
+    EXISTS predicates are all per-order): lineitem must be scanned ONCE,
+    not three times, with no nested-loop fallback."""
     from skywalking_banyandb_spark.registry_analytics import (
         _tpch_q17, _tpch_q21)
 
@@ -160,7 +162,10 @@ def test_tpch_q17_q21_decorrelate(spark):
     p21 = _plan(_tpch_q21(spark, SF_SMALL))
     assert "CartesianProduct" not in p21, p21
     assert "BroadcastNestedLoopJoin" not in p21, p21
-    assert "LeftSemi" in p21 and "LeftAnti" in p21, p21
+    # one lineitem scan + one orders scan — the r15 rewrite's point
+    assert p21.count("Scan parquet") == 2, p21
+    assert "HashAggregate" in p21, p21
+    assert "TakeOrderedAndProject" in p21, p21
 
 
 def test_rollup_single_pass(spark):
