@@ -424,13 +424,19 @@ def minhash_index_compact(spark: SparkSession, path: str) -> dict:
     with _absorb_lock(path):
         bytes_before = _du(path)
         cls_df = spark.read.parquet(os.path.join(path, "classes"))
-        classes_before = cls_df.count()
+        # _rows (input rows merged into each class) rides the aggregate so
+        # classes_before = sum(_rows) and classes_after = count(*) read off
+        # ONE pass over the persisted merged relation, instead of a
+        # separate pre-count job over classes/ plus a post-count job after
+        # the writes (r15, guide §1.2: two job walls -> zero — the stats
+        # job joins the concurrent write group below)
         merged = (
             cls_df.groupBy("cls")
             .agg(F.min("rep").alias("rep"),
                  F.array_sort(F.array_distinct(
                      F.flatten(F.collect_list("members")))).alias("members"),
-                 F.min("n_sh").alias("n_sh"))
+                 F.min("n_sh").alias("n_sh"),
+                 F.count(F.lit(1)).alias("_rows"))
         ).persist()
         keep = merged.select(F.col("rep").alias("id"))
         tmp = f"{path}.compact.tmp.{os.getpid()}"
@@ -462,11 +468,20 @@ def minhash_index_compact(spark: SparkSession, path: str) -> dict:
                  .repartition(_n_files(_du(os.path.join(path, "shingles"))))
                  .write.parquet(os.path.join(tmp, "shingles")))
 
+            counts: dict = {}
+
+            def w_stats() -> None:
+                row = merged.agg(
+                    F.coalesce(F.sum("_rows"), F.lit(0)).alias("nb"),
+                    F.count(F.lit(1)).alias("na")).collect()[0]
+                counts["before"], counts["after"] = row.nb, row.na
+
             # independent rewrites into the private tmp dir — concurrent
             # (guide §2.6); the publish below still sees one complete
-            # artifact or none
-            _run_concurrently(w_classes, w_bands, w_shingles)
-            classes_after = merged.count()
+            # artifact or none. The stats aggregate rides the same group:
+            # it reads the persisted merged relation the writes share.
+            _run_concurrently(w_classes, w_bands, w_shingles, w_stats)
+            classes_before, classes_after = counts["before"], counts["after"]
             for meta in ("_meta.json", "_batches.json"):
                 src = os.path.join(path, meta)
                 if os.path.exists(src):
