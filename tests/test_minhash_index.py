@@ -408,3 +408,19 @@ def test_rep_as_batch_id_after_compaction_keeps_cross_members(
     # replay-idempotency contract: re-probing the absorbed batch sees
     # the index as if the batch were not in it — the pre-absorb pairs
     assert _probe(spark, path, b1) == pre
+
+
+def test_compact_stats_equal_literal_relation_counts(spark, docs):
+    """r15: the compact stats ride the merge aggregate inside the
+    concurrent write group (one job) instead of separate pre/post count
+    jobs over classes/ — they must still equal the literal row counts of
+    the classes relation before and after the swap."""
+    path = mh.build_minhash_index(spark, SF_SMALL, base_pred="doc_id % 3 = 0")
+    b1 = docs.where("doc_id % 3 = 1")
+    mh.minhash_index_absorb(spark, path, b1, "doc_id", "text", "lineageA-0")
+    mh.minhash_index_absorb(spark, path, b1, "doc_id", "text", "lineageB-0")
+    before = spark.read.parquet(os.path.join(path, "classes")).count()
+    stats = mh.minhash_index_compact(spark, path)
+    after = spark.read.parquet(os.path.join(path, "classes")).count()
+    assert stats["classes_before"] == before
+    assert stats["classes_after"] == after
