@@ -878,11 +878,85 @@ _R15_TOUCHED = (
     "ann_ivfpq_incremental_topk",
 )
 
+# Entries the round-15 driver sweep recorded (CORRECTNESS_r15.json):
+# 50/50 green, zero errors — the seventh consecutive all-green window,
+# matching the precomputed r15 front exactly (32-entry r11 cohort + the
+# 6 touched ANN paths + the first 12 r12 entries alphabetically; judge
+# re-derived it mechanically in VERDICT r15).
+_R15_DRIVER_SEEN = frozenset({
+    "ann_ivf_incremental_topk", "ann_ivf_policy_topk", "ann_ivf_topk",
+    "ann_ivfpq_incremental_topk", "ann_ivfpq_residual_topk",
+    "ann_ivfpq_topk", "ann_lsh_topk", "ann_pq_topk",
+    "bydbql_family_qualified_agg", "decontamination_overlap",
+    "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_exact",
+    "dedup_near_dup_clusters", "dedup_ngram_jaccard",
+    "documents_stratified_sample", "documents_train_split",
+    "documents_weighted_sample", "domain_mixture_resample",
+    "embedding_centroid_confusion", "embedding_covariance",
+    "embedding_int8_quantization", "embedding_l2_norms",
+    "embedding_pca_project", "events_asof_join", "events_cohort_retention",
+    "events_cube_type_day", "events_funnel_conversion",
+    "events_funnel_transitions", "events_pivot_type_counts",
+    "events_range_join_bucketed", "events_session_window",
+    "json_extract_agg", "latency_heatmap", "measure_gap_fill_interpolate",
+    "measure_hopping_window", "measure_index_mode_scan",
+    "measure_latency_percentiles", "measure_moving_avg",
+    "measure_orderby_field_desc", "multimodal_features",
+    "multimodal_frame_sample", "quality_tfidf_top_terms",
+    "tpch_q1_pricing_summary", "tpch_q4_order_priority",
+    "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "trace_spans_payload",
+})
+
+# Round-16 window front (VERDICT r15 Next #2): no spill carried out of
+# r15 (38-entry front, under the cap), so the seed is the 29-entry r12
+# cohort — the oldest driver rows anywhere after r15's histogram
+# (r12:29 / r13:44 / r14:49 / r15:50); exactly the r15 SEEDING NOTE's
+# precomputed list, confirmed against the actual CORRECTNESS_r15.json
+# keys mechanically. After r16 no entry's newest driver row may be
+# older than r13 except a documented spill.
+_R16_STALE_FIRST = (
+    "measure_groupby_mean_salted", "measure_histogram_quantile",
+    "measure_rate_delta", "measure_rate_extrapolated_promql",
+    "measure_zscore_anomalies", "property_crud_roundtrip",
+    "quality_repetition", "sequence_packing", "sketch_bloom_membership",
+    "sketch_hll_users", "stream_having_derived_tag",
+    "stream_write_roundtrip", "streaming_extrapolated_rate_materialized",
+    "streaming_hll_distinct_materialized", "topn_entity_conditions",
+    "topn_multigroup_postagg_max", "topn_per_window", "topn_postagg_mean",
+    "tpch_q11_important_stock", "tpch_q12_priority_shipclass",
+    "tpch_q13_customer_distribution", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_relationship", "tpch_q19_discounted_revenue",
+    "tpch_q20_part_promotion", "tpch_q22_sales_opportunity",
+    "tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
+    "write_mixed_roundtrip",
+)
+
+# Entries whose compile paths changed in r15 AFTER the r15 rotation was
+# seeded (VERDICT r15 What's-wrong #1: the round's heaviest rewrites —
+# the minhash persist/hashcode work, the tpch_q21 one-scan rewrite, the
+# quality_repetition array-side rewrite — landed after the seed, so the
+# r15 driver sweep never re-checked them), plus the entries whose
+# compile paths round 16 itself changes. quality_repetition is listed
+# here STRUCTURALLY (VERDICT r15 fix #1) even though it also sits in
+# the r12-stale cohort above — _sweep_order dedupes, so it occupies one
+# window slot either way but can never silently drop out of the front
+# if the stale seed is ever re-derived.
+_R16_TOUCHED = (
+    "dedup_minhash_lsh", "dedup_minhash_lsh_3gram",
+    "dedup_minhash_lsh_agg", "dedup_minhash_lsh_k32",
+    "dedup_minhash_incremental", "dedup_minhash_compacted",
+    "tpch_q21_sole_delayed", "quality_repetition",
+)
+
 _SWEEP_CAP = 50
 
 
 def _newest_driver_round(k: str) -> int:
     """Most recent round whose sweep recorded this entry (0 = never)."""
+    if k in _R15_DRIVER_SEEN:
+        return 15
     if k in _R14_DRIVER_SEEN:
         return 14
     if k in _R13_DRIVER_SEEN:
@@ -916,17 +990,17 @@ def _newest_driver_round(k: str) -> int:
 
 def _sweep_order(d: Dict[str, "object"]) -> list:
     """Driver sweeps record the FIRST 50 entries only, so order by need:
-    the r11-stale cohort (oldest driver rows anywhere — VERDICT r14
-    Next #2; no spill carried out of r14), then never-driver-seen
+    the r12-stale cohort (oldest driver rows anywhere — VERDICT r15
+    Next #2; no spill carried out of r15), then never-driver-seen
     entries (new this round), then entries whose code changed this round
-    (_R15_TOUCHED), then everything else oldest-driver-row first so no
-    entry's newest row goes stale silently. Warn when the priority
-    prefix itself overflows the cap (ADVICE r3) — the spilled tail
-    becomes the mandatory prefix of next round's stale seed (overflow
-    rule above _R8_STALE_FIRST)."""
-    stale = [k for k in _R15_STALE_FIRST if k in d]
+    or whose r15 rewrite missed the r15 window (_R16_TOUCHED), then
+    everything else oldest-driver-row first so no entry's newest row
+    goes stale silently. Warn when the priority prefix itself overflows
+    the cap (ADVICE r3) — the spilled tail becomes the mandatory prefix
+    of next round's stale seed (overflow rule above _R8_STALE_FIRST)."""
+    stale = [k for k in _R16_STALE_FIRST if k in d]
     fresh = [k for k in d if _newest_driver_round(k) == 0 and k not in stale]
-    touched = [k for k in _R15_TOUCHED
+    touched = [k for k in _R16_TOUCHED
                if k in d and k not in fresh and k not in stale]
     front = stale + fresh + touched
     if len(front) > _SWEEP_CAP:
