@@ -177,7 +177,29 @@ def _verify_pairs_with_sets(
                           F.col("sz").alias("szb")), "b")
         .where((F.col("szb") >= F.lit(t_eff) * F.col("sza"))
                & (F.col("sza") >= F.lit(t_eff) * F.col("szb")))
-        .withColumn("common", F.size(F.array_intersect("seta", "setb")))
+        # The always-true when() is a pushdown barrier, not logic (guide
+        # §4.4 generalized to an expensive BUILT-IN): filter pushdown
+        # substitutes project aliases with no expensive-expression guard,
+        # so a bare intersect column lets the round(common/(sza+szb-
+        # common)) >= tau filter collapse into the pair JOIN CONDITION
+        # with array_intersect inlined TWICE, plus a third copy in the
+        # output projection — the r15 k32 plan evaluated the per-pair
+        # intersection 3x (measured: the fused verify stage was 11.7 min
+        # task time for ~12M candidate pairs at sf0.1, ~59 us/pair where
+        # one hash-intersect of two ~45-element BIGINT sets costs ~us).
+        # spark_partition_id() is non-deterministic to Catalyst (and the
+        # cheapest such expression — a per-task constant), which makes
+        # the whole column non-substitutable: Catalyst neither pushes a
+        # non-deterministic predicate nor duplicates the alias, so the
+        # intersection is evaluated exactly ONCE per length-prune
+        # survivor. The branch condition is always true (partition ids
+        # are non-negative), so the VALUE is exactly the intersect size —
+        # pinned by tests/test_plan_quality.py (one array_intersect in
+        # the optimized plan) and the unchanged DuckDB oracles.
+        .select("a", "b", "sza", "szb",
+                F.when(F.spark_partition_id() >= 0,
+                       F.size(F.array_intersect("seta", "setb")))
+                .alias("common"))
     )
     return (
         both.withColumn(

@@ -441,3 +441,30 @@ def test_compacted_probe_plan_keeps_gates(spark, monkeypatch, tmp_path):
     assert band_scans and all("sh:" not in s and "members" not in s
                               for s in band_scans), schemas
     dd.release_minhash_cache()
+
+
+def test_minhash_verify_intersects_once(spark):
+    """The exact-Jaccard verify must evaluate array_intersect exactly
+    ONCE per candidate pair (r16): without the non-deterministic
+    projection barrier in _verify_pairs_with_sets, filter pushdown
+    inlines the rounded-jaccard predicate into the pair JOIN CONDITION
+    with the intersection duplicated — the r15 k32 plan carried THREE
+    array_intersect calls and its fused verify stage measured 11.7 min
+    task time for ~12M sf0.1 candidate pairs (paired A/B: k32 steady
+    8.9 -> 3.6 s after the barrier). Also pins that the join itself
+    stays an equi-join (the predicate must not hide in a join condition
+    at all)."""
+    from skywalking_banyandb_spark.functions import dedup as dd
+    from skywalking_banyandb_spark.sources.parquet import read_table
+
+    dd.release_minhash_cache()
+    docs = read_table(spark, f"{SF_SMALL}/documents.parquet")
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", n=1,
+                                 threshold=0.5)
+    plan = _plan(pairs)
+    assert plan.count("array_intersect") == 1, plan
+    # the barrier must survive optimization (it is what blocks the
+    # duplicating pushdown), and the intersection must not have been
+    # folded into any join condition
+    assert "SPARK_PARTITION_ID" in plan, plan
+    dd.release_minhash_cache()
