@@ -145,8 +145,20 @@ def compile_trace(spark: SparkSession, catalog: Catalog, q: TraceQuery) -> DataF
 
     # Phase 1: rank trace ids on the tiny (trace_id, key) aggregate.
     # orderBy+limit lowers to TakeOrderedAndProject — no full sort.
+    # The per-trace STATS (span_count / start_ts / end_ts) ride this same
+    # aggregate since r16 — a few more map-side-combined bytes per trace —
+    # so the span-payload pass below contributes ONLY the spans column,
+    # and a consumer that drops `spans` (the reference's trace-LIST shape:
+    # trace_regroup_stats, trace_orderby_duration) gets the whole phase-2
+    # subtree ELIMINATED: the left join below is on a unique key (an
+    # aggregate's grouping column) with no referenced output, which
+    # Catalyst removes, leaving a ONE-SCAN plan (guide §1.2; pinned by
+    # test_trace_two_phase_regroup / test_trace_stats_only_single_scan).
     keys = df.groupBy(F.col(tid_col).alias("trace_id")).agg(
-        key_agg.alias("_order_key")
+        key_agg.alias("_order_key"),
+        F.count(F.lit(1)).alias("span_count"),
+        F.min(F.col(ref.ts_column)).alias("start_ts"),
+        F.max(F.col(ref.ts_column)).alias("end_ts"),
     )
     kcol = F.col("_order_key").desc() if desc else F.col("_order_key").asc()
     # offset pages the ranked trace list (trace_plan_local.go pages traces,
@@ -176,23 +188,27 @@ def compile_trace(spark: SparkSession, catalog: Catalog, q: TraceQuery) -> DataF
     span_payload = [ref.ts_column, ref.span_id_column] + tag_cols
     if ref.span_column:
         span_payload.append(ref.span_column)
-    win = winners.withColumnRenamed("trace_id", "_win_tid")
+    win = winners.select(F.col("trace_id").alias("_win_tid"))
     picked = df.join(
         F.broadcast(win), df[tid_col] == F.col("_win_tid"), "inner"
     )
-    # spans sorted by (ts, span_id) within each trace — sidx ordering analogue
-    grouped = picked.groupBy(
-        F.col("_win_tid").alias("trace_id"), F.col("_order_key")
+    # spans sorted by (ts, span_id) within each trace — sidx ordering
+    # analogue. This aggregate carries ONLY the spans column: every winner
+    # trace has >= 1 span (winners were aggregated from the same filtered
+    # scan), so the left join is row-for-row identical to the previous
+    # inner regroup — and when the consumer never reads `spans`, the
+    # unique-key left join (grouping column of an aggregate) is removed
+    # by the optimizer together with this whole second scan.
+    spans_rel = picked.groupBy(
+        F.col("_win_tid").alias("trace_id")
     ).agg(
         F.sort_array(
             F.collect_list(F.struct(*[qcol(c) for c in span_payload]))
         ).alias("spans"),
-        F.count(F.lit(1)).alias("span_count"),
-        F.min(F.col(ref.ts_column)).alias("start_ts"),
-        F.max(F.col(ref.ts_column)).alias("end_ts"),
     )
     return (
-        grouped.orderBy(kcol, F.col("trace_id").asc())
+        winners.join(spans_rel, "trace_id", "left")
+        .orderBy(kcol, F.col("trace_id").asc())
         .drop("_order_key")
         .select("trace_id", "spans", "span_count", "start_ts", "end_ts")
     )

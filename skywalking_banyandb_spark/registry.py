@@ -948,6 +948,12 @@ _R16_TOUCHED = (
     "dedup_minhash_lsh_agg", "dedup_minhash_lsh_k32",
     "dedup_minhash_incremental", "dedup_minhash_compacted",
     "tpch_q21_sole_delayed", "quality_repetition",
+    # r16's own rewrites: the trace compiler's stats now ride the phase-1
+    # ranking aggregate and the span pass attaches through an eliminable
+    # unique-key left join — every compile_trace consumer re-verifies
+    "trace_regroup_stats", "trace_orderby_duration", "trace_spans_payload",
+    "trace_by_ids", "trace_multigroup_schema_merge", "bydbql_trace_stats",
+    "bydbql_trace_orderby_duration", "request_yaml_trace",
 )
 
 _SWEEP_CAP = 50

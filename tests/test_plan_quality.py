@@ -200,6 +200,30 @@ def test_trace_two_phase_regroup(spark):
     assert "ObjectHashAggregate" in plan or "SortAggregate" in plan, plan
 
 
+def test_trace_stats_only_single_scan(spark):
+    """A trace consumer that drops `spans` (the reference's trace-LIST
+    shape — trace_regroup_stats, trace_orderby_duration) must get a
+    ONE-SCAN plan (r16): the per-trace stats ride the phase-1 ranking
+    aggregate, the span-payload pass contributes only `spans` through a
+    unique-key left join, and Catalyst eliminates that join — and with
+    it the second events scan — when `spans` is never read. Paired
+    sf0.1: trace_regroup_stats steady 0.81 -> 0.48 s. Span-keeping
+    consumers intentionally keep the two-phase shape (gate above)."""
+    from skywalking_banyandb_spark.model import OrderBy, Sort, TraceQuery
+    from skywalking_banyandb_spark.plans.trace import compile_trace
+
+    q = TraceQuery(
+        groups=["g1"], name="event_trace", time_range=TR,
+        order_by=OrderBy("value", Sort.DESC), limit=10,
+    )
+    df = compile_trace(spark, default_catalog(SF_SMALL), q).select(
+        "trace_id", "span_count", "start_ts", "end_ts")
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_embedding_neardup_no_nested_loop(spark):
     """Exact near-dup pairs must decompose into a blocked EQUI-join —
     CartesianProduct / BroadcastNestedLoopJoin are scale-killers
