@@ -222,7 +222,10 @@ def ngram_jaccard_pairs(
     """Exact pairwise n-gram Jaccard >= threshold, ids ordered a < b.
 
     jaccard = |A∩B| / (|A| + |B| - |A∩B|). Two candidate strategies with
-    IDENTICAL results (the DuckDB oracle keeps the naive form for both):
+    IDENTICAL results (the DuckDB oracle keeps the naive form for both;
+    the prefix-filter path's verify stage codes shingles to 64 bits
+    first — same documented ~V²/2⁶⁵ collision bound as
+    minhash_lsh_pairs, see _verify_sets):
 
     - **naive count-join** (the DEFAULT): explode distinct shingles,
       self-join on the shingle, count common per pair — only pairs
@@ -565,7 +568,11 @@ def minhash_lsh_pairs(
     Bands of MINHASH_K/BANDS rows; a pair is a candidate iff some band's
     signatures all collide (join on the band hash — linear, broadcastable
     at low collision rates). Candidates are then verified with exact
-    n-gram Jaccard >= threshold.
+    n-gram Jaccard >= threshold. ("Exact" modulo the verify stage's
+    64-bit shingle coding: the per-pair intersection runs over
+    xxhash64-coded shingles, so a same-document-pair 64-bit collision —
+    expected ~V²/2⁶⁵ colliding vocabulary pairs, ≈1e-3 at a 100 TB-scale
+    V=1e8 — could perturb one pair's jaccard; see _verify_sets.)
 
     **Duplicate collapse (r8 — the skew proof of VERDICT r7 #5 found the
     failure)**: byte-identical texts share every shingle, so a corpus
@@ -645,10 +652,12 @@ def minhash_lsh_pairs(
         .where(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
-        # persist (r15): the verify consumes cand from FIVE branches —
-        # the pair join itself, the two id-restriction unions here and
-        # the two inside _verify_pairs_exact — and physical-plan
-        # exchange reuse does NOT dedupe them (stage profile at sf0.1:
+        # persist (r15): the verify consumes cand from THREE branches —
+        # the pair join itself and the two id-restriction unions below
+        # (the two further references inside _verify_pairs_exact went
+        # away when this path switched to building sets directly) — and
+        # physical-plan exchange reuse does NOT dedupe them (pre-switch
+        # stage profile at sf0.1:
         # four separate ~900 KB materializations of the identical
         # band-join + partial-distinct subtree, ~220 s of the entry's
         # ~570 s task time). One MEMORY_AND_DISK materialization of two

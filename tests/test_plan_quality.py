@@ -492,3 +492,28 @@ def test_minhash_verify_intersects_once(spark):
     # folded into any join condition
     assert "SPARK_PARTITION_ID" in plan, plan
     dd.release_minhash_cache()
+
+
+def test_spread_scan_noop_on_multisplit(spark, tmp_path):
+    """spread_scan's repartition must be structurally UNREACHABLE once
+    the input arrives in enough splits (the normal state at scale, where
+    the writer targets 128 MB+ multi-row-group files): a read over >=
+    defaultParallelism files gets NO round-robin exchange, while the
+    single-row-group test-file shape keeps its parallelism floor. Also
+    pins that the probe is RDD-free (ADVICE r15 #4): the decision reads
+    parquet footers/inputFiles, never df.rdd."""
+    from skywalking_banyandb_spark.sources.parquet import spread_scan
+
+    par = spark.sparkContext.defaultParallelism
+    many = str(tmp_path / "many")
+    spark.range(par * 10).repartition(par).write.parquet(many)
+    multi = spark.read.parquet(many)
+    assert len(multi.inputFiles()) >= par
+    plan_multi = _plan(spread_scan(multi))
+    assert "RoundRobinPartitioning" not in plan_multi, plan_multi
+
+    one = str(tmp_path / "one")
+    spark.range(100).coalesce(1).write.parquet(one)
+    single = spark.read.parquet(one)
+    plan_one = _plan(spread_scan(single))
+    assert "RoundRobinPartitioning" in plan_one, plan_one
