@@ -267,12 +267,27 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql.window import Window
 
+    from ..sources.parquet import spread_scan
+
+    # derive the cap from the UNSPREAD relation (a count over the bare
+    # scan never pays the spread exchange), then floor the scan
+    # parallelism: the fused count-join keeps EVERYTHING — tokenize,
+    # shingle explode, the self-join fan-out and the partial pair
+    # aggregation — inside the scan stage (broadcast join + partial agg
+    # introduce no exchange), so scan parallelism IS whole-query
+    # parallelism. On a single-row-group test file that was ONE task
+    # building a 10.3M-group hash aggregate over a 36.5M-row join
+    # (32.7 s serial at sf0.1, r16 profile); per-row downstream compute
+    # dominates the row's own bytes by orders of magnitude, the regime
+    # the r15 spread rule requires. No-op at scale (multi-split inputs).
+    cap = (max(2, int(df_cap_frac * df.count()))
+           if df_cap_frac is not None else None)
+    df = spread_scan(df)
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(_shingles(F.col(text_col), n)).alias("sh"),
     )
     if df_cap_frac is not None:
-        cap = max(2, int(df_cap_frac * df.count()))
         hot = (
             sh.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("_df"))
