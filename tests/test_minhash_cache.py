@@ -189,8 +189,9 @@ def test_cross_window_twin_shares_one_handle(spark, docs, monkeypatch,
     scratch_probe = mh.minhash_probe_pairs(spark, path, batch,
                                            "doc_id", "text", retain=False)
     scratch_probe.count()
-    # a probe retains TWO scratch plans since r15 (cand + verify sets)
-    assert len(dd._scratch_live) == 2
+    # a probe retains THREE scratch plans since r16 (the shared batch
+    # shingle relation + cand + verify sets — VERDICT r15 Next #5)
+    assert len(dd._scratch_live) == 3
     mh.minhash_probe_pairs(spark, path, batch, "doc_id", "text").count()
-    assert len(dd._scratch_live) == 0       # both promoted to stable
+    assert len(dd._scratch_live) == 0       # all three promoted to stable
     assert _cached(scratch_probe)
