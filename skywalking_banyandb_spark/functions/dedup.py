@@ -1088,11 +1088,39 @@ def winnow_posting_table(
     return winnow_doc_fingerprints(df, id_col, text_col, k, w).persist()
 
 
+def winnow_capped_postings(fp: DataFrame, df_cap: int) -> DataFrame:
+    """The stop-fingerprint-capped (id, fp) posting table, PERSISTED.
+
+    :func:`winnow_pairs` consumes the capped relation from BOTH sides of
+    its self-join, and Catalyst does not common-subexpression across
+    self-join branches — without materialization the whole hot-set
+    aggregate (partial agg → exchange → final agg → broadcast anti-join)
+    runs once PER SIDE (r16 profile: the duplicated subtree was ~11 s of
+    task time per steady pass, two 290k-record exchanges for one 5-row
+    hot set). Persisting the capped table runs it once; both join sides
+    read the cache. NO repartition before the persist — the r15
+    fp-partitioned variant forced a sort-merge self-join where AQE
+    otherwise broadcasts the capped side (2.7 s → 5.0 s, reverted);
+    a plain persist keeps AQE's broadcast choice intact.
+
+    Callers owning the lifecycle should ``.unpersist()`` when done (the
+    registry routes this through its scratch-slot window)."""
+    hot = (
+        fp.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > df_cap)
+        .select("fp")
+    )
+    # no forced broadcast (same rationale as ngram_jaccard_pairs: the
+    # stop set is data-dependent); AQE broadcasts it while small
+    return fp.join(hot, "fp", "left_anti").persist()
+
+
 def winnow_pairs(
     df: DataFrame, id_col: str, text_col: str,
     k: int = 8, w: int = 6, min_shared: int = 2,
     df_cap: int | None = None, df_cap_frac: float = 0.04,
     fingerprints: DataFrame | None = None,
+    fingerprints_capped: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs sharing >= ``min_shared`` winnowing
     fingerprints (ids ordered a < b, shared count attached).
@@ -1113,23 +1141,31 @@ def winnow_pairs(
     *fraction* of documents, which holds from test SFs to 100 TB; pass
     ``df_cap`` to pin an absolute count instead. ``fingerprints`` accepts
     a prebuilt (persisted) posting table so several consumers in one
-    session share a single corpus-hashing pass."""
-    if df_cap is None:
-        # floor at 2: for corpora smaller than 2/df_cap_frac the product
-        # floors below 2 and the `_df > df_cap` filter would drop every
-        # pair-discoverable fingerprint (a fingerprint shared by a
-        # duplicate pair has df = 2), silently returning zero pairs
-        df_cap = max(2, int(df_cap_frac * df.count()))
-    fp = (fingerprints if fingerprints is not None
-          else winnow_posting_table(df, id_col, text_col, k, w))
-    hot = (
-        fp.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
-        .where(F.col("_df") > df_cap)
-        .select("fp")
-    )
-    # no forced broadcast (same rationale as ngram_jaccard_pairs: the
-    # stop set is data-dependent); AQE broadcasts it while small
-    fp = fp.join(hot, "fp", "left_anti")
+    session share a single corpus-hashing pass; ``fingerprints_capped``
+    accepts the already stop-capped table (see
+    :func:`winnow_capped_postings`) and skips the cap derivation — the
+    corpus count job and the hot-set aggregate then run once per cached
+    table instead of once per call/branch."""
+    if fingerprints_capped is not None:
+        fp = fingerprints_capped
+    else:
+        if df_cap is None:
+            # floor at 2: for corpora smaller than 2/df_cap_frac the
+            # product floors below 2 and the `_df > df_cap` filter would
+            # drop every pair-discoverable fingerprint (a fingerprint
+            # shared by a duplicate pair has df = 2), silently returning
+            # zero pairs
+            df_cap = max(2, int(df_cap_frac * df.count()))
+        fp = (fingerprints if fingerprints is not None
+              else winnow_posting_table(df, id_col, text_col, k, w))
+        hot = (
+            fp.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > df_cap)
+            .select("fp")
+        )
+        # no forced broadcast (same rationale as ngram_jaccard_pairs:
+        # the stop set is data-dependent); AQE broadcasts it while small
+        fp = fp.join(hot, "fp", "left_anti")
     pairs = (
         fp.alias("x").join(fp.alias("y"), on="fp")
         .where(F.col("x.id") < F.col("y.id"))

@@ -157,6 +157,23 @@ def _winnow_fp(spark: SparkSession, sf: str) -> DataFrame:
             _docs(spark, sf), "doc_id", "text", k=16, w=8))
 
 
+def _winnow_capped_fp(spark: SparkSession, sf: str) -> DataFrame:
+    """The stop-capped posting table BOTH winnow entries self-join on
+    (r16, guide §1.2/§2.4): winnow_pairs consumes it from both sides of
+    the pair join, and without materialization the hot-set aggregate +
+    anti-join ran once per side per pass (~11 s duplicated task time in
+    the r16 profile), plus a corpus count job per compile for the cap.
+    Cached in its own slot so the sf-rotation window unpersists it with
+    the raw table; the raw slot stays resident underneath so a cold
+    build hashes the corpus once, not once per branch of THIS build."""
+    def build() -> DataFrame:
+        docs = _docs(spark, sf)
+        cap = max(2, int(0.04 * docs.count()))
+        return dd.winnow_capped_postings(_winnow_fp(spark, sf), cap)
+
+    return _cached_scratch("winnow_fp_capped", spark, sf, build)
+
+
 def _dedup_winnow(spark: SparkSession, sf: str) -> DataFrame:
     # Winnowing (MOSS) substring fingerprints — the EXACT-substring dedup
     # family (Lee et al. 2022): any shared run of >= k+w-1 = 23 chars
@@ -167,7 +184,7 @@ def _dedup_winnow(spark: SparkSession, sf: str) -> DataFrame:
     # with the corpus instead of a pinned constant).
     return dd.winnow_pairs(_docs(spark, sf), "doc_id", "text",
                            k=16, w=8, min_shared=2,
-                           fingerprints=_winnow_fp(spark, sf))
+                           fingerprints_capped=_winnow_capped_fp(spark, sf))
 
 
 register(
@@ -191,7 +208,7 @@ def _dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     docs = _docs(spark, sf)
     pairs = dd.winnow_pairs(docs, "doc_id", "text",
                             k=16, w=8, min_shared=2,
-                            fingerprints=_winnow_fp(spark, sf))
+                            fingerprints_capped=_winnow_capped_fp(spark, sf))
     q = docs.select(F.col("doc_id").alias("node"),
                     tx.quality_score(F.col("text")).alias("q"))
     edges = (pairs.select(F.col("a").alias("node"), F.col("b").alias("nb"))

@@ -105,16 +105,18 @@ def test_tpch_q3_broadcasts_dimensions(spark):
     assert "F.broadcast(" not in inspect.getsource(registry_analytics)
 
 
-def test_no_python_udf_in_banyandb_paths(spark):
+def test_no_python_udf_in_banyandb_paths(spark, entry_dfs):
     """Every BanyanDB-parity registry entry stays JVM-side (multimodal is
-    the only intentional Pandas-UDF user)."""
+    the only intentional Pandas-UDF user). Plans come from the
+    session-shared compile cache — this test previously re-executed
+    every heavy entry (materialized streams, stateful loops) a second
+    time just to read its plan (~290 s of the suite wall)."""
     import __spark_entry__ as em
 
-    qs = em.queries()
-    for name, fn in qs.items():
+    for name in em.queries():
         if name.startswith(("multimodal",)):
             continue
-        plan = _plan(fn(spark, SF_SMALL))
+        plan = _plan(entry_dfs(name))
         assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
 
 
@@ -517,3 +519,19 @@ def test_spread_scan_noop_on_multisplit(spark, tmp_path):
     single = spark.read.parquet(one)
     plan_one = _plan(spread_scan(single))
     assert "RoundRobinPartitioning" in plan_one, plan_one
+
+
+def test_winnow_pair_join_reads_one_capped_cache(spark):
+    """The winnow entries' pair self-join must consume the stop-capped
+    posting table from ONE persisted relation (r16): without it the
+    hot-fingerprint aggregate + anti-join ran once per join side (~11 s
+    duplicated task time per steady pass at sf0.1). The optimized plan
+    therefore contains NO aggregate-side exchange or anti-join — only
+    the cache build (inside the InMemoryRelation definition) does."""
+    import __spark_entry__ as em
+
+    df = em.queries()["dedup_substring_winnow"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the query tree reads the capped cache twice and anti-joins nowhere
+    assert plan.count("InMemoryRelation") >= 2, plan
+    assert "LeftAnti" not in plan.split("InMemoryRelation")[0], plan
