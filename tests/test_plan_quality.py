@@ -521,6 +521,27 @@ def test_spread_scan_noop_on_multisplit(spark, tmp_path):
     assert "RoundRobinPartitioning" in plan_one, plan_one
 
 
+def test_multigroup_identical_parts_collapse_to_one_scan(spark):
+    """union_groups (r16, guide §1.2): a multi-group query whose groups
+    resolve to semantically identical per-group plans (two logical
+    groups backed by one physical table) must scan and version-dedup the
+    relation ONCE and multiply rows with a Generate, not once per group
+    — at 100 TB the plain union re-reads and re-windows the whole
+    measure per group. Parts that differ in any analyzed detail keep the
+    plain union (gated by the untouched schema-merge conformance rows)."""
+    q = MeasureQuery(
+        groups=["g1", "g2"], name="metrics", time_range=TR,
+        group_by=["event_type"],
+        agg=AggregationSpec(AggFunc.COUNT, "value"),
+        limit=100000,
+    )
+    df = compile_measure(spark, default_catalog(SF_SMALL), q)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Union" not in plan, plan
+    assert "Generate" in plan, plan
+
+
 def test_winnow_pair_join_reads_one_capped_cache(spark):
     """The winnow entries' pair self-join must consume the stop-capped
     posting table from ONE persisted relation (r16): without it the
