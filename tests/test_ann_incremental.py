@@ -28,6 +28,7 @@ from skywalking_banyandb_spark.sources.ann_index import (
 from skywalking_banyandb_spark.sources.parquet import read_table
 
 from conftest import SF_SMALL
+import pytest
 
 
 def _emb(spark):
@@ -163,6 +164,7 @@ def test_incremental_probe_matches_brute_force_recall(spark, tmp_path,
     assert len(set(got) & set(exact)) >= 6
 
 
+@pytest.mark.soak
 def test_ivfpq_append_batch_split_invariance(spark, tmp_path, monkeypatch):
     """The compressed-index twin: frozen centroids AND codebooks make
     append order-free — one-batch vs two-batch appends produce identical
@@ -280,6 +282,7 @@ def test_retrain_equals_one_shot_over_live_rows(spark, tmp_path,
     assert got_a == got_b and len(got_a) == 10
 
 
+@pytest.mark.soak
 def test_ivfpq_retrain_equals_one_shot_over_live_rows(spark, tmp_path,
                                                       monkeypatch):
     """Compressed-index retrain: fresh centroids AND codebooks from the

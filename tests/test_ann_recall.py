@@ -55,6 +55,7 @@ def test_panel_is_deterministic(spark):
     assert len({qid for qid, _ in p1}) == 8
 
 
+@pytest.mark.soak
 def test_policy_retrain_sequence_matches_from_scratch(spark, tmp_path):
     """The bench's append→needs_retrain→retrain(k="policy")→recall row
     (VERDICT r14 Next #6): the trigger fires at 100% growth, the resize

@@ -51,9 +51,9 @@ ALL = sorted(entrymod.queries().keys())
 
 
 @pytest.mark.parametrize("name", ALL)
-def test_query_matches_oracle(spark, name):
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    df = qs[name](spark, SF_SMALL)
+def test_query_matches_oracle(spark, entry_dfs, name):
+    oracles = entrymod.oracle_sql()
+    df = entry_dfs(name)
     spark_rows = [tuple(r) for r in df.collect()]
     spark_cols = sorted(df.columns)
 

@@ -12,6 +12,8 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+import pytest
+
 from skywalking_banyandb_spark.operators.asof import (
     asof_join,
     asof_join_chunked,
@@ -30,6 +32,7 @@ _row = st.tuples(
 @settings(max_examples=25, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(rows=st.lists(_row, min_size=1, max_size=24))
+@pytest.mark.soak
 def test_asof_matches_duckdb_asof(spark, rows):
     lefts, rights = [], []
     for i, (k, mins, payload) in enumerate(rows):
@@ -110,6 +113,7 @@ def test_asof_chunked_keeps_null_key_rows(spark):
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(rows=st.lists(_row, min_size=1, max_size=24),
        tol_mins=st.one_of(st.none(), st.integers(min_value=0, max_value=600)))
+@pytest.mark.soak
 def test_asof_forward_and_tolerance_match_duckdb(spark, rows, tol_mins):
     """r5 options: direction='forward' (earliest at-or-after) and
     tolerance_us, differentially vs DuckDB's ASOF with a flipped

@@ -97,6 +97,7 @@ def test_eviction_still_bounds_window_and_recomputes_correctly(docs):
     assert a.count() == n_a        # lineage recompute, same answer
 
 
+@pytest.mark.soak
 def test_bench_extended_cycle_keeps_every_stable_config_resident(
         spark, docs, monkeypatch, tmp_path):
     """The r13 thrash repro (VERDICT r13 #1): the bench's extended list

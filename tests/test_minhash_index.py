@@ -297,6 +297,7 @@ def test_compaction_probe_pair_exact_and_disk_shrinks(spark, docs):
         spark, path, b1, "doc_id", "text", "lineageA-0") is False
 
 
+@pytest.mark.soak
 def test_compaction_merges_cross_corpus_identical_texts(spark, tmp_path):
     """Byte-identical texts indexed from DIFFERENT corpora (base build +
     absorbed batch) form equal-cls classes with different reps;
@@ -372,6 +373,7 @@ def test_compaction_trigger_fires_on_duplicate_fraction(spark, docs):
     assert not mh.minhash_index_needs_compaction(spark, path)
 
 
+@pytest.mark.soak
 def test_rep_as_batch_id_after_compaction_keeps_cross_members(
         spark, tmp_path):
     """ADVICE r13 #1 repro: when a compacted class's rep (min member id)

@@ -21,6 +21,7 @@ from skywalking_banyandb_spark.streaming.rollup import (
 )
 
 from conftest import SF_SMALL
+import pytest
 
 T3 = dt.datetime(2024, 1, 3)
 T4 = dt.datetime(2024, 1, 4)
@@ -199,6 +200,7 @@ def test_hll_far_late_recreation_is_refused(spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+@pytest.mark.soak
 def test_continuous_trigger_soak_state_bounded(spark):
     """VERDICT r4 missing #4: a CONTINUOUS (processingTime) run — the
     reference flow (pkg/flow/streaming/sliding_window.go:125-165) runs

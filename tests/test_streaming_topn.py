@@ -19,6 +19,7 @@ from skywalking_banyandb_spark.streaming.topn_stream import (
 )
 
 from conftest import SF_SMALL
+import pytest
 
 
 def test_streaming_topn_matches_batch(spark):
@@ -242,6 +243,7 @@ def test_sharding_keys_validated():
         )
 
 
+@pytest.mark.soak
 def test_topn_continuous_trigger_soak_state_bounded(spark):
     """VERDICT r4 missing #4, Top-N half (the rollup half lives in
     test_streaming_rollup.py): a CONTINUOUS (non-availableNow) run of the

@@ -21,6 +21,7 @@ from skywalking_banyandb_spark.sources.parquet import read_table
 from skywalking_banyandb_spark.streaming.topn_stream import ensure_event_time
 
 from conftest import SF_SMALL
+import pytest
 
 
 def _drain(q, timeout=300):
@@ -294,6 +295,7 @@ def test_interval_join_left_outer_unmatched_emitted(spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+@pytest.mark.soak
 def test_interval_join_hot_key_soak(spark):
     """Hot-key soak (VERDICT r5 #4): ONE user emits ~100x the median rate.
     The join must (a) survive the skewed drain, (b) produce the exact batch
