@@ -952,6 +952,20 @@ _R16_TOUCHED = (
     # ranking aggregate and the span pass attaches through an eliminable
     # unique-key left join — every compile_trace consumer re-verifies
     "trace_regroup_stats", "trace_orderby_duration", "trace_spans_payload",
+    # r16 session 2: the stop-capped winnow posting cache (both winnow
+    # entries' pair join reads one persisted relation), the identical
+    # multi-group union collapse (one scan × row multiplier), the fused
+    # ngram count-join's spread scan stage, and the probe's shared batch
+    # tokenize (streaming twins consume minhash_probe_pairs)
+    "dedup_substring_winnow", "dedup_resolution_keep_best",
+    "measure_multigroup_union", "topn_multigroup_postagg_max",
+    "dedup_ngram_jaccard", "dedup_near_dup_clusters",
+    "streaming_incremental_dedup_materialized",
+    "streaming_resolution_materialized",
+    # compile_trace consumers of the stats rewrite — the tail of the
+    # touched front: if the 50-entry window overflows, these spill first
+    # (plan-gated + oracle-conformance-covered every round; all have
+    # driver rows fresh enough to wait)
     "trace_by_ids", "trace_multigroup_schema_merge", "bydbql_trace_stats",
     "bydbql_trace_orderby_duration", "request_yaml_trace",
 )
