@@ -548,9 +548,19 @@ def test_winnow_pair_join_reads_one_capped_cache(spark):
     hot-fingerprint aggregate + anti-join ran once per join side (~11 s
     duplicated task time per steady pass at sf0.1). The optimized plan
     therefore contains NO aggregate-side exchange or anti-join — only
-    the cache build (inside the InMemoryRelation definition) does."""
-    import __spark_entry__ as em
+    the cache build (inside the InMemoryRelation definition) does.
 
+    Self-contained against suite order: an earlier test's
+    spark.catalog.clearCache() unpersists the scratch tables while
+    _cached_scratch still memoizes the handles (documented r6 behavior
+    — correct results, uncached), which would inline the anti-join back
+    into this plan. Re-prime both winnow slots before asserting."""
+    import __spark_entry__ as em
+    from skywalking_banyandb_spark import registry_pipeline as rp
+
+    for slot in ("winnow_fp_capped", "winnow_fp"):
+        for old in rp._SCRATCH_CACHE.pop(slot, {}).values():
+            old.unpersist()
     df = em.queries()["dedup_substring_winnow"](spark, SF_SMALL)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     # the query tree reads the capped cache twice and anti-joins nowhere
